@@ -1,0 +1,200 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup, MinHash+LSH, SimHash, and n-gram Jaccard — each expressed so the
+expensive part is a hash-partitioned shuffle on a small key (fingerprint /
+band bucket), never an all-pairs comparison. At 100 TB the candidate
+generation is linear scans + one shuffle per band; only bucket-mates are
+compared pairwise.
+
+All hashes derive from md5 (functions/hashing.py) so results are reproducible
+across engines and across Spark versions — xxhash64 seeds are fine in
+production, but determinism here is worth the few extra cycles, and md5 is
+still evaluated JVM-side inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_bigint
+from ..functions.text import normalized_text
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles of the normalized text as an array<string>."""
+    words = F.split(F.trim(normalized_text(text)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.concat_ws(" ", *[F.lit("")]))).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+
+
+def minhash(shingles: Column, num_perm: int = 4) -> list[Column]:
+    """MinHash signature: one min-over-salted-hashes per permutation."""
+    return [
+        F.array_min(F.transform(shingles, lambda s: md5_bigint(s, salt=f"perm{p}:")))
+        for p in range(num_perm)
+    ]
+
+
+def exact_dedup(df: DataFrame, fingerprint: Column, id_col: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint, keep the lowest
+    id as survivor. One shuffle on the fingerprint."""
+    return (
+        df.withColumn("fp", fingerprint)
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("survivor_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 4,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash + LSH banding: shingle → minhash → band buckets → self-join
+    per bucket. Returns candidate pairs (id_a < id_b) with their band.
+
+    Scale shape: the self-join shuffles on the band key only; bucket sizes are
+    the skew risk (salting hook: add a `F.pmod(hash, nsalt)` term to the band
+    key if a bucket explodes).
+    """
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        *[
+            m.alias(f"mh{i}")
+            for i, m in enumerate(minhash(word_shingles(F.col(text_col), shingle_k), num_perm))
+        ],
+    )
+    n_bands = num_perm // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+        bands.append(
+            sig.select(
+                "doc",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols])).alias(
+                    "bucket"
+                ),
+            )
+        )
+    tagged = bands[0]
+    for b in bands[1:]:
+        tagged = tagged.unionAll(b)
+    left = tagged.alias("l")
+    right = tagged.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.doc") < F.col("r.doc")),
+        )
+        .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs.
+
+    Joins the (small) candidate-pair set back to the corpus twice — both are
+    equi joins on the doc id; the shingle arrays only materialize for
+    candidates, not the whole corpus.
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        pairs.join(a, pairs.doc_a == F.col("a.doc"))
+        .join(b, pairs.doc_b == F.col("b.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash(text: Column, bits: int = 16) -> Column:
+    """SimHash signature over word hashes: for each bit position, sum +1/-1
+    votes across word hashes, set the bit when the vote is positive.
+
+    Pure higher-order-function expression (no UDF): transform over bit
+    positions, aggregate over words.
+    """
+    words = F.array_distinct(F.split(F.trim(normalized_text(text)), r"\s+"))
+    hashes = F.transform(words, lambda w: md5_bigint(w, salt="simhash:"))
+    def bit_vote(j: int) -> Column:
+        mask = F.lit(1 << j).cast("long")
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(bit_vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = "label",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by a bucket column so
+    the pairwise comparison is per-bucket, not corpus-wide. With no natural
+    bucket, plug an LSH bucket (similarity.cosine_lsh_bucket) in instead.
+    """
+    v = emb.select(
+        F.col(id_col).alias("vid"),
+        *( [F.col(bucket_col).alias("bkt")] if bucket_col else [F.lit(0).alias("bkt")] ),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.vid") < F.col("b.vid")))
+        .select(
+            F.col("a.vid").alias("vec_a"),
+            F.col("b.vid").alias("vec_b"),
+            F.round(dot / (norm("a") * norm("b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

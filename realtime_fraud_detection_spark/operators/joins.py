@@ -1,0 +1,117 @@
+"""Joins — SURVEY §2.3 J1-J6.
+
+The reference has no join machinery of its own: it uses Flink windowed
+stream-stream equi-joins (StreamJoiner.java) and per-record Redis RPC lookups
+that are morally stream-static joins (TransactionProcessor.java:97-138).
+Here every lookup is a real join Catalyst can reorder/broadcast, and the
+windowed correlations are time-range join conditions that work identically in
+batch and (with watermarks) streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_enrich(
+    tx: DataFrame,
+    users: DataFrame,
+    merchants: DataFrame,
+    defaults: dict[str, object] | None = None,
+) -> DataFrame:
+    """J5 — dimension enrichment as broadcast LEFT joins, replacing the
+    reference's two synchronous Redis RPCs per record
+    (TransactionProcessor.java:97-138, RedisService.java:83-122).
+
+    Missing profiles get the reference's synthesized minimal-profile defaults
+    (risk 0.5/medium, fraud_rate 0.05 — TransactionProcessor.java:489-508) via
+    fillna, preserving the left join's anti-join semantics for the
+    "profile not found" path.
+    """
+    out = tx.join(F.broadcast(users), "user_id", "left").join(
+        F.broadcast(merchants), "merchant_id", "left"
+    )
+    base_defaults = {"risk_score": 0.5, "risk_level": "medium", "fraud_rate": 0.05}
+    return out.fillna({**base_defaults, **(defaults or {})})
+
+
+def windowed_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    before: str = "5 minutes",
+    after: str = "5 minutes",
+) -> DataFrame:
+    """J1/J2 — stream-stream equi join with a time-range co-membership
+    condition (StreamJoiner.java:29-75's tumbling-window joins). In streaming,
+    watermark both inputs first; the range condition bounds state retention.
+    """
+    l, r = left.alias("l"), right.alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - interval {before}"))
+        & (F.col(f"r.{right_ts}") <= F.expr(f"l.{left_ts} + interval {after}"))
+    )
+    return l.join(r, cond)
+
+
+def pattern_similarity_join(
+    tx: DataFrame,
+    patterns: DataFrame,
+) -> DataFrame:
+    """J3 — join on the derived composite key
+    `payment_method:merchant_category:floor(amount/100)*100` with a
+    similarity score column (StreamJoiner.java:81-101,159-179,238-292):
+    payment-method match 0.3 + amount closeness 0.4 + hour closeness 0.3.
+    """
+    t = tx.withColumn(
+        "pattern_key",
+        F.concat_ws(
+            ":",
+            "payment_method",
+            "merchant_category",
+            (F.floor(F.col("amount") / 100) * 100).cast("long").cast("string"),
+        ),
+    )
+    p = patterns.withColumn(
+        "pattern_key",
+        F.concat_ws(
+            ":",
+            "payment_method",
+            "merchant_category",
+            F.col("amount_range").cast("long").cast("string"),
+        ),
+    ).select("pattern_key", F.col("hour_of_day").alias("pattern_hour"), "fraud_rate", "occurrence_count")
+    joined = t.join(F.broadcast(p), "pattern_key")
+    amount_closeness = 1.0 - F.least(
+        F.abs(F.col("amount") % 100) / 100.0, F.lit(1.0)
+    )
+    hour_closeness = 1.0 - F.abs(F.hour("ts") - F.col("pattern_hour")) / 24.0
+    return joined.withColumn(
+        "pattern_similarity",
+        F.lit(0.3) + 0.4 * amount_closeness + 0.3 * hour_closeness,
+    )
+
+
+def multi_stream_correlate(streams: list[tuple[str, DataFrame]], key: str = "user_id") -> DataFrame:
+    """J4 — multi-stream correlation: normalize each stream to a common
+    (key, ts, kind, payload) shape and union, grouping downstream by key.
+    (The reference's MultiStreamCorrelationFunction class is absent from the
+    repo — declared intent at StreamJoiner.java:107-127; this is the union
+    normalization it implies.)"""
+    norm = [
+        df.select(
+            F.col(key),
+            F.col("ts"),
+            F.lit(kind).alias("kind"),
+            F.to_json(F.struct(*[c for c in df.columns if c not in (key, "ts")])).alias("payload"),
+        )
+        for kind, df in streams
+    ]
+    out = norm[0]
+    for df in norm[1:]:
+        out = out.unionAll(df)
+    return out

@@ -1,0 +1,178 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, and an LSH-bucketed
+(random-hyperplane, SimHash-for-vectors) variant as the 100 TB scale path:
+the bucketed form turns the q×N cross join into an equi join on the bucket
+signature, probing only colliding buckets.
+
+Dot products are pure `zip_with`/`aggregate` higher-order expressions —
+JVM-side, no Python. For very wide vectors or very hot paths, swap in the
+pandas_udf variant (`cosine_topk_pandas`) which moves the math to NumPy BLAS
+over Arrow batches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries × corpus cross join (broadcast the query side — it is small by
+    construction), then a per-query top-k window. Similarity is rounded
+    before ranking so ranking ties are broken deterministically by id.
+    """
+    c = emb.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv"))
+    q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(cosine(F.col("qv"), F.col("nv")), round_digits).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH signature: bit b = sign(vec · plane_b).
+
+    `planes` are fixed (seeded) constant vectors, folded into the plan as
+    literals — at scale this is a pure scan + projection, no shuffle.
+    """
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        s = dot(vec, plane)
+        bits.append(F.when(s >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out
+
+
+def make_planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no numpy dependency at
+    plan-build time, reproducible everywhere)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(((state >> 33) / float(1 << 31)) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH bucket.
+
+    Recall depends on n_planes; the equi join on `bucket` replaces the cross
+    join, so cost is per-bucket not corpus-wide.
+    """
+    planes = make_planes(dim, n_planes)
+    c = emb.select(
+        F.col(id_col).alias("nid"),
+        _as_double(F.col(vec_col)).alias("nv"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("nv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("bucket", hyperplane_bucket(F.col("qv"), planes))
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def cosine_topk_pandas(
+    emb: DataFrame,
+    queries_pd,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """NumPy/BLAS variant: queries broadcast as a dense matrix, corpus scanned
+    in Arrow batches via mapInPandas — the shape you want when q is in the
+    thousands and vectors are wide."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    qids = queries_pd[id_col].to_numpy()
+    qm = np.stack(queries_pd[vec_col].to_numpy()).astype("float64")
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    schema = T.StructType(
+        [
+            T.StructField("qid", T.LongType()),
+            T.StructField("nid", T.LongType()),
+            T.StructField("cosine_sim", T.DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        for pdf in batches:
+            nm = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            nm /= np.linalg.norm(nm, axis=1, keepdims=True)
+            sims = qm @ nm.T  # (q, batch)
+            nids = pdf[id_col].to_numpy()
+            out = {
+                "qid": np.repeat(qids, len(nids)),
+                "nid": np.tile(nids, len(qids)),
+                "cosine_sim": sims.ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    scored = emb.select(id_col, vec_col).mapInPandas(score, schema)
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
+    return (
+        scored.filter(F.col("qid") != F.col("nid"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,43 @@
+"""Loaders for the driver-generated parquet fixtures (TESTDATA.md).
+
+Plain `spark.read.parquet` — the point is that filters and projections applied
+by downstream queries reach the scan (PushedFilters / ReadSchema in
+`.explain`), which parquet gives us for free.
+
+One wrinkle: `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's
+parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). We flip the
+`spark.sql.legacy.parquet.nanosAsLong` escape hatch (runtime-settable) and
+rebuild the timestamp from the nanosecond long. The division must be integer
+(`div`), not double, because ns-epoch values (~1.7e18) exceed double's 53-bit
+exact-integer range.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        return _load_events(spark, path)
+    return spark.read.parquet(path)
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    # The fixture's timestamps are microsecond-granular (ns % 1000 == 0 for
+    # every row), so this conversion is lossless.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}

@@ -1,0 +1,40 @@
+"""The declared query suite — every operator family from SURVEY §2 plus the
+training-data-pipeline operators, each as a (spark_fn, duckdb_oracle_sql)
+pair driven by __spark_entry__.py.
+
+Cross-engine determinism rules used throughout (so the driver's value-hash
+comparison is exact, not approximate):
+  * money/metric sums go through DECIMAL (order-insensitive exact arithmetic),
+    cast to double only at the end;
+  * stddev/variance are derived from exact decimal sum + sum-of-squares,
+    never from streaming double accumulation;
+  * per-row transcendental outputs (log/sqrt/trig) are rounded to 6 dp on
+    both sides (Java Math and libm may differ in the last ulp);
+  * hashes are md5-based (functions/hashing.py) — identical in every engine;
+  * every top-k/limit is tie-broken by a unique key;
+  * timestamps stay naive timestamps end-to-end (no epoch conversion at the
+    output boundary), which makes results session-timezone-independent.
+"""
+
+from __future__ import annotations
+
+from . import dedup_q, eventtime_q, features_q, relational, windows_q
+
+_MODULES = [relational, windows_q, eventtime_q, features_q, dedup_q]
+
+
+def all_queries():
+    out = {}
+    for m in _MODULES:
+        overlap = set(out) & set(m.QUERIES)
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for m in _MODULES:
+        out.update(m.ORACLES)
+    return out

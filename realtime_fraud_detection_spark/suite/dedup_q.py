@@ -1,0 +1,299 @@
+"""Training-data-pipeline queries: text analysis, deduplication (exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine), and similarity
+search (brute-force + LSH-bucketed ANN) over the documents/embeddings
+fixtures.
+
+Every hash is md5-derived so the DuckDB oracle reproduces signatures
+bit-for-bit; similarity scores are rounded to 6 dp before any threshold or
+ranking so comparisons are deterministic cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.hashing import md5_bigint_sql
+from ..operators import dedup as D
+from ..operators import similarity as SIM
+from ..sources.testdata import load_table
+
+# Shared oracle-SQL building blocks -----------------------------------------
+_SQL_WORDS = r"string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')"
+_SQL_SHINGLES = (
+    "list_transform(range(1, greatest(len(ws) - 1, 1)), i -> array_to_string(ws[i:i+2], ' '))"
+)
+
+
+def _sql_minhash(p: int) -> str:
+    h = md5_bigint_sql("s", salt=f"perm{p}:")
+    return f"list_min(list_transform(sh, s -> {h}))"
+
+
+_SQL_SIG = f"""
+sig AS (
+  SELECT doc_id,
+         {_sql_minhash(0)} AS mh0, {_sql_minhash(1)} AS mh1,
+         {_sql_minhash(2)} AS mh2, {_sql_minhash(3)} AS mh3
+  FROM (SELECT doc_id, {_SQL_SHINGLES} AS sh
+        FROM (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents))
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text features (bert_text_analyzer.py:283-399 rule-based family)
+# ---------------------------------------------------------------------------
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = TX.text_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["text_length"].alias("text_length"),
+        feats["word_count"].alias("word_count"),
+        feats["digit_count"].alias("digit_count"),
+        feats["special_char_count"].alias("special_char_count"),
+        feats["has_crypto_keyword"].alias("has_crypto_keyword"),
+        feats["has_urgent_keyword"].alias("has_urgent_keyword"),
+    )
+
+
+SQL_TEXT_FEATURES = r"""
+SELECT doc_id,
+  length(text) AS text_length,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(string_split_regex(trim(text), '\s+')) END AS word_count,
+  len(regexp_extract_all(text, '[0-9]')) AS digit_count,
+  len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS special_char_count,
+  regexp_matches(text, '(?i)(bitcoin|crypto|btc|ethereum|coin)') AS has_crypto_keyword,
+  regexp_matches(text, '(?i)(urgent|immediately|act now|limited time)') AS has_urgent_keyword
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring + language ID + token counting
+# ---------------------------------------------------------------------------
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+        TX.language_id(F.col("text")).alias("detected_lang"),
+        TX.token_count_whitespace(F.col("text")).alias("tokens_ws"),
+        TX.token_count_bpe_ish(F.col("text")).alias("tokens_bpe"),
+    )
+
+
+_EN = r"\b(the|and|of|to|in|is|that|for|with|was)\b"
+_DE = r"\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b"
+_FR = r"\b(le|la|les|et|est|une|des|dans|pour|que)\b"
+_ES = r"\b(el|la|los|las|es|una|del|para|por|que)\b"
+
+SQL_TEXT_QUALITY = rf"""
+WITH base AS (
+  SELECT doc_id, lang,
+    length(text)::DOUBLE AS chlen,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS wc,
+    len(regexp_extract_all(lower(text), '{_EN}'))::DOUBLE AS h_en,
+    len(regexp_extract_all(lower(text), '{_DE}'))::DOUBLE AS h_de,
+    len(regexp_extract_all(lower(text), '{_FR}'))::DOUBLE AS h_fr,
+    len(regexp_extract_all(lower(text), '{_ES}'))::DOUBLE AS h_es,
+    len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE AS specials,
+    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS tokens_bpe
+  FROM documents)
+SELECT doc_id, lang,
+  ROUND(
+      0.3 * LEAST(chlen / 500.0, 1.0)
+    + 0.3 * LEAST(COALESCE(h_en / NULLIF(wc::DOUBLE, 0.0), 0.0) * 4.0, 1.0)
+    + 0.2 * GREATEST(0.0, 1.0 - COALESCE(specials / NULLIF(chlen, 0.0), 0.0) * 5.0)
+    + 0.2 * (CASE WHEN chlen / NULLIF(wc::DOUBLE, 0.0) >= 3
+                   AND chlen / NULLIF(wc::DOUBLE, 0.0) <= 10 THEN 1.0 ELSE 0.5 END),
+  6) AS quality,
+  CASE WHEN GREATEST(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+       WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+       WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+       WHEN h_en >= h_de THEN 'en'
+       ELSE 'de' END AS detected_lang,
+  wc AS tokens_ws,
+  tokens_bpe
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint + exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs, TX.fingerprint(F.col("text")), "doc_id")
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS survivor_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (shingle → salted-md5 min per permutation)
+# ---------------------------------------------------------------------------
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mh = D.minhash(D.word_shingles(F.col("text"), 3), num_perm=4)
+    return docs.select("doc_id", *[m.alias(f"mh{i}") for i, m in enumerate(mh)])
+
+
+SQL_MINHASH_SIGNATURE = f"WITH {_SQL_SIG} SELECT doc_id, mh0, mh1, mh2, mh3 FROM sig"
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup pairs: band buckets → candidate self-join → exact
+# n-gram Jaccard filter.
+# ---------------------------------------------------------------------------
+def q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.minhash_lsh_candidates(docs, "text", "doc_id", num_perm=4, band_size=2)
+    sim = D.ngram_jaccard(docs, cands, "text", "doc_id", 3)
+    return sim.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.8)
+
+
+SQL_LSH_NEAR_DUPS = f"""
+WITH {_SQL_SIG},
+bands AS (
+  SELECT doc_id, 0 AS band, md5('0' || '_' || mh0 || '_' || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5('1' || '_' || mh2 || '_' || mh3) AS bucket FROM sig
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+sh AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s
+  FROM (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents)
+)
+SELECT doc_a, doc_b,
+       ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE, 6) AS jaccard
+FROM cand JOIN sh a ON cand.doc_a = a.doc_id JOIN sh b ON cand.doc_b = b.doc_id
+WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE, 6) >= 0.8
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures (16-bit for the oracle; 64-bit in production use)
+# ---------------------------------------------------------------------------
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", D.simhash(F.col("text"), bits=16).alias("simhash16"))
+
+
+_SIMHASH_H = md5_bigint_sql("w", salt="simhash:")
+SQL_SIMHASH = rf"""
+WITH hw AS (
+  SELECT doc_id, list_transform(list_distinct({_SQL_WORDS}), w -> {_SIMHASH_H}) AS hs
+  FROM documents
+)
+SELECT doc_id,
+  CAST(list_sum(list_transform(range(0, 16), j ->
+    CASE WHEN list_sum(list_transform(hs, h ->
+           CASE WHEN (h & (1::BIGINT << j)) <> 0 THEN 1 ELSE -1 END)) > 0
+         THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash16
+FROM hw
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs, blocked by label
+# ---------------------------------------------------------------------------
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_pairs(emb, threshold=0.45)
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND(
+    list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+    / (SQRT(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+       * SQRT(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+  6) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(
+    list_sum(list_transform(range(1, 65), i -> a.e[i] * b.e[i]))
+    / (SQRT(list_sum(list_transform(range(1, 65), i -> a.e[i] * a.e[i])))
+       * SQRT(list_sum(list_transform(range(1, 65), i -> b.e[i] * b.e[i])))),
+  6) >= 0.45
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN: brute-force cosine top-k (exact baseline) for query vectors vec_id<5
+# ---------------------------------------------------------------------------
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.brute_force_topk(emb, queries, k=3)
+
+
+SQL_ANN_TOPK = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT qid, v.vec_id AS nid,
+    ROUND(
+      list_sum(list_transform(range(1, 65), i -> qe[i] * v.e[i]))
+      / (SQRT(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))
+         * SQRT(list_sum(list_transform(range(1, 65), i -> v.e[i] * v.e[i])))),
+    6) AS cosine_sim
+  FROM q CROSS JOIN v WHERE qid <> v.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid, nid, cosine_sim, rank FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# ANN: LSH-bucketed variant (approximate — rows-only check; the plan shape
+# is the deliverable: equi join on the hyperplane signature instead of a
+# cross join).
+# ---------------------------------------------------------------------------
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.lsh_topk(emb, queries, k=3, n_planes=4, dim=64)
+
+
+QUERIES = {
+    "text_features": q_text_features,
+    "text_quality": q_text_quality,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signature": q_minhash_signature,
+    "lsh_near_dups": q_lsh_near_dups,
+    "simhash": q_simhash,
+    "embedding_near_dups": q_embedding_near_dups,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+}
+
+ORACLES = {
+    "text_features": SQL_TEXT_FEATURES,
+    "text_quality": SQL_TEXT_QUALITY,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "minhash_signature": SQL_MINHASH_SIGNATURE,
+    "lsh_near_dups": SQL_LSH_NEAR_DUPS,
+    "simhash": SQL_SIMHASH,
+    "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
+    "ann_topk": SQL_ANN_TOPK,
+    # ann_lsh: approximate by construction → rows-only check
+}

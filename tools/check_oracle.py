@@ -1,0 +1,138 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+For every query in __spark_entry__.queries(): run it on Spark at the given
+SF, run the matching oracle_sql() on DuckDB over the same parquet tables, and
+compare row count, sorted column names, and an order-insensitive value frame
+(rows sorted by every column, exact equality; floats reported with max-abs
+diff when they differ).
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        col = df[c]
+        if pd.api.types.is_datetime64_any_dtype(col):
+            df[c] = col.astype("datetime64[us]")
+        elif col.dtype == object:
+            df[c] = col.map(
+                lambda v: tuple(v.tolist())
+                if hasattr(v, "tolist")
+                else (tuple(v) if isinstance(v, (list, tuple)) else v)
+            )
+        elif pd.api.types.is_bool_dtype(col):
+            df[c] = col.astype("boolean")
+        elif pd.api.types.is_integer_dtype(col):
+            df[c] = col.astype("Int64")
+        elif pd.api.types.is_float_dtype(col):
+            df[c] = col.astype("float64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(sdf.columns) != sorted(odf.columns):
+        problems.append(f"schema: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}")
+        return problems
+    if len(sdf) != len(odf):
+        problems.append(f"rowcount: spark={len(sdf)} oracle={len(odf)}")
+        return problems
+    s, o = normalize(sdf), normalize(odf)
+    for c in s.columns:
+        sc, oc = s[c], o[c]
+        if pd.api.types.is_float_dtype(sc) and pd.api.types.is_float_dtype(oc):
+            both_nan = sc.isna() & oc.isna()
+            eq = (sc == oc) | both_nan
+            if not eq.all():
+                diff = (sc - oc).abs().max()
+                problems.append(f"col {c}: {int((~eq).sum())} mismatches, max abs diff {diff}")
+        else:
+            sc2 = sc.astype(str)
+            oc2 = oc.astype(str)
+            eq = (sc2 == oc2) | (sc.isna() & oc.isna())
+            if not eq.all():
+                idx = (~eq).idxmax()
+                problems.append(
+                    f"col {c} ({sc.dtype} vs {oc.dtype}): {int((~eq).sum())} mismatches, "
+                    f"e.g. row {idx}: {sc.iloc[idx]!r} vs {oc.iloc[idx]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+    from realtime_fraud_detection_spark.session import get_spark
+
+    spark = get_spark("check-oracle", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duck_con(sf_dir)
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL  {name}: spark raised\n{traceback.format_exc()}")
+            failed.append(name)
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            status = "rows-only"
+            print(f"OK?   {name}: no oracle ({status}), rows={len(sdf)} [{time.time()-t0:.1f}s]")
+            if len(sdf) == 0:
+                print(f"      WARNING {name}: zero rows")
+            continue
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception:
+            print(f"FAIL  {name}: duckdb raised\n{traceback.format_exc()}")
+            failed.append(name)
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"      {p}")
+            failed.append(name)
+        else:
+            print(f"OK    {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} passed")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
