@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized through the noop sink (no driver-side
+collect — we measure the engine, not py4j serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: one per operator family, weighted toward the shapes that are
+# expensive at scale (wide aggs, multi-join, sliding windows, LSH dedup, ANN).
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "profile_enrich",
+    "rolling_counters",
+    "amount_profile",
+    "velocity_sliding",
+    "hourly_type_stats",
+    "user_sessions",
+    "pattern_buckets",
+    "rule_score",
+    "ensemble_decision",
+    "text_quality",
+    "minhash_signature",
+    "lsh_near_dups",
+    "simhash",
+    "embedding_near_dups",
+    "ann_topk",
+]
+
+
+def main() -> None:
+    from realtime_fraud_detection_spark.session import get_spark
+    from realtime_fraud_detection_spark.suite import all_queries
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    # warmup: JIT + codegen + parquet footer caches on a tiny query
+    qs["pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

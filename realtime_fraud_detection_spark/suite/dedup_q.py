@@ -19,6 +19,22 @@ from ..operators import dedup as D
 from ..operators import similarity as SIM
 from ..sources.testdata import load_table
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, fanned out to the session's parallelism.
+
+    The fixture is one small parquet file → one input partition; the dedup
+    ops are CPU-bound per-row expression stages (md5 per shingle), so
+    repartitioning is the difference between 1 core and all of them. At real
+    scale the scan already has thousands of partitions and this becomes a
+    cheap no-op-ish round-robin; locally it is a 2 MB shuffle.
+    """
+    df = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
 # Shared oracle-SQL building blocks -----------------------------------------
 _SQL_WORDS = r"string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')"
 _SQL_SHINGLES = (
@@ -46,7 +62,7 @@ sig AS (
 # Text features (bert_text_analyzer.py:283-399 rule-based family)
 # ---------------------------------------------------------------------------
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     feats = TX.text_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -76,7 +92,7 @@ FROM documents
 # Quality scoring + language ID + token counting
 # ---------------------------------------------------------------------------
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         "lang",
@@ -143,7 +159,7 @@ FROM documents GROUP BY 1
 # MinHash signatures (shingle → salted-md5 min per permutation)
 # ---------------------------------------------------------------------------
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     mh = D.minhash(D.word_shingles(F.col("text"), 3), num_perm=4)
     return docs.select("doc_id", *[m.alias(f"mh{i}") for i, m in enumerate(mh)])
 
@@ -156,7 +172,7 @@ SQL_MINHASH_SIGNATURE = f"WITH {_SQL_SIG} SELECT doc_id, mh0, mh1, mh2, mh3 FROM
 # n-gram Jaccard filter.
 # ---------------------------------------------------------------------------
 def q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     cands = D.minhash_lsh_candidates(docs, "text", "doc_id", num_perm=4, band_size=2)
     sim = D.ngram_jaccard(docs, cands, "text", "doc_id", 3)
     return sim.select(
@@ -190,7 +206,7 @@ WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s
 # SimHash signatures (16-bit for the oracle; 64-bit in production use)
 # ---------------------------------------------------------------------------
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select("doc_id", D.simhash(F.col("text"), bits=16).alias("simhash16"))
 
 
