@@ -1,0 +1,86 @@
+"""Ensemble + network features — SURVEY §2.8 M3 and M8.
+
+M3: the reference fans out to 5 models over asyncio and combines with
+weighted average / voting / stacking (ensemble_predictor.py:75-369). Here
+model scores are columns and the combine strategies are arithmetic — the
+fan-out is column-parallel within a batch, no HTTP.
+
+M8: the reference's "GNN" builds a graph with *random* node features
+(graph_neural_network.py:295) — decorative. Its five interpretable network
+features are plain aggregations/joins, reproduced exactly here:
+  user_centrality       = min(distinct_merchants / 10, 1)
+  merchant_centrality   = min(distinct_users / 100, 1)
+  path_length_anomaly   = |amount − user_avg| / user_avg
+  community_anomaly     = is-new-merchant-for-user
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scoring import (
+    ensemble_confidence,
+    ensemble_weighted_average,
+    decision as decision_expr,
+)
+from ..operators.windows import first_seen_flag
+
+
+def network_features(tx: DataFrame) -> DataFrame:
+    """M8's interpretable features via two broadcast-able aggregations and a
+    window (graph_neural_network.py:170-392)."""
+    user_stats = tx.groupBy("user_id").agg(
+        F.countDistinct("merchant_id").alias("_u_merchants"),
+        F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("_u_total"),
+        F.count("*").alias("_u_cnt"),
+    )
+    merch_stats = tx.groupBy("merchant_id").agg(
+        F.countDistinct("user_id").alias("_m_users")
+    )
+    out = (
+        first_seen_flag(tx, "user_id", "merchant_id", "ts", "transaction_id", "community_anomaly")
+        .join(F.broadcast(user_stats), "user_id")
+        .join(F.broadcast(merch_stats), "merchant_id")
+    )
+    user_avg = F.col("_u_total") / F.col("_u_cnt").cast("double")
+    return (
+        out.withColumn("user_centrality", F.least(F.col("_u_merchants") / 10.0, F.lit(1.0)))
+        .withColumn("merchant_centrality", F.least(F.col("_m_users") / 100.0, F.lit(1.0)))
+        .withColumn(
+            "path_length_anomaly",
+            F.abs(F.col("amount") - user_avg) / F.nullif(user_avg, F.lit(0.0)),
+        )
+        .drop("_u_merchants", "_u_total", "_u_cnt", "_m_users")
+    )
+
+
+def apply_ensemble(scored: DataFrame, model_scores: dict[str, F.Column]) -> DataFrame:
+    """M3 weighted-average strategy + confidence + decision
+    (ensemble_predictor.py:252-369)."""
+    prob = ensemble_weighted_average(model_scores)
+    conf = ensemble_confidence(prob)
+    return (
+        scored.withColumn("ensemble_prob", prob)
+        .withColumn("ensemble_confidence", conf)
+        .withColumn(
+            "ensemble_decision",
+            decision_expr(F.col("ensemble_prob"), F.col("m_is_blacklisted"), F.col("ensemble_confidence")),
+        )
+    )
+
+
+def majority_vote(model_scores: dict[str, F.Column], threshold: float = 0.5) -> F.Column:
+    """M3 voting strategy (ensemble_predictor.py:289-303)."""
+    votes = None
+    for col in model_scores.values():
+        v = F.when(col >= threshold, 1).otherwise(0)
+        votes = v if votes is None else votes + v
+    return (votes * 2 > len(model_scores)).alias("vote_fraud")
+
+
+def ab_variant(user_id: F.Column, treatment_pct: int = 50) -> F.Column:
+    """M10 — deterministic hash-based A/B assignment (ab_testing.py:49-120)."""
+    return F.when(
+        F.pmod(F.crc32(user_id.cast("string")), 100) < treatment_pct, "treatment"
+    ).otherwise("control")

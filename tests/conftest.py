@@ -1,0 +1,46 @@
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from realtime_fraud_detection_spark.session import get_spark  # noqa: E402
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECTNESS = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("tests", master="local[8]", shuffle_partitions=8)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def fraud_data(spark):
+    """Seeded fraud-domain fixture: (users, merchants, transactions)."""
+    from realtime_fraud_detection_spark.sources import generator as G
+
+    users, merchants = G.generate_profiles(n_users=120, n_merchants=40, seed=42)
+    tx = G.generate_transactions(users, merchants, n=4000, seed=42, days=3)
+    u, m, t = G.to_spark(spark, users, merchants, tx)
+    return u.cache(), m.cache(), t.cache()
+
+
+@pytest.fixture(scope="session")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_CORRECTNESS}/{t}.parquet')"
+        )
+    return con

@@ -1,0 +1,105 @@
+"""ML layer tests — GBT training (AUC gate mirroring model_trainer.py:103),
+isolation forest scoring, ensemble combine, network features, A/B split."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_fraud_detection_spark.ml import ensemble as E
+from realtime_fraud_detection_spark.ml import models as M
+
+
+def test_synthetic_training_data_shape():
+    pdf = M.synthetic_training_data(5000)
+    assert abs(pdf["is_fraud"].mean() - 0.05) < 0.01  # ~5% fraud
+    assert set(M.FEATURE_COLS) <= set(pdf.columns)
+
+
+@pytest.mark.slow
+def test_gbt_trains_with_signal(spark):
+    model, auc = M.train_gbt(spark, M.synthetic_training_data(8000))
+    assert auc > 0.85  # engineered labels are learnable (model_trainer.py:103)
+
+
+def test_isolation_forest_flags_outliers(spark):
+    rng = np.random.default_rng(0)
+    normal = rng.normal(0, 1, (500, 3))
+    outliers = rng.normal(8, 0.5, (10, 3))
+    forest = M.IsolationForest(n_trees=30, sample_size=128, seed=42).fit(normal)
+    s_norm = forest.score(normal[:50])
+    s_out = forest.score(outliers)
+    assert s_out.mean() > s_norm.mean() + 0.1
+
+
+def test_isolation_forest_udf(spark):
+    pdf = M.synthetic_training_data(2000)
+    forest = M.IsolationForest(n_trees=20, sample_size=128).fit(
+        pdf[M.FEATURE_COLS].to_numpy(dtype="float64")
+    )
+    df = spark.createDataFrame(pdf.head(200))
+    scored = df.withColumn(
+        "p_iforest", M.isolation_forest_udf(spark, forest, M.FEATURE_COLS)
+    )
+    vals = scored.select("p_iforest").toPandas()["p_iforest"]
+    assert ((vals >= 0) & (vals <= 1)).all()
+
+
+def test_ensemble_weighted_average_renormalizes(spark):
+    df = spark.range(1).select(
+        F.lit(0.8).alias("a"), F.lit(0.4).alias("b")
+    )
+    from realtime_fraud_detection_spark.functions.scoring import (
+        ENSEMBLE_WEIGHTS,
+        ensemble_weighted_average,
+    )
+
+    prob = df.select(
+        ensemble_weighted_average(
+            {"xgboost": F.col("a"), "isolation_forest": F.col("b")}
+        ).alias("p")
+    ).first()["p"]
+    w = ENSEMBLE_WEIGHTS
+    expect = (0.8 * w["xgboost"] + 0.4 * w["isolation_forest"]) / (
+        w["xgboost"] + w["isolation_forest"]
+    )
+    assert abs(prob - expect) < 1e-12
+
+
+def test_network_features(spark, fraud_data):
+    _, _, tx = fraud_data
+    nf = E.network_features(tx)
+    row = nf.select(
+        "user_centrality", "merchant_centrality", "path_length_anomaly", "community_anomaly"
+    ).first()
+    assert 0 <= row["user_centrality"] <= 1
+    assert 0 <= row["merchant_centrality"] <= 1
+    # first transaction of each user is always a new merchant
+    firsts = nf.withColumn(
+        "rn",
+        F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                "user_id"
+            ).orderBy("ts", "transaction_id")
+        ),
+    ).filter(F.col("rn") == 1)
+    assert firsts.filter(~F.col("community_anomaly")).count() == 0
+
+
+def test_ab_variant_deterministic_split(spark):
+    df = spark.range(10000).select(F.col("id").cast("string").alias("user_id"))
+    out = df.withColumn("variant", E.ab_variant(F.col("user_id"), 50))
+    again = df.withColumn("variant", E.ab_variant(F.col("user_id"), 50))
+    assert out.exceptAll(again).count() == 0  # deterministic
+    frac = out.filter(F.col("variant") == "treatment").count() / 10000
+    assert 0.45 < frac < 0.55
+
+
+def test_text_model_score_bounds(spark):
+    df = spark.createDataFrame(
+        [("buy bitcoin now urgent",), ("ordinary grocery store",)], ["text"]
+    )
+    out = df.select(M.text_model_score(F.col("text")).alias("s")).toPandas()
+    assert out["s"].iloc[0] > out["s"].iloc[1]
+    assert ((out["s"] >= 0) & (out["s"] <= 1)).all()

@@ -1,0 +1,49 @@
+"""Every declared query hash-matches its DuckDB oracle at sf0.001 — the same
+comparison the driver's correctness gate runs (full-SF run:
+`python tools/check_oracle.py /root/testdata/sf0.01`)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from tools.check_oracle import compare, duck_con  # noqa: E402
+
+from tests.conftest import SF_SMOKE  # noqa: E402
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def smoke_duck():
+    return duck_con(SF_SMOKE)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, smoke_duck, name):
+    sdf = QUERIES[name](spark, SF_SMOKE).toPandas()
+    sql = ORACLES.get(name)
+    if sql is None:
+        assert len(sdf) >= 0  # rows-only contract (approximate operators)
+        return
+    odf = smoke_duck.execute(sql).fetchdf()
+    problems = compare(name, sdf, odf)
+    assert not problems, f"{name}: {problems}"
+
+
+def test_entry_contract(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "velocity_score" in df.columns
+
+
+def test_every_query_has_oracle_or_is_declared_approximate():
+    approximate = {"ann_lsh"}
+    missing = set(QUERIES) - set(ORACLES) - approximate
+    assert not missing, f"queries without oracle: {missing}"
