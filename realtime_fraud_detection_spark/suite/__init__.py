@@ -18,9 +18,9 @@ comparison is exact, not approximate):
 
 from __future__ import annotations
 
-from . import dedup_q, eventtime_q, features_q, relational, windows_q
+from . import dedup_q, eventtime_q, features_q, joins_q, relational, windows_q
 
-_MODULES = [relational, windows_q, eventtime_q, features_q, dedup_q]
+_MODULES = [relational, windows_q, eventtime_q, features_q, joins_q, dedup_q]
 
 
 def all_queries():

@@ -1,0 +1,230 @@
+"""Join-operator queries — SURVEY §2.3 J1/J3/J6 shapes and §2.8 M8's network
+features, expressed over the events fixture with DuckDB oracles.
+
+J1's stream-stream window join becomes a time-range self-join in batch; J3's
+composite-key pattern join derives its pattern dimension from the data
+itself; J6's velocity lookup is the event ⋈ own-window-aggregate join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.windows import dec_sum, first_seen_flag
+from ..sources.testdata import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# J1 — time-range correlation join (StreamJoiner.java:29-49): for each
+# purchase, the same user's error events within ±5 minutes.
+# ---------------------------------------------------------------------------
+def q_time_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"), F.col("value").alias("e_value")
+    )
+    joined = purchases.join(
+        errors,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("interval 5 minutes"))
+        & (F.col("e_ts") <= F.col("p_ts") + F.expr("interval 5 minutes")),
+        "inner",
+    )
+    return joined.groupBy("p_id", "p_user").agg(
+        F.count("*").alias("nearby_errors"),
+        dec_sum("e_value").alias("error_value"),
+    )
+
+
+SQL_TIME_RANGE_JOIN = """
+SELECT p.event_id AS p_id, p.user_id AS p_user, COUNT(*) AS nearby_errors,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS error_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND e.ts >= p.ts - INTERVAL 5 MINUTE AND e.ts <= p.ts + INTERVAL 5 MINUTE
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# J3 — composite-key pattern join + similarity score
+# (StreamJoiner.java:81-101,159-179,238-292): derive a "historical pattern"
+# dimension (key = type:amount-bucket, stats per key), join back, score
+# 0.3 key match + 0.4 amount closeness + 0.3 hour closeness.
+# ---------------------------------------------------------------------------
+def q_pattern_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    key = F.concat_ws(
+        ":", "event_type", (F.floor(F.col("value") / 100) * 100).cast("long").cast("string")
+    )
+    tx = ev.withColumn("pattern_key", key)
+    patterns = (
+        tx.groupBy("pattern_key")
+        .agg(
+            F.count("*").alias("occurrence_count"),
+            (dec_sum("value") / F.count("*")).alias("pattern_avg_value"),
+        )
+        .filter(F.col("occurrence_count") >= 50)
+    )
+    joined = tx.join(F.broadcast(patterns), "pattern_key")
+    amount_closeness = 1.0 - F.least(F.abs(F.col("value") % 100) / 100.0, F.lit(1.0))
+    hour_closeness = 1.0 - F.abs(F.hour("ts") - 12) / 24.0
+    return joined.select(
+        "event_id",
+        "pattern_key",
+        "occurrence_count",
+        F.round("pattern_avg_value", 6).alias("pattern_avg_value"),
+        F.round(F.lit(0.3) + 0.4 * amount_closeness + 0.3 * hour_closeness, 6).alias(
+            "pattern_similarity"
+        ),
+    )
+
+
+SQL_PATTERN_SIMILARITY = """
+WITH tx AS (
+  SELECT *, event_type || ':' || CAST(CAST(FLOOR(value / 100) * 100 AS BIGINT) AS VARCHAR) AS pattern_key
+  FROM events),
+patterns AS (
+  SELECT pattern_key, COUNT(*) AS occurrence_count,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS pattern_avg_value
+  FROM tx GROUP BY 1 HAVING COUNT(*) >= 50)
+SELECT event_id, tx.pattern_key, occurrence_count,
+       ROUND(pattern_avg_value, 6) AS pattern_avg_value,
+       ROUND(0.3 + 0.4 * (1.0 - LEAST(ABS(value % 100) / 100.0, 1.0))
+                 + 0.3 * (1.0 - ABS(hour(ts) - 12) / 24.0), 6) AS pattern_similarity
+FROM tx JOIN patterns ON tx.pattern_key = patterns.pattern_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# J6 — velocity lookup: each event joined to its own hour-window aggregate
+# (FeatureExtractor.java:330-363 reads the A8 counters per record; in Spark
+# the "lookup" is an equi join on the window key).
+# ---------------------------------------------------------------------------
+def q_velocity_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("hour_count"), dec_sum("value").alias("hour_amount"))
+        .select(F.col("w.start").alias("hour_start"), "user_id", "hour_count", "hour_amount")
+    )
+    tx = ev.withColumn("hour_start", F.date_trunc("hour", "ts"))
+    return tx.join(hourly, ["user_id", "hour_start"]).select(
+        "event_id",
+        "user_id",
+        "hour_count",
+        "hour_amount",
+        (F.col("hour_count") > 3).alias("high_velocity_hour"),
+    )
+
+
+SQL_VELOCITY_LOOKUP = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_start, user_id,
+         COUNT(*) AS hour_count,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_amount
+  FROM events GROUP BY 1, 2)
+SELECT event_id, e.user_id, hour_count, hour_amount,
+       hour_count > 3 AS high_velocity_hour
+FROM events e JOIN hourly h
+  ON e.user_id = h.user_id AND date_trunc('hour', e.ts) = h.hour_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# M8 — the reference's interpretable network features as aggregations/joins
+# (graph_neural_network.py:170-392; user_id→event_type is the user→merchant
+# bipartite graph analog).
+# ---------------------------------------------------------------------------
+def q_network_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    user_stats = ev.groupBy("user_id").agg(
+        F.countDistinct("event_type").alias("_distinct_types"),
+        dec_sum("value").alias("_total"),
+        F.count("*").alias("_cnt"),
+    )
+    type_stats = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("_users"))
+    out = (
+        first_seen_flag(ev, "user_id", "event_type", "ts", "event_id", "community_anomaly")
+        .join(F.broadcast(user_stats), "user_id")
+        .join(F.broadcast(type_stats), "event_type")
+    )
+    user_avg = F.col("_total") / F.col("_cnt").cast("double")
+    return out.select(
+        "event_id",
+        F.round(F.least(F.col("_distinct_types") / 10.0, F.lit(1.0)), 6).alias("user_centrality"),
+        F.round(F.least(F.col("_users") / 100.0, F.lit(1.0)), 6).alias("merchant_centrality"),
+        F.round(F.abs(F.col("value") - user_avg) / F.nullif(user_avg, F.lit(0.0)), 6).alias(
+            "path_length_anomaly"
+        ),
+        "community_anomaly",
+    )
+
+
+SQL_NETWORK_FEATURES = """
+WITH user_stats AS (
+  SELECT user_id, COUNT(DISTINCT event_type) AS dt,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total, COUNT(*) AS cnt
+  FROM events GROUP BY 1),
+type_stats AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS users FROM events GROUP BY 1),
+flagged AS (
+  SELECT event_id, user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1 AS community_anomaly
+  FROM events)
+SELECT event_id,
+       ROUND(LEAST(dt / 10.0, 1.0), 6) AS user_centrality,
+       ROUND(LEAST(users / 100.0, 1.0), 6) AS merchant_centrality,
+       ROUND(ABS(value - total / cnt) / NULLIF(total / cnt, 0.0), 6) AS path_length_anomaly,
+       community_anomaly
+FROM flagged JOIN user_stats USING (user_id) JOIN type_stats USING (event_type)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (ensemble_predictor.py:426-431's top-10 feature importance
+# generalized): top-3 events by value per type, deterministic tie-break.
+# ---------------------------------------------------------------------------
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id", "value")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT event_type, rank, event_id, value FROM (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rank
+  FROM events)
+WHERE rank <= 3
+"""
+
+
+QUERIES = {
+    "time_range_join": q_time_range_join,
+    "pattern_similarity": q_pattern_similarity,
+    "velocity_lookup": q_velocity_lookup,
+    "network_features": q_network_features,
+    "topk_per_group": q_topk_per_group,
+}
+
+ORACLES = {
+    "time_range_join": SQL_TIME_RANGE_JOIN,
+    "pattern_similarity": SQL_PATTERN_SIMILARITY,
+    "velocity_lookup": SQL_VELOCITY_LOOKUP,
+    "network_features": SQL_NETWORK_FEATURES,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+}
