@@ -37,11 +37,42 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 
 def minhash(shingles: Column, num_perm: int = 4) -> list[Column]:
-    """MinHash signature: one min-over-salted-hashes per permutation."""
+    """MinHash signature: one min-over-salted-hashes per permutation.
+
+    Expression form (higher-order functions, interpreted). For the scan-heavy
+    path prefer :func:`minhash_signatures` — explode + hash-aggregate stays
+    inside whole-stage codegen and computes the shingling once.
+    """
     return [
         F.array_min(F.transform(shingles, lambda s: md5_bigint(s, salt=f"perm{p}:")))
         for p in range(num_perm)
     ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signatures via explode → groupBy(id).agg(min(hash_p)).
+
+    Shingles materialize once per document; the per-shingle md5s and the min
+    aggregation are codegen'd with map-side partial aggregation, so the
+    shuffle carries only (id, num_perm mins). This is the 100 TB shape —
+    the HOF variant re-evaluates the shingling per permutation, interpreted.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
+    )
+    return exploded.groupBy("doc").agg(
+        *[
+            F.min(md5_bigint(F.col("s"), salt=f"perm{p}:")).alias(f"mh{p}")
+            for p in range(num_perm)
+        ]
+    )
 
 
 def exact_dedup(df: DataFrame, fingerprint: Column, id_col: str) -> DataFrame:
@@ -69,13 +100,7 @@ def minhash_lsh_candidates(
     the skew risk (salting hook: add a `F.pmod(hash, nsalt)` term to the band
     key if a bucket explodes).
     """
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        *[
-            m.alias(f"mh{i}")
-            for i, m in enumerate(minhash(word_shingles(F.col(text_col), shingle_k), num_perm))
-        ],
-    )
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
     n_bands = num_perm // band_size
     bands = []
     for b in range(n_bands):
@@ -164,6 +189,34 @@ def simhash(text: Column, bits: int = 16) -> Column:
     return sig
 
 
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash via explode(distinct words) → one hash per word → groupBy(id)
+    with `bits` codegen'd vote sums — the scan-once aggregate form of
+    :func:`simhash` (same output)."""
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.array_distinct(F.split(F.trim(normalized_text(F.col(text_col))), r"\s+"))
+        ).alias("w"),
+    ).withColumn("h", md5_bigint(F.col("w"), salt="simhash:"))
+    votes = words.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(1 << j).cast("long")) != 0, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("doc", sig.alias(f"simhash{bits}"))
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -179,6 +232,11 @@ def embedding_near_dup_pairs(
         F.col(id_col).alias("vid"),
         *( [F.col(bucket_col).alias("bkt")] if bucket_col else [F.lit(0).alias("bkt")] ),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        # norms once per vector, not once per pair — the pair join is the
+        # O(bucket²) part and should carry only one interpreted HOF (the dot)
+        "norm",
+        F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)),
     )
     a, b = v.alias("a"), v.alias("b")
     dot = F.aggregate(
@@ -186,15 +244,12 @@ def embedding_near_dup_pairs(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
     return (
         a.join(b, (F.col("a.bkt") == F.col("b.bkt")) & (F.col("a.vid") < F.col("b.vid")))
         .select(
             F.col("a.vid").alias("vec_a"),
             F.col("b.vid").alias("vec_b"),
-            F.round(dot / (norm("a") * norm("b")), 6).alias("cosine"),
+            F.round(dot / (F.col("a.norm") * F.col("b.norm")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -160,8 +160,9 @@ FROM documents GROUP BY 1
 # ---------------------------------------------------------------------------
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    mh = D.minhash(D.word_shingles(F.col("text"), 3), num_perm=4)
-    return docs.select("doc_id", *[m.alias(f"mh{i}") for i, m in enumerate(mh)])
+    return D.minhash_signatures(docs, "text", "doc_id", num_perm=4).withColumnRenamed(
+        "doc", "doc_id"
+    )
 
 
 SQL_MINHASH_SIGNATURE = f"WITH {_SQL_SIG} SELECT doc_id, mh0, mh1, mh2, mh3 FROM sig"
@@ -207,7 +208,9 @@ WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s
 # ---------------------------------------------------------------------------
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", D.simhash(F.col("text"), bits=16).alias("simhash16"))
+    return D.simhash_signatures(docs, "text", "doc_id", bits=16).withColumnRenamed(
+        "doc", "doc_id"
+    )
 
 
 _SIMHASH_H = md5_bigint_sql("w", salt="simhash:")
