@@ -182,6 +182,23 @@ def isolation_forest_udf(spark, model: IsolationForest, feature_cols: list[str])
     return score(*[F.col(c) for c in feature_cols])
 
 
+def sequence_features(tx, n: int = 10):
+    """M6 — the LSTM input assembly (utils/config.py:145-157: 10-step
+    sequences per user): trailing-N amount vectors via collect_list over a
+    bounded row window. The reference's LSTM itself never materializes
+    (dummy fallback, model_manager.py:244-277); a trained model would consume
+    these sequences through a pandas_udf like isolation_forest_udf."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "transaction_id")
+        .rowsBetween(-(n - 1), 0)
+    )
+    return tx.withColumn("amount_sequence", F.collect_list("amount").over(w))
+
+
 def text_model_score(text_col):
     """M7 fallback — the rule-based text risk the reference actually relies
     on (its DistilBERT path degrades to keyword features; transformers is

@@ -96,6 +96,26 @@ def pattern_similarity_join(
     )
 
 
+def merchant_update_join(
+    tx: DataFrame,
+    updates: DataFrame,
+    window: str = "10 minutes",
+) -> DataFrame:
+    """J2 — transaction ⋈ merchant-profile-update stream on merchant_id
+    within a 10-minute window, applying the reference's risk deltas:
+    riskLevelIncreased → +0.4, newlyBlacklisted → +0.8
+    (StreamJoiner.java:55-75,208-236)."""
+    joined = windowed_stream_join(
+        tx, updates, "merchant_id", before=window, after=window
+    )
+    delta = (
+        F.when(F.col("r.risk_level_increased"), 0.4).otherwise(F.lit(0.0))
+        + F.when(F.col("r.newly_blacklisted"), 0.8).otherwise(F.lit(0.0))
+        + F.when(F.col("r.fraud_rate_increased"), 0.2).otherwise(F.lit(0.0))
+    )
+    return joined.withColumn("merchant_risk_delta", F.least(delta, F.lit(1.0)))
+
+
 def multi_stream_correlate(streams: list[tuple[str, DataFrame]], key: str = "user_id") -> DataFrame:
     """J4 — multi-stream correlation: normalize each stream to a common
     (key, ts, kind, payload) shape and union, grouping downstream by key.

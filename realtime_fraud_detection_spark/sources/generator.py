@@ -60,8 +60,9 @@ def generate_profiles(
 
     created_days = rng.integers(0, 730, n_users)
     # guarantee some <30d and <7d accounts (FIXTURES.md)
-    created_days[: n_users // 20] = rng.integers(0, 7, n_users // 20)
-    created_days[n_users // 20 : n_users // 10] = rng.integers(7, 30, n_users // 20)
+    a, b = n_users // 20, n_users // 10
+    created_days[:a] = rng.integers(0, 7, a)
+    created_days[a:b] = rng.integers(7, 30, b - a)
     fps = [[f"fp-{u}-{i}" for i in range(rng.integers(1, 4))] for u in range(n_users)]
     users = pd.DataFrame(
         {

@@ -1,0 +1,104 @@
+"""Feature store + metrics listener + J2/M6 operator tests."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from realtime_fraud_detection_spark.feature_store import FeatureStore
+
+
+def test_feature_store_roundtrip_and_online_view(spark, fraud_data, tmp_path):
+    users, merchants, tx = fraud_data
+    fs = FeatureStore(str(tmp_path / "fs"))
+    feat = tx.select("user_id", "ts", "amount").withColumn(
+        "amount_log", F.log1p("amount")
+    )
+    fs.write_features(feat, "tx_features", "user_id", ["amount", "amount_log"])
+
+    offline = fs.read_offline(spark, "tx_features", ["amount"])
+    assert offline.select("feature").distinct().count() == 1
+
+    online = fs.online_view(spark, "tx_features")
+    # exactly one latest row per (entity, feature)
+    dups = online.groupBy("entity_id", "feature").count().filter(F.col("count") > 1)
+    assert dups.count() == 0
+
+    served = fs.serve(
+        tx.select("transaction_id", "user_id"), online, ["amount", "amount_log"], "user_id"
+    )
+    assert served.filter(F.col("amount").isNotNull()).count() > 0
+
+    stats = fs.statistics(spark, "tx_features").toPandas().set_index("feature")
+    assert stats.loc["amount", "n"] == tx.count()
+    assert stats.loc["amount", "min"] >= 1.0  # generator clamps amounts >= 1
+
+
+def test_merchant_update_join_risk_deltas(spark):
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    tx = spark.createDataFrame(
+        pd.DataFrame({"merchant_id": ["m1", "m2"], "ts": [base, base], "amount": [10.0, 20.0]})
+    )
+    updates = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "merchant_id": ["m1", "m2"],
+                "ts": [base + pd.Timedelta("5min"), base + pd.Timedelta("5min")],
+                "risk_level_increased": [True, False],
+                "fraud_rate_increased": [False, False],
+                "newly_blacklisted": [True, False],
+            }
+        )
+    )
+    from realtime_fraud_detection_spark.operators.joins import merchant_update_join
+
+    out = merchant_update_join(tx, updates).toPandas().set_index("amount")
+    assert out.loc[10.0, "merchant_risk_delta"] == 1.0  # 0.4 + 0.8 clamped
+    assert out.loc[20.0, "merchant_risk_delta"] == 0.0
+
+
+def test_sequence_features(spark, fraud_data):
+    _, _, tx = fraud_data
+    from realtime_fraud_detection_spark.ml.models import sequence_features
+
+    out = sequence_features(tx, n=5)
+    pdf = out.filter(F.col("user_id") == tx.first()["user_id"]).orderBy("ts").toPandas()
+    lens = pdf["amount_sequence"].map(len)
+    assert lens.iloc[0] == 1 and lens.max() <= 5
+    assert (lens.diff().dropna() >= 0).head(4).all()  # grows until cap
+
+
+def test_metrics_listener(spark, tmp_path):
+    import time
+
+    from realtime_fraud_detection_spark.streaming.metrics import PipelineMetricsListener
+
+    listener = PipelineMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        pdf = pd.DataFrame(
+            {"user_id": ["u1"] * 4, "ts": pd.date_range("2024-01-01", periods=4, freq="min"), "amount": [1.0] * 4}
+        )
+        src = str(tmp_path / "msrc")
+        spark.createDataFrame(pdf).write.parquet(src)
+        stream = spark.readStream.schema("user_id string, ts timestamp, amount double").parquet(src)
+        q = (
+            stream.groupBy("user_id")
+            .count()
+            .writeStream.format("memory")
+            .queryName("metrics_probe")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "mck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        for _ in range(20):  # listener delivery is async
+            if listener.snapshot():
+                break
+            time.sleep(0.5)
+        snap = listener.snapshot()
+        assert snap and snap[0]["input_rows"] == 4
+        assert snap[0]["query"] == "metrics_probe"
+    finally:
+        spark.streams.removeListener(listener)
