@@ -102,21 +102,23 @@ def minhash_lsh_candidates(
     """
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
     n_bands = num_perm // band_size
-    bands = []
+    # bands via one explode, not a Union of per-band selects: a Union replans
+    # (and rescans) the whole signature subtree once per band — observed 4×
+    # signature computation for 2 bands in the self-join plan
+    band_structs = []
     for b in range(n_bands):
         cols = [F.col(f"mh{b * band_size + r}") for r in range(band_size)]
-        bands.append(
-            sig.select(
-                "doc",
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols])).alias(
                     "bucket"
                 ),
             )
         )
-    tagged = bands[0]
-    for b in bands[1:]:
-        tagged = tagged.unionAll(b)
+    tagged = sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     left = tagged.alias("l")
     right = tagged.alias("r")
     return (

@@ -46,10 +46,31 @@ def rolling_range(df: DataFrame, entity: str, ts: str, amount: str,
     RANGE frame over epoch-microseconds: [t - seconds, t], tie rows (peers)
     included — identical to SQL RANGE semantics.
     """
-    w = entity_time_window(entity, ts).rangeBetween(-seconds * 1_000_000, 0)
-    return df.withColumn(f"{prefix}_count", F.count("*").over(w)).withColumn(
-        f"{prefix}_amount", F.sum(F.col(amount).cast("decimal(18,2)")).over(w).cast("double")
-    )
+    return rolling_ranges(df, entity, ts, amount, {prefix: seconds})
+
+
+def rolling_ranges(df: DataFrame, entity: str, ts: str, amount: str,
+                   windows: dict[str, int]) -> DataFrame:
+    """Several trailing windows in one pass: one shuffle, ONE sort, one
+    Window node per frame — the multi-counter form of W2/A8. Computing each
+    frame in separate withColumn chains plants a fresh `unix_micros(ts)`
+    sort key per frame, which defeats Spark's sort-elimination and re-sorts
+    per Window (observed: 4 Sorts for 2 frames); a shared materialized sort
+    column restores `Exchange → Sort → Window×k`.
+    """
+    out = df.withColumn("_um", F.unix_micros(F.col(ts)))
+    cols = []
+    for prefix, seconds in windows.items():
+        w = (
+            Window.partitionBy(entity)
+            .orderBy("_um")
+            .rangeBetween(-seconds * 1_000_000, 0)
+        )
+        cols.append(F.count("*").over(w).alias(f"{prefix}_count"))
+        cols.append(
+            F.sum(F.col(amount).cast("decimal(18,2)")).over(w).cast("double").alias(f"{prefix}_amount")
+        )
+    return out.select("*", *cols).drop("_um")
 
 
 def time_since_last(df: DataFrame, entity: str, ts: str,

@@ -38,8 +38,9 @@ WHERE recency_rank <= 5
 # W2 — rolling 24h/1h trailing counters (RedisTransactionSink.java:87-135)
 def q_rolling_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
-    out = W.rolling_range(ev, "user_id", "ts", "value", 86400, "rolling_24h")
-    out = W.rolling_range(out, "user_id", "ts", "value", 3600, "rolling_1h")
+    out = W.rolling_ranges(
+        ev, "user_id", "ts", "value", {"rolling_24h": 86400, "rolling_1h": 3600}
+    )
     return out.select(
         "event_id",
         "user_id",
