@@ -130,6 +130,63 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: MLlib KMeans as the coarse quantizer.
+
+    Corpus vectors are assigned to their nearest centroid cell once (a scan +
+    broadcast of tiny centroids); each query probes its `n_probe` nearest
+    cells. The expensive pairwise cosine runs only within probed cells — an
+    equi join on `cell`, the same shuffle shape as the LSH variant but with
+    data-adaptive buckets (better recall on clustered corpora).
+
+    At 100 TB: centroids train on a sample, assignment is a scan-side
+    projection, and the per-cell join is the only shuffle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = emb.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv"))
+    with_vec = c.withColumn("fv", array_to_vector(F.col("nv")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
+    model = km.fit(with_vec)
+    corpus = model.transform(with_vec).select("nid", "nv", "cell")
+
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+
+    def dist_to(center: list[float]) -> Column:
+        arr = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(F.col("qv"), arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv"))
+    cells = F.array(
+        *[F.struct(dist_to(ctr).alias("d"), F.lit(i).alias("cell")) for i, ctr in enumerate(centroids)]
+    )
+    q_probed = q.withColumn(
+        "cell", F.explode(F.slice(F.array_sort(cells), 1, n_probe)["cell"])
+    )
+    scored = (
+        F.broadcast(q_probed)
+        .join(corpus, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def cosine_topk_pandas(
     emb: DataFrame,
     queries_pd,

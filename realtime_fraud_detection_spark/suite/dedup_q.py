@@ -293,6 +293,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, queries, k=3, n_planes=4, dim=64)
 
 
+# ---------------------------------------------------------------------------
+# ANN: IVF variant (KMeans coarse quantizer — rows-only: approximate and
+# dependent on MLlib's kmeans iteration order).
+# ---------------------------------------------------------------------------
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, queries, k=3, n_cells=8, n_probe=3)
+
+
 QUERIES = {
     "text_features": q_text_features,
     "text_quality": q_text_quality,
@@ -303,6 +313,7 @@ QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLES = {
@@ -314,5 +325,5 @@ ORACLES = {
     "simhash": SQL_SIMHASH,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "ann_topk": SQL_ANN_TOPK,
-    # ann_lsh: approximate by construction → rows-only check
+    # ann_lsh / ann_ivf: approximate by construction → rows-only check
 }

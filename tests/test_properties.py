@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis): randomized event sets checked against
+brute-force pandas re-implementations — the SURVEY §5(c) strategy applied to
+the trickiest semantics (rolling ranges with ties, session merging,
+minhash containment)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user
+        st.integers(min_value=0, max_value=7200),  # seconds offset
+        st.integers(min_value=1, max_value=10000),  # cents
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _to_pdf(events):
+    base = pd.Timestamp("2024-01-01")
+    return pd.DataFrame(
+        {
+            "user_id": [f"u{u}" for u, _, _ in events],
+            "transaction_id": [f"t{i:03d}" for i in range(len(events))],
+            "ts": [base + pd.Timedelta(seconds=s) for _, s, _ in events],
+            "amount": [c / 100.0 for _, _, c in events],
+        }
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy)
+def test_rolling_range_matches_bruteforce(spark, events):
+    """rolling_ranges (1h frame) == O(n²) pandas brute force, ties included."""
+    from realtime_fraud_detection_spark.operators.windows import rolling_ranges
+
+    pdf = _to_pdf(events)
+    out = (
+        rolling_ranges(spark.createDataFrame(pdf), "user_id", "ts", "amount", {"r1h": 3600})
+        .select("transaction_id", "r1h_count", "r1h_amount")
+        .toPandas()
+        .set_index("transaction_id")
+        .sort_index()
+    )
+    for i, row in pdf.iterrows():
+        mask = (
+            (pdf["user_id"] == row["user_id"])
+            & (pdf["ts"] >= row["ts"] - pd.Timedelta(hours=1))
+            & (pdf["ts"] <= row["ts"])
+        )
+        tid = row["transaction_id"]
+        assert out.loc[tid, "r1h_count"] == mask.sum()
+        assert abs(out.loc[tid, "r1h_amount"] - round(pdf[mask]["amount"].sum(), 2)) < 1e-9
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(events_strategy)
+def test_session_windows_match_bruteforce(spark, events):
+    """session_aggregate == pandas gaps-and-islands (30-min gap)."""
+    from realtime_fraud_detection_spark.operators.aggregations import session_aggregate
+
+    pdf = _to_pdf(events)
+    got = (
+        session_aggregate(spark.createDataFrame(pdf), "user_id", "ts", "amount", "30 minutes")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    expected_rows = []
+    for uid, g in pdf.sort_values("ts").groupby("user_id"):
+        start = prev = None
+        cnt = 0
+        for ts in g["ts"]:
+            if prev is None or (ts - prev) > pd.Timedelta(minutes=30):
+                if prev is not None:
+                    expected_rows.append((uid, start, cnt))
+                start, cnt = ts, 0
+            cnt += 1
+            prev = ts
+        expected_rows.append((uid, start, cnt))
+    want = pd.DataFrame(expected_rows, columns=["user_id", "session_start", "event_count"]).sort_values(
+        ["user_id", "session_start"]
+    ).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["user_id"] == want["user_id"]).all()
+    assert (got["event_count"] == want["event_count"]).all()
+    assert (got["session_start"] == want["session_start"]).all()
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.text(alphabet="abcd ", min_size=10, max_size=40), min_size=2, max_size=6)
+)
+def test_exact_dedup_identical_texts_always_group(spark, texts):
+    """Duplicating any document must merge its fingerprint group."""
+    from realtime_fraud_detection_spark.functions.text import fingerprint
+    from realtime_fraud_detection_spark.operators.dedup import exact_dedup
+
+    docs = texts + [texts[0]]  # guaranteed duplicate of doc 0
+    pdf = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    out = exact_dedup(spark.createDataFrame(pdf), fingerprint(F.col("text")), "doc_id").toPandas()
+    assert out["dup_count"].sum() == len(docs)
+    # the duplicated text's group has ≥2 members and survivor id 0
+    import re
+
+    norm = re.sub(r"[^a-z0-9]+", " ", texts[0].lower()).strip()
+    joined = out[out["dup_count"] >= 2]
+    assert any(joined["survivor_id"] == 0) or norm == ""

@@ -1,0 +1,62 @@
+"""J1 as a real stream-stream join: two watermarked streaming sources,
+time-range equi join, results checked against the batch join on the same
+data (SURVEY §2.3, StreamJoiner.java:29-49)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from realtime_fraud_detection_spark.operators.joins import windowed_stream_join
+from realtime_fraud_detection_spark.streaming.pipeline import to_memory_sink
+
+
+def test_stream_stream_time_range_join(spark, tmp_path):
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    tx = pd.DataFrame(
+        {
+            "user_id": ["u1", "u1", "u2"],
+            "ts": [base, base + pd.Timedelta("20min"), base + pd.Timedelta("2min")],
+            "v": [1, 2, 3],
+        }
+    )
+    behavior = pd.DataFrame(
+        {
+            "user_id": ["u1", "u1", "u2"],
+            "ts": [
+                base + pd.Timedelta("2min"),   # joins v=1
+                base + pd.Timedelta("40min"),  # out of range of both
+                base + pd.Timedelta("4min"),   # joins v=3
+            ],
+            "w": [10, 20, 30],
+        }
+    )
+    left_src, right_src = str(tmp_path / "l"), str(tmp_path / "r")
+    spark.createDataFrame(tx).coalesce(1).write.parquet(left_src)
+    spark.createDataFrame(behavior).coalesce(1).write.parquet(right_src)
+
+    left = (
+        spark.readStream.schema("user_id string, ts timestamp, v long")
+        .parquet(left_src)
+        .withWatermark("ts", "10 seconds")
+    )
+    right = (
+        spark.readStream.schema("user_id string, ts timestamp, w long")
+        .parquet(right_src)
+        .withWatermark("ts", "10 seconds")
+    )
+    joined = windowed_stream_join(left, right, "user_id").select("l.user_id", "v", "w")
+    q = to_memory_sink(joined, "ssj_test", str(tmp_path / "ck"), "append")
+    q.awaitTermination(120)
+    got = spark.sql("select * from ssj_test order by v").toPandas()
+
+    # batch equivalence on the same inputs
+    want = (
+        windowed_stream_join(spark.createDataFrame(tx), spark.createDataFrame(behavior), "user_id")
+        .select("l.user_id", "v", "w")
+        .toPandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 2
+    assert list(got["v"]) == list(want["v"]) == [1, 3]
+    assert list(got["w"]) == list(want["w"]) == [10, 30]
