@@ -84,3 +84,56 @@ def ab_variant(user_id: F.Column, treatment_pct: int = 50) -> F.Column:
     return F.when(
         F.pmod(F.crc32(user_id.cast("string")), 100) < treatment_pct, "treatment"
     ).otherwise("control")
+
+
+def ab_metrics(
+    scored: DataFrame,
+    outcome_col: str = "is_fraud_predicted",
+    user_col: str = "user_id",
+    treatment_pct: int = 50,
+    min_samples: int = 1000,
+) -> DataFrame:
+    """M10 — per-variant metrics + two-proportion z-test
+    (ab_testing.py:122-427: traffic split, min sample 1000, significance
+    0.05). One aggregation, z-statistic as column arithmetic, normal-CDF
+    p-value via erfc — no scipy, no driver-side loop."""
+    tagged = scored.withColumn("variant", ab_variant(F.col(user_col), treatment_pct))
+    per = tagged.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(outcome_col).cast("int")).alias("positives"),
+    )
+    wide = per.groupBy().pivot("variant", ["control", "treatment"]).agg(
+        F.first("n").alias("n"), F.first("positives").alias("pos")
+    )
+    p1 = F.col("control_pos") / F.col("control_n")
+    p2 = F.col("treatment_pos") / F.col("treatment_n")
+    pool = (F.col("control_pos") + F.col("treatment_pos")) / (
+        F.col("control_n") + F.col("treatment_n")
+    )
+    se = F.sqrt(pool * (1 - pool) * (1.0 / F.col("control_n") + 1.0 / F.col("treatment_n")))
+    z = (p2 - p1) / F.nullif(se, F.lit(0.0))
+    # two-sided p-value = erfc(|z|/√2); Spark SQL has no erfc, so use the
+    # Abramowitz–Stegun 7.1.26 rational approximation (|err| < 1.5e-7)
+    x = F.abs(F.col("_z")) / float(2**0.5)
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (
+        0.254829592 * t
+        - 0.284496736 * t * t
+        + 1.421413741 * t * t * t
+        - 1.453152027 * t * t * t * t
+        + 1.061405429 * t * t * t * t * t
+    )
+    p_value = poly * F.exp(-x * x)
+    return (
+        wide.withColumn("control_rate", p1)
+        .withColumn("treatment_rate", p2)
+        .withColumn("_z", z)
+        .withColumn("p_value", p_value)
+        .withColumn(
+            "significant",
+            (F.col("p_value") < 0.05)
+            & (F.col("control_n") >= min_samples)
+            & (F.col("treatment_n") >= min_samples),
+        )
+        .withColumnRenamed("_z", "z_score")
+    )
