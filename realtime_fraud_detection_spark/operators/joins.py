@@ -96,6 +96,21 @@ def pattern_similarity_join(
     )
 
 
+def behavior_risk_factors() -> Column:
+    """J1's emitted behavior risk factors (StreamJoiner.java:183-206 reads
+    isAnomalousLogin / isShortSession / isAnomalousNavigation flags from the
+    joined user-behavior event, aliased `r` by windowed_stream_join, and
+    folds them into a risk delta)."""
+    delta = (
+        F.when(F.coalesce(F.col("r.is_anomalous_login"), F.lit(False)), 0.3).otherwise(F.lit(0.0))
+        + F.when(F.coalesce(F.col("r.is_short_session"), F.lit(False)), 0.2).otherwise(F.lit(0.0))
+        + F.when(F.coalesce(F.col("r.is_anomalous_navigation"), F.lit(False)), 0.2).otherwise(
+            F.lit(0.0)
+        )
+    )
+    return F.least(delta, F.lit(1.0))
+
+
 def merchant_update_join(
     tx: DataFrame,
     updates: DataFrame,

@@ -53,6 +53,45 @@ def test_unbucketed_join_does_shuffle(spark, fraud_data):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
 
 
+def test_partitioned_write_prunes(spark, fraud_data, tmp_path):
+    """Date-partitioned layout + partition pruning: a one-day filter reads
+    only that day's files (PartitionFilters in the scan)."""
+    _, _, tx = fraud_data
+    path = str(tmp_path / "tx_by_day")
+    tx.withColumn("day", F.to_date("ts")).write.partitionBy("day").parquet(path)
+    one_day = spark.read.parquet(path).filter(F.col("day") == "2024-01-02")
+    plan = formatted_plan(one_day)
+    assert "PartitionFilters: [isnotnull(day" in plan  # pruned at the scan
+    assert one_day.count() > 0
+
+
+def test_behavior_risk_factors(spark):
+    from realtime_fraud_detection_spark.operators.joins import (
+        behavior_risk_factors,
+        windowed_stream_join,
+    )
+
+    base = pd.Timestamp("2024-01-01 10:00:00")
+    tx = spark.createDataFrame(
+        pd.DataFrame({"user_id": ["u1"], "ts": [base], "amount": [5.0]})
+    )
+    beh = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": ["u1"],
+                "ts": [base + pd.Timedelta("1min")],
+                "is_anomalous_login": [True],
+                "is_short_session": [True],
+                "is_anomalous_navigation": [False],
+            }
+        )
+    )
+    out = windowed_stream_join(tx, beh, "user_id").withColumn(
+        "behavior_risk", behavior_risk_factors()
+    )
+    assert abs(out.first()["behavior_risk"] - 0.5) < 1e-9
+
+
 def test_ab_metrics_significance(spark):
     """M10 — biased outcome by variant should be detected as significant."""
     import numpy as np
