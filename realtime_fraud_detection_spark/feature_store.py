@@ -89,6 +89,26 @@ class FeatureStore:
             F.broadcast(pivoted), tx[entity_col] == pivoted.entity_id, "left"
         ).drop("entity_id")
 
+    def categorical_statistics(
+        self, df: DataFrame, categorical_cols: list[str], top_n: int = 20
+    ) -> DataFrame:
+        """A11's categorical branch (FeatureStore.java:41-43,204-321):
+        per-feature value frequencies, top-N by count with deterministic
+        tie-break."""
+        stacked = df.select(
+            F.explode(
+                F.map_from_arrays(
+                    F.array(*[F.lit(c) for c in categorical_cols]),
+                    F.array(*[F.col(c).cast("string") for c in categorical_cols]),
+                )
+            ).alias("feature", "value")
+        )
+        counts = stacked.groupBy("feature", "value").count()
+        w = Window.partitionBy("feature").orderBy(F.desc("count"), F.asc("value"))
+        return counts.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= top_n
+        )
+
     def statistics(self, spark: SparkSession, group: str) -> DataFrame:
         """A11 — per-feature stats over the offline store (FeatureStore.java:
         204-321), exact and single-pass."""
