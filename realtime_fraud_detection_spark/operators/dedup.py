@@ -119,6 +119,12 @@ def minhash_lsh_candidates(
     tagged = sig.select(
         "doc", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # materialize once: both sides of the self-join would otherwise recompute
+    # the whole signature subtree (a DAG has no sharing across join inputs).
+    # The band table is tiny — (id, band, bucket-hash) per doc per band —
+    # regardless of corpus size; at cluster scale this is a checkpoint to
+    # executor storage, not driver memory.
+    tagged = tagged.localCheckpoint(eager=False)
     left = tagged.alias("l")
     right = tagged.alias("r")
     return (

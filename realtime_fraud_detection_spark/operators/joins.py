@@ -131,6 +131,30 @@ def merchant_update_join(
     return joined.withColumn("merchant_risk_delta", F.least(delta, F.lit(1.0)))
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-buster equi join: explode the (small, hot-key-bearing) right side
+    n_salt ways and scatter the left side across the salt range, so one hot
+    key spreads over n_salt reducers instead of melting one.
+
+    AQE's skew-join split handles sort-merge skew automatically
+    (session.py); this is the explicit form for when the skew lives in an
+    aggregation-input join AQE can't split, and the documented hook for
+    dedup bucket explosions (minhash_lsh_candidates).
+    """
+    salted_left = left.withColumn("_salt", F.pmod(F.xxhash64(*left.columns), n_salt))
+    salted_right = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    )
+    out = salted_left.join(salted_right, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
 def multi_stream_correlate(streams: list[tuple[str, DataFrame]], key: str = "user_id") -> DataFrame:
     """J4 — multi-stream correlation: normalize each stream to a common
     (key, ts, kind, payload) shape and union, grouping downstream by key.

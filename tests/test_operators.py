@@ -159,6 +159,19 @@ def test_cosine_topk_pandas_matches_expression(spark):
     assert g == w
 
 
+def test_salted_join_matches_plain_join(spark, fraud_data):
+    """Salting redistributes skew without changing results."""
+    from realtime_fraud_detection_spark.operators.joins import salted_join
+
+    _, _, tx = fraud_data
+    left = tx.select("transaction_id", "user_id", "amount")
+    right = tx.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    plain = left.join(right, "user_id").select("transaction_id", "cnt")
+    salted = salted_join(left, right, "user_id", n_salt=4).select("transaction_id", "cnt")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
 def test_filter_pushdown_reaches_scan(spark):
     ev = load_table(spark, SF_SMOKE, "lineitem").filter(F.col("l_quantity") > 45).select(
         "l_orderkey", "l_quantity"
