@@ -56,6 +56,58 @@ GROUP BY 1, 2
 
 
 # ---------------------------------------------------------------------------
+# J1b — behavior-flag correlation: purchases joined to same-user logins
+# within ±2 h (the fixture is sparse; the reference's window is 5 min on a
+# dense stream); signup stands in for the login event type
+# (StreamJoiner.java:183-206: anomalous login/short session/navigation →
+# risk deltas). Flags derived deterministically from the login event.
+# ---------------------------------------------------------------------------
+def q_behavior_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    logins = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("l_user"),
+        F.col("ts").alias("l_ts"),
+        (F.col("value") > 300).alias("is_anomalous_login"),
+        (F.col("event_id") % 3 == 0).alias("is_short_session"),
+        (F.col("event_id") % 7 == 0).alias("is_anomalous_navigation"),
+    )
+    joined = purchases.join(
+        logins,
+        (F.col("p_user") == F.col("l_user"))
+        & (F.col("l_ts") >= F.col("p_ts") - F.expr("interval 2 hours"))
+        & (F.col("l_ts") <= F.col("p_ts") + F.expr("interval 2 hours")),
+    )
+    risk = F.least(
+        F.when(F.col("is_anomalous_login"), 0.3).otherwise(F.lit(0.0))
+        + F.when(F.col("is_short_session"), 0.2).otherwise(F.lit(0.0))
+        + F.when(F.col("is_anomalous_navigation"), 0.2).otherwise(F.lit(0.0)),
+        F.lit(1.0),
+    )
+    return joined.groupBy("p_id", "p_user").agg(
+        F.count("*").alias("correlated_logins"),
+        F.round(F.max(risk), 6).alias("max_behavior_risk"),
+    )
+
+
+SQL_BEHAVIOR_RISK = """
+SELECT p.event_id AS p_id, p.user_id AS p_user, COUNT(*) AS correlated_logins,
+       ROUND(MAX(LEAST(
+         CASE WHEN l.value > 300 THEN 0.3 ELSE 0.0 END
+         + CASE WHEN l.event_id % 3 = 0 THEN 0.2 ELSE 0.0 END
+         + CASE WHEN l.event_id % 7 = 0 THEN 0.2 ELSE 0.0 END,
+       1.0)::DOUBLE), 6) AS max_behavior_risk
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'signup') l
+  ON p.user_id = l.user_id
+ AND l.ts >= p.ts - INTERVAL 2 HOUR AND l.ts <= p.ts + INTERVAL 2 HOUR
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # J3 — composite-key pattern join + similarity score
 # (StreamJoiner.java:81-101,159-179,238-292): derive a "historical pattern"
 # dimension (key = type:amount-bucket, stats per key), join back, score
@@ -215,6 +267,7 @@ WHERE rank <= 3
 
 QUERIES = {
     "time_range_join": q_time_range_join,
+    "behavior_risk": q_behavior_risk,
     "pattern_similarity": q_pattern_similarity,
     "velocity_lookup": q_velocity_lookup,
     "network_features": q_network_features,
@@ -223,6 +276,7 @@ QUERIES = {
 
 ORACLES = {
     "time_range_join": SQL_TIME_RANGE_JOIN,
+    "behavior_risk": SQL_BEHAVIOR_RISK,
     "pattern_similarity": SQL_PATTERN_SIMILARITY,
     "velocity_lookup": SQL_VELOCITY_LOOKUP,
     "network_features": SQL_NETWORK_FEATURES,
