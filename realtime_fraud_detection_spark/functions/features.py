@@ -124,12 +124,22 @@ def is_high_risk_location(lat: Column, lon: Column) -> Column:
     return (F.abs(lat) > 60) | ((F.abs(lat) < 10) & (F.abs(lon) < 10))
 
 
-def geo_features(lat: Column, lon: Column, mlat: Column, mlon: Column) -> dict[str, Column]:
-    return {
+def geo_features(lat: Column, lon: Column, mlat: Column, mlon: Column,
+                 intl_preference: Column | None = None) -> dict[str, Column]:
+    dist = haversine_km(lat, lon, mlat, mlon)
+    out = {
         "has_geolocation": lat.isNotNull() & lon.isNotNull(),
         "is_high_risk_country": is_high_risk_location(lat, lon),
-        "distance_to_merchant_km": haversine_km(lat, lon, mlat, mlon),
+        "distance_to_merchant_km": dist,
     }
+    if intl_preference is not None:
+        # user_intl_preference / unexpected_intl (FeatureExtractor.java:401-417):
+        # a far-from-merchant transaction by a user who almost never
+        # transacts internationally (<0.1)
+        pref = F.coalesce(intl_preference, F.lit(0.05))
+        out["user_intl_preference"] = pref
+        out["unexpected_intl"] = (dist > 1000.0) & (pref < 0.1)
+    return out
 
 
 def geo_grid_cell(lat: Column, lon: Column) -> Column:
@@ -240,3 +250,22 @@ def nan_to_default(col: Column, default: float) -> Column:
 
 def hourly_velocity_ratio(cnt_1h: Column, cnt_24h: Column) -> Column:
     return cnt_1h / F.nullif(cnt_24h / 24.0, F.lit(0.0))
+
+
+def combined_device_ip_risk(device_risk: Column, ip_risk: Column) -> Column:
+    """mean of device and IP risk (feature_processor.py:224-275)."""
+    return (device_risk + ip_risk) / 2.0
+
+
+def is_late_night(ts: Column) -> Column:
+    """is_late_night (feature_processor.py:258): deep-night hours."""
+    return (F.hour(ts) >= 0) & (F.hour(ts) <= 4)
+
+
+def velocity_flags(cnt_5min: Column, cnt_1h: Column) -> dict[str, Column]:
+    """high_velocity_5min (>5) / high_velocity_1hour (>20)
+    (FeatureExtractor.java:453-483)."""
+    return {
+        "high_velocity_5min": cnt_5min > 5,
+        "high_velocity_1hour": cnt_1h > 20,
+    }

@@ -63,12 +63,18 @@ def with_features(enriched: DataFrame) -> DataFrame:
     cols: dict[str, F.Column] = {}
     cols.update(FF.amount_features(F.col("amount"), F.col("u_avg_amount"), F.col("m_avg_amount")))
     cols.update(FF.temporal_features(F.col("ts")))
+    intl_pref = (
+        F.col("behavioral_patterns.international_transactions")
+        if "behavioral_patterns" in enriched.columns
+        else F.lit(0.05)
+    )
     cols.update(
         FF.geo_features(
             F.col("geolocation.lat"),
             F.col("geolocation.lon"),
             F.col("merchant_location.lat"),
             F.col("merchant_location.lon"),
+            intl_preference=intl_pref,
         )
     )
     cols.update(
@@ -97,7 +103,16 @@ def with_features(enriched: DataFrame) -> DataFrame:
     cols["in_user_preferred_time"] = FF.in_preferred_time(
         F.hour("ts"), F.coalesce("u_pref_start", F.lit(6)), F.coalesce("u_pref_end", F.lit(22))
     )
-    return enriched.withColumns(cols)
+    cols["is_late_night"] = FF.is_late_night(F.col("ts"))
+    out = enriched.withColumns(cols)
+    # second pass: derived-from-derived (feature_processor.py:224-275)
+    return out.withColumn(
+        "combined_device_ip_risk",
+        FF.combined_device_ip_risk(
+            F.when(F.coalesce("is_new_device", F.lit(True)), 0.6).otherwise(0.2),
+            F.col("ip_risk_score"),
+        ),
+    )
 
 
 def with_score(featured: DataFrame) -> DataFrame:

@@ -63,6 +63,20 @@ def test_haversine_against_reference_formula(spark):
     assert abs(d - 5570.2) < 1.0  # NYC→London great-circle ≈ 5570 km
 
 
+def test_derived_ml_side_features(scored):
+    pdf = scored.select(
+        "is_late_night", "hour_of_day", "combined_device_ip_risk", "unexpected_intl",
+        "distance_to_merchant_km", "user_intl_preference",
+    ).toPandas()
+    late = (pdf["hour_of_day"] >= 0) & (pdf["hour_of_day"] <= 4)
+    assert (pdf["is_late_night"] == late).all()
+    assert ((pdf["combined_device_ip_risk"] >= 0) & (pdf["combined_device_ip_risk"] <= 1)).all()
+    flagged = pdf[pdf["unexpected_intl"]]
+    if len(flagged):
+        assert (flagged["distance_to_merchant_km"] > 1000).all()
+        assert (flagged["user_intl_preference"] < 0.1).all()
+
+
 def test_score_bounds_and_decision_consistency(scored):
     pdf = scored.select("model_score", "risk_level", "decision", "m_is_blacklisted").toPandas()
     assert ((pdf["model_score"] >= 0) & (pdf["model_score"] <= 1)).all()
