@@ -182,6 +182,17 @@ def isolation_forest_udf(spark, model: IsolationForest, feature_cols: list[str])
     return score(*[F.col(c) for c in feature_cols])
 
 
+def top_feature_importances(model, n: int = 10) -> list[tuple[str, float]]:
+    """The reference's top-10 feature-importance report
+    (ensemble_predictor.py:426-431) from the fitted GBT pipeline."""
+    gbt = model.stages[-1]
+    pairs = sorted(
+        zip(FEATURE_COLS, gbt.featureImportances.toArray()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    return [(name, float(imp)) for name, imp in pairs[:n]]
+
+
 def sequence_features(tx, n: int = 10):
     """M6 — the LSTM input assembly (utils/config.py:145-157: 10-step
     sequences per user): trailing-N amount vectors via collect_list over a

@@ -21,6 +21,12 @@ def test_synthetic_training_data_shape():
 def test_gbt_trains_with_signal(spark):
     model, auc = M.train_gbt(spark, M.synthetic_training_data(8000))
     assert auc > 0.85  # engineered labels are learnable (model_trainer.py:103)
+    top = M.top_feature_importances(model, n=10)
+    assert len(top) == 10
+    names = [n for n, _ in top]
+    # the heaviest engineered signal should surface near the top
+    assert "user_risk_score" in names[:5] or "velocity_score" in names[:5]
+    assert all(b[1] <= a[1] for a, b in zip(top, top[1:]))
 
 
 def test_isolation_forest_flags_outliers(spark):
