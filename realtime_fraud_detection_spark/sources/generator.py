@@ -228,6 +228,49 @@ def generate_transactions(
     return tx.sort_values("ts", kind="mergesort").reset_index(drop=True)
 
 
+def generate_behavior_events(tx: pd.DataFrame, seed: int = 42) -> pd.DataFrame:
+    """UserBehaviorEvent stream (simulator.py:388-403, FIXTURES.md §4): one
+    behavior event per transaction within ±5 min (the J1 join window,
+    StreamJoiner.java:47), plus standalone login/navigation events; anomaly
+    flags (StreamJoiner.java:194-199) are seeded per event."""
+    rng = np.random.default_rng(seed + 7)
+    n = len(tx)
+    offs = rng.integers(-300, 300, n)
+    tx_events = pd.DataFrame(
+        {
+            "user_id": tx["user_id"].to_numpy(),
+            "event_type": "transaction",
+            "transaction_id": tx["transaction_id"].to_numpy(),
+            "amount": tx["amount"].to_numpy(),
+            "ts": tx["ts"] + pd.to_timedelta(offs, unit="s"),
+            "device_fingerprint": tx["device_fingerprint"].to_numpy(),
+            "is_anomalous_login": rng.random(n) < 0.05,
+            "is_short_session": rng.random(n) < 0.10,
+            "is_anomalous_navigation": rng.random(n) < 0.05,
+        }
+    )
+    m = n // 4
+    extra = pd.DataFrame(
+        {
+            "user_id": tx["user_id"].sample(m, random_state=seed).to_numpy(),
+            "event_type": rng.choice(["login", "navigation"], m),
+            "transaction_id": None,
+            "amount": np.nan,
+            "ts": tx["ts"].sample(m, random_state=seed).to_numpy()
+            + pd.to_timedelta(rng.integers(-3600, 3600, m), unit="s"),
+            "device_fingerprint": tx["device_fingerprint"].sample(m, random_state=seed).to_numpy(),
+            "is_anomalous_login": rng.random(m) < 0.15,
+            "is_short_session": rng.random(m) < 0.15,
+            "is_anomalous_navigation": rng.random(m) < 0.10,
+        }
+    )
+    return (
+        pd.concat([tx_events, extra], ignore_index=True)
+        .sort_values("ts", kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
 def to_spark(spark, users: pd.DataFrame, merchants: pd.DataFrame, tx: pd.DataFrame):
     """Spark DataFrames with the engine's canonical schemas (schemas.py)."""
     from pyspark.sql import functions as F

@@ -120,6 +120,32 @@ def test_feature_vector_projection(scored):
     assert "amount" in m and "model_score" in m
 
 
+def test_behavior_stream_correlation(spark, fraud_data):
+    """J1 over the generated user-behavior fixture: every transaction has a
+    behavior event within ±5 min, so the time-range join matches ≥ once per
+    transaction; risk factors bounded [0,1]."""
+    from realtime_fraud_detection_spark.operators.joins import (
+        behavior_risk_factors,
+        windowed_stream_join,
+    )
+    from realtime_fraud_detection_spark.sources.generator import generate_behavior_events
+
+    users, merchants, tx = fraud_data
+    tx_pd = tx.select(
+        "transaction_id", "user_id", "amount", "ts", "device_fingerprint"
+    ).toPandas()
+    beh = spark.createDataFrame(generate_behavior_events(tx_pd))
+    joined = windowed_stream_join(tx, beh, "user_id").withColumn(
+        "behavior_risk", behavior_risk_factors()
+    )
+    matched_tx = joined.select("l.transaction_id").distinct().count()
+    assert matched_tx == tx.count()  # the paired event is always in window
+    stats = joined.agg(
+        F.min("behavior_risk").alias("lo"), F.max("behavior_risk").alias("hi")
+    ).first()
+    assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
+
+
 def test_broadcast_join_in_plan(spark, fraud_data):
     from realtime_fraud_detection_spark.plans.explain import has_broadcast_join
 
