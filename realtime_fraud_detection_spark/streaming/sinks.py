@@ -53,3 +53,15 @@ def multi_sink_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
             batch.unpersist()
 
     return write
+
+
+def hourly_rollup_view(spark, out_dir: str) -> DataFrame:
+    """Current hourly totals from the per-batch partial aggregates the sink
+    appends — the compaction view over an append-only aggregate log (the
+    parquet-native stand-in for a Delta MERGE target). Partials re-aggregate
+    exactly because they are counts and decimal-exact sums."""
+    partials = spark.read.parquet(os.path.join(out_dir, "hourly_aggregates"))
+    return partials.groupBy("hour").agg(
+        F.sum("tx_count").alias("tx_count"),
+        F.sum(F.col("total_amount").cast("decimal(18,2)")).cast("double").alias("total_amount"),
+    )

@@ -247,6 +247,27 @@ def rolling_velocity_batch(tx: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming deduplication — the training-pipeline dedup need in streaming
+# form (and the reference's implicit at-least-once Kafka redelivery guard):
+# exact-key dedup with watermark-bounded state.
+# ---------------------------------------------------------------------------
+def dedup_stream(
+    tx: DataFrame,
+    key_cols: list[str] | None = None,
+    ts: str = "ts",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Drop duplicate events by key across micro-batches.
+
+    `dropDuplicatesWithinWatermark` keeps state only until the watermark
+    passes the duplicate horizon — bounded state, unlike a naive
+    dropDuplicates whose state grows forever on a stream.
+    """
+    keys = key_cols or ["transaction_id"]
+    return tx.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+# ---------------------------------------------------------------------------
 # W1 — capped recency lists
 # ---------------------------------------------------------------------------
 RECENCY_OUTPUT = T.StructType(
