@@ -331,6 +331,71 @@ GROUP BY ROLLUP (event_type, user_bucket)
 """
 
 
+# ---------------------------------------------------------------------------
+# q_promo_share — TPC-H Q14 shape: join + conditional aggregation into a
+# ratio (the reference's "% of decisions by band" reporting generalized).
+# ---------------------------------------------------------------------------
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type").startswith("PROMO"), revenue).otherwise(F.lit(0).cast("decimal(18,4)"))).cast("double")
+            / F.sum(revenue).cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.count("*").alias("line_cnt"),
+    )
+
+
+SQL_PROMO_SHARE = """
+SELECT ROUND(100.0
+         * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                         ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+       6) AS promo_revenue_pct,
+       COUNT(*) AS line_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_above_segment_avg — correlated-subquery shape (customers above their own
+# market segment's average balance); Catalyst decorrelates this into a
+# broadcast join against the per-segment aggregate.
+# ---------------------------------------------------------------------------
+def q_above_segment_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    seg = cust.groupBy("c_mktsegment").agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double") / F.count("*")).alias(
+            "seg_avg"
+        )
+    )
+    return (
+        cust.join(F.broadcast(seg), "c_mktsegment")
+        .filter(F.col("c_acctbal") > F.col("seg_avg"))
+        .select("c_custkey", "c_mktsegment", "c_acctbal", F.round("seg_avg", 6).alias("seg_avg"))
+    )
+
+
+SQL_ABOVE_SEGMENT_AVG = """
+WITH seg AS (
+  SELECT c_mktsegment,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS seg_avg
+  FROM customer GROUP BY 1)
+SELECT c_custkey, c.c_mktsegment, c_acctbal, ROUND(seg_avg, 6) AS seg_avg
+FROM customer c JOIN seg ON c.c_mktsegment = seg.c_mktsegment
+WHERE c_acctbal > seg_avg
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
@@ -344,6 +409,8 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "distinct_agg": q_distinct_agg,
     "rollup": q_rollup,
+    "promo_share": q_promo_share,
+    "above_segment_avg": q_above_segment_avg,
 }
 
 ORACLES = {
@@ -359,4 +426,6 @@ ORACLES = {
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "distinct_agg": SQL_DISTINCT_AGG,
     "rollup": SQL_ROLLUP,
+    "promo_share": SQL_PROMO_SHARE,
+    "above_segment_avg": SQL_ABOVE_SEGMENT_AVG,
 }
