@@ -265,8 +265,49 @@ WHERE rank <= 3
 """
 
 
+# ---------------------------------------------------------------------------
+# J4 — multi-stream correlation: normalize heterogeneous streams to one
+# (key, ts, kind, value) shape, union, correlate per key
+# (StreamJoiner.java:107-127's declared multi-stream connect).
+# ---------------------------------------------------------------------------
+def q_multistream_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+
+    def norm(event_type: str, kind: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == event_type).select(
+            "user_id", "ts", F.lit(kind).alias("kind"), F.col("value").alias("val")
+        )
+
+    unioned = (
+        norm("purchase", "transaction")
+        .unionAll(norm("signup", "behavior"))
+        .unionAll(norm("error", "alert"))
+    )
+    return unioned.groupBy("user_id", "kind").agg(
+        F.count("*").alias("event_cnt"),
+        dec_sum("val").alias("total_value"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+SQL_MULTISTREAM_UNION = """
+WITH unioned AS (
+  SELECT user_id, ts, 'transaction' AS kind, value AS val FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 'behavior', value FROM events WHERE event_type = 'signup'
+  UNION ALL
+  SELECT user_id, ts, 'alert', value FROM events WHERE event_type = 'error')
+SELECT user_id, kind, COUNT(*) AS event_cnt,
+       CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM unioned GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "time_range_join": q_time_range_join,
+    "multistream_union": q_multistream_union,
     "behavior_risk": q_behavior_risk,
     "pattern_similarity": q_pattern_similarity,
     "velocity_lookup": q_velocity_lookup,
@@ -276,6 +317,7 @@ QUERIES = {
 
 ORACLES = {
     "time_range_join": SQL_TIME_RANGE_JOIN,
+    "multistream_union": SQL_MULTISTREAM_UNION,
     "behavior_risk": SQL_BEHAVIOR_RISK,
     "pattern_similarity": SQL_PATTERN_SIMILARITY,
     "velocity_lookup": SQL_VELOCITY_LOOKUP,
