@@ -55,6 +55,36 @@ def multi_sink_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
     return write
 
 
+def compact_hourly_rollups(spark, out_dir: str) -> int:
+    """Rewrite the append-only per-batch partial aggregates as one compacted
+    partial per hour (the maintenance job behind `hourly_rollup_view` — at
+    scale this runs periodically so the view's re-aggregation reads O(hours)
+    rows instead of O(hours × batches)).
+
+    Write-then-swap: the compacted table lands in a sibling temp dir and
+    replaces the log atomically at the directory level. Returns the number
+    of compacted rows.
+    """
+    import shutil
+
+    path = os.path.join(out_dir, "hourly_aggregates")
+    compacted = (
+        spark.read.parquet(path)
+        .groupBy("hour")
+        .agg(
+            F.sum("tx_count").alias("tx_count"),
+            F.sum(F.col("total_amount").cast("decimal(18,2)")).cast("double").alias("total_amount"),
+        )
+        .withColumn("batch_id", F.lit(-1).cast("long"))
+    )
+    tmp = path + ".compacting"
+    compacted.coalesce(1).write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n
+
+
 def hourly_rollup_view(spark, out_dir: str) -> DataFrame:
     """Current hourly totals from the per-batch partial aggregates the sink
     appends — the compaction view over an append-only aggregate log (the

@@ -77,3 +77,13 @@ def test_hourly_rollup_view(spark, fraud_data, tmp_path):
     )
     assert (view["tx_count"] == want["tx_count"]).all()
     assert (view["total_amount"] - want["total_amount"]).abs().max() < 1e-9
+
+    # compaction preserves the view exactly and shrinks the log
+    from realtime_fraud_detection_spark.streaming.sinks import compact_hourly_rollups
+
+    before = spark.read.parquet(os.path.join(out, "hourly_aggregates")).count()
+    n = compact_hourly_rollups(spark, out)
+    assert n <= before
+    after_view = hourly_rollup_view(spark, out).toPandas().set_index("hour").sort_index()
+    assert (after_view["tx_count"] == want["tx_count"]).all()
+    assert (after_view["total_amount"] - want["total_amount"]).abs().max() < 1e-9
