@@ -250,6 +250,39 @@ def sample_video_frames(
     return df.select(id_col, "video", "video_meta").mapInPandas(sample, FRAME_SAMPLE)
 
 
+IMAGE_EMBEDDING = T.StructType(
+    [
+        T.StructField("sample_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def image_embeddings(df: DataFrame, id_col: str = "sample_id", k: int = 8) -> DataFrame:
+    """Image → 64-dim embedding (k×k average-pooled grayscale, L2-normalized)
+    — the bridge from multimodal decode to the similarity-search operators
+    (operators/similarity.py): dedupe or nearest-neighbor images exactly
+    like text embeddings. A real model swaps into the same mapInPandas slot.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sid, payload, meta in zip(pdf[id_col], pdf["image"], pdf["image_meta"]):
+                img = _decode_image(bytes(payload), int(meta["width"]), int(meta["height"]))
+                pooled = _avg_pool(img.astype(np.float64).mean(axis=2), k).ravel()
+                norm = np.linalg.norm(pooled)
+                rows.append(
+                    {
+                        "sample_id": sid,
+                        "embedding": (pooled / max(norm, 1e-12)).astype(np.float32).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "image", "image_meta").mapInPandas(extract, IMAGE_EMBEDDING)
+
+
 def synthetic_multimodal(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic multimodal fixture: binary payloads + typed metadata.
     Payload bytes are md5-chained from (seed, id) so every stage downstream

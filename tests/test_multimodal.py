@@ -55,6 +55,23 @@ def test_video_frame_sampling_fanout(spark):
     assert len(feats) == 12
 
 
+def test_image_embeddings_feed_ann(spark):
+    """Multimodal → similarity-search integration: image embeddings are
+    first-class vectors for the ANN operators."""
+    from realtime_fraud_detection_spark.operators.similarity import brute_force_topk
+
+    df = MM.synthetic_multimodal(spark, n=30)
+    emb = MM.image_embeddings(df).withColumnRenamed("sample_id", "vec_id")
+    out1 = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    out2 = MM.image_embeddings(df).withColumnRenamed("sample_id", "vec_id").toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert all(len(v) == 64 for v in out1["embedding"])
+    assert all((a == b).all() for a, b in zip(out1["embedding"], out2["embedding"]))
+    nn = brute_force_topk(emb, emb.filter(F.col("vec_id") < 3), k=4)
+    pdf = nn.toPandas()
+    assert len(pdf) == 12
+    assert ((pdf["cosine_sim"] >= -1.000001) & (pdf["cosine_sim"] <= 1.000001)).all()
+
+
 def test_metadata_query_prunes_binary_payload(spark, tmp_path):
     """The 100 TB property: a metadata-only query reads zero payload bytes —
     the binary column must be absent from the parquet ReadSchema."""
