@@ -172,6 +172,12 @@ def ngram_jaccard(
     )
 
 
+def _bit_value(j: int) -> int:
+    """Bit j as a signed 64-bit literal (bit 63 is the sign bit — 1 << 63
+    overflows LongType, so it is represented as Long.MIN_VALUE)."""
+    return (1 << j) if j < 63 else -(1 << 63)
+
+
 def simhash(text: Column, bits: int = 16) -> Column:
     """SimHash signature over word hashes: for each bit position, sum +1/-1
     votes across word hashes, set the bit when the vote is positive.
@@ -182,7 +188,7 @@ def simhash(text: Column, bits: int = 16) -> Column:
     words = F.array_distinct(F.split(F.trim(normalized_text(text)), r"\s+"))
     hashes = F.transform(words, lambda w: md5_bigint(w, salt="simhash:"))
     def bit_vote(j: int) -> Column:
-        mask = F.lit(1 << j).cast("long")
+        mask = F.lit(_bit_value(j)).cast("long")
         return F.aggregate(
             hashes,
             F.lit(0).cast("long"),
@@ -191,7 +197,7 @@ def simhash(text: Column, bits: int = 16) -> Column:
 
     sig = F.lit(0).cast("long")
     for j in range(bits):
-        sig = sig + F.when(bit_vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(
+        sig = sig + F.when(bit_vote(j) > 0, F.lit(_bit_value(j)).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return sig
@@ -212,14 +218,14 @@ def simhash_signatures(
     votes = words.groupBy("doc").agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(1 << j).cast("long")) != 0, 1).otherwise(-1)
+                F.when(F.col("h").bitwiseAND(F.lit(_bit_value(j)).cast("long")) != 0, 1).otherwise(-1)
             ).alias(f"v{j}")
             for j in range(bits)
         ]
     )
     sig = F.lit(0).cast("long")
     for j in range(bits):
-        sig = sig + F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+        sig = sig + F.when(F.col(f"v{j}") > 0, F.lit(_bit_value(j)).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
     return votes.select("doc", sig.alias(f"simhash{bits}"))

@@ -1,0 +1,64 @@
+"""MinHash-LSH at a production-shaped configuration (16 permutations,
+4-row bands) against ground truth: every high-Jaccard pair in the documents
+fixture must be recovered, with bounded false-candidate overhead."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_fraud_detection_spark.operators import dedup as D
+from realtime_fraud_detection_spark.sources.testdata import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def ground_truth_pairs(spark):
+    """All-pairs exact Jaccard ≥ 0.8 (brute force on the 500-doc fixture)."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    ids = docs.select("doc_id")
+    pairs = (
+        ids.withColumnRenamed("doc_id", "doc_a")
+        .crossJoin(ids.withColumnRenamed("doc_id", "doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    sim = D.ngram_jaccard(docs, pairs, "text", "doc_id", 3)
+    return {
+        (r["doc_a"], r["doc_b"])
+        for r in sim.filter(F.col("jaccard") >= 0.8).collect()
+    }
+
+
+def test_lsh_recall_at_production_config(spark, ground_truth_pairs):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cands = D.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_perm=16, band_size=4
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in cands.collect()}
+    truth = ground_truth_pairs
+    assert truth, "fixture should contain planted near-duplicates"
+    # 4-row bands at jaccard 0.8: P(candidate) = 1-(1-0.8^4)^4 ≈ 0.87 per
+    # pair; the planted pairs are ~0.98 → P ≈ 1-(1-0.92)^4 ≈ 0.99996
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9
+    # candidate set stays far from all-pairs (bounded false positives)
+    assert len(got) < 0.05 * (500 * 499 / 2)
+
+
+def test_simhash_hamming_separates_near_dups(spark, ground_truth_pairs):
+    """64-bit SimHash: planted near-dup pairs sit at much smaller Hamming
+    distance than random pairs."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sig = {r["doc"]: r["simhash64"] for r in D.simhash_signatures(docs, "text", "doc_id", bits=64).collect()}
+    # two's-complement mask: signatures with bit 63 set are negative longs
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    dup_d = [ham(sig[a], sig[b]) for a, b in ground_truth_pairs]
+    import itertools
+
+    some_ids = sorted(sig)[:40]
+    rand_d = [ham(sig[a], sig[b]) for a, b in itertools.combinations(some_ids, 2)
+              if (a, b) not in ground_truth_pairs]
+    # the fixture's docs share one vocabulary, so even unrelated pairs sit
+    # close; near-dups must still be measurably closer
+    assert sum(dup_d) / len(dup_d) * 2 < sum(rand_d) / len(rand_d)
