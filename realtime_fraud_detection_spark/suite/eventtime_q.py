@@ -84,7 +84,10 @@ def q_hourly_type_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = F.col("tx_count").cast("double")
     mean = F.col("_s1") / cnt
     var_pop = F.round(F.col("_s2") / cnt - mean * mean, 8)
-    stddev = F.sqrt(F.greatest(var_pop, F.lit(0.0)))
+    # + 0.0 normalizes IEEE negative zero: DuckDB's GREATEST(-0.0, 0.0)
+    # keeps -0.0 and SQRT(-0.0) = -0.0, while Spark's greatest yields +0.0;
+    # -0.0 + 0.0 = +0.0 on both engines (round-1 hash mismatch root cause).
+    stddev = F.sqrt(F.greatest(var_pop, F.lit(0.0))) + F.lit(0.0)
     high_share = F.col("high_value_count") / cnt
     volatility = stddev / F.nullif(mean, F.lit(0.0))
     risk = F.least(
@@ -117,7 +120,7 @@ WITH agg AS (
 ), derived AS (
   SELECT *,
          s1 / tx_count AS mean,
-         SQRT(GREATEST(ROUND(s2 / tx_count - (s1 / tx_count) * (s1 / tx_count), 8), 0.0)) AS sd
+         SQRT(GREATEST(ROUND(s2 / tx_count - (s1 / tx_count) * (s1 / tx_count), 8), 0.0)) + 0.0 AS sd
   FROM agg
 )
 SELECT window_start, event_type, tx_count, s1 AS total_amount,

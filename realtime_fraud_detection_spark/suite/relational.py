@@ -117,74 +117,75 @@ FROM events LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 10 <> 7) c
 
 
 # ---------------------------------------------------------------------------
-# q_semi_join / q_anti_join — EXISTS / NOT-EXISTS shapes (the J5
-# "profile found / not found" split as first-class operators).
+# q_semi_anti_join — EXISTS / NOT-EXISTS shapes (the J5 "profile found /
+# not found" split as first-class operators), tagged and unioned into one
+# frame so both plans land in a single driver correctness row (the driver
+# checks at most 50 queries).
 # ---------------------------------------------------------------------------
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
-    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
-        "c_custkey", "c_name", "c_acctbal"
-    )
-
-
-SQL_SEMI_JOIN = """
-SELECT c_custkey, c_name, c_acctbal FROM customer
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-"""
-
-
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
     urgent = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti").select(
-        "c_custkey", "c_name", "c_mktsegment"
+    semi = (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .withColumn("op", F.lit("semi"))
     )
+    anti = (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .withColumn("op", F.lit("anti"))
+    )
+    return semi.unionByName(anti)
 
 
-SQL_ANTI_JOIN = """
-SELECT c_custkey, c_name, c_mktsegment FROM customer
+SQL_SEMI_ANTI_JOIN = """
+SELECT c_custkey, c_name, 'semi' AS op FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+UNION ALL
+SELECT c_custkey, c_name, 'anti' AS op FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                   AND o_orderpriority = '1-URGENT')
 """
 
 
 # ---------------------------------------------------------------------------
-# q_union_except / q_intersect — set operations (§2.6).
+# q_set_ops — set operations (§2.6): UNION DISTINCT + EXCEPT and INTERSECT,
+# tagged into one frame (one driver correctness row for the family).
 # ---------------------------------------------------------------------------
-def q_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    rich = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    rich5k = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    rich3k = cust.filter(F.col("c_acctbal") > 3000).select("c_custkey")
     spenders = orders.filter(F.col("o_totalprice") > 300000).select(
         F.col("o_custkey").alias("c_custkey")
     )
-    return building.union(rich).distinct().subtract(spenders)
+    union_except = (
+        building.union(rich5k).distinct().subtract(spenders)
+        .withColumn("op", F.lit("union_except"))
+    )
+    intersect = building.intersect(rich3k).withColumn("op", F.lit("intersect"))
+    return union_except.unionByName(intersect)
 
 
-SQL_UNION_EXCEPT = """
-(SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
- UNION
- SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
-EXCEPT
-SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
-"""
-
-
-def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load_table(spark, sf_dir, "customer")
-    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    rich = cust.filter(F.col("c_acctbal") > 3000).select("c_custkey")
-    return building.intersect(rich)
-
-
-SQL_INTERSECT = """
-SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-INTERSECT
-SELECT c_custkey FROM customer WHERE c_acctbal > 3000
+SQL_SET_OPS = """
+SELECT c_custkey, 'union_except' AS op FROM (
+  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+   UNION
+   SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+  EXCEPT
+  SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+)
+UNION ALL
+SELECT c_custkey, 'intersect' AS op FROM (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT c_custkey FROM customer WHERE c_acctbal > 3000
+)
 """
 
 
@@ -400,10 +401,8 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "profile_enrich": q_profile_enrich,
-    "semi_join": q_semi_join,
-    "anti_join": q_anti_join,
-    "union_except": q_union_except,
-    "intersect": q_intersect,
+    "semi_anti_join": q_semi_anti_join,
+    "set_ops": q_set_ops,
     "case_decision": q_case_decision,
     "filter_project": q_filter_project,
     "revenue_by_nation": q_revenue_by_nation,
@@ -417,10 +416,8 @@ ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_customers": SQL_TOP_CUSTOMERS,
     "profile_enrich": SQL_PROFILE_ENRICH,
-    "semi_join": SQL_SEMI_JOIN,
-    "anti_join": SQL_ANTI_JOIN,
-    "union_except": SQL_UNION_EXCEPT,
-    "intersect": SQL_INTERSECT,
+    "semi_anti_join": SQL_SEMI_ANTI_JOIN,
+    "set_ops": SQL_SET_OPS,
     "case_decision": SQL_CASE_DECISION,
     "filter_project": SQL_FILTER_PROJECT,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,

@@ -120,7 +120,7 @@ WITH stats AS (
 SELECT event_id, user_id, value, amount_pct_rank,
   ROUND(s1 / n, 6) AS user_avg_value,
   ROUND((value - s1 / n) /
-        NULLIF(SQRT(GREATEST((s2 - s1 * s1 / n) / NULLIF(n - 1, 0), 0.0)), 0.0), 6) AS amount_zscore
+        NULLIF(SQRT(GREATEST((s2 - s1 * s1 / n) / NULLIF(n - 1, 0), 0.0)), 0.0), 6) + 0.0 AS amount_zscore
 FROM stats
 """
 

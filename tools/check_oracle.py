@@ -17,6 +17,7 @@ import time
 import traceback
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 
@@ -64,11 +65,20 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     for c in s.columns:
         sc, oc = s[c], o[c]
         if pd.api.types.is_float_dtype(sc) and pd.api.types.is_float_dtype(oc):
-            both_nan = sc.isna() & oc.isna()
-            eq = (sc == oc) | both_nan
+            # Bit-exact: the driver hashes rendered values, so -0.0 vs 0.0
+            # (same float, different bits) is a real failure there. Compare
+            # the raw IEEE-754 bit patterns, treating NaN==NaN as equal.
+            sa = sc.to_numpy(dtype="float64", na_value=float("nan"))
+            oa = oc.to_numpy(dtype="float64", na_value=float("nan"))
+            both_nan = np.isnan(sa) & np.isnan(oa)
+            eq = pd.Series((sa.view(np.int64) == oa.view(np.int64)) | both_nan)
             if not eq.all():
-                diff = (sc - oc).abs().max()
-                problems.append(f"col {c}: {int((~eq).sum())} mismatches, max abs diff {diff}")
+                diff = np.nanmax(np.abs(sa - oa)[~eq.to_numpy()])
+                idx = int((~eq).idxmax())
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} bit-exact mismatches, max abs diff {diff}, "
+                    f"e.g. row {idx}: {sa[idx]!r} vs {oa[idx]!r}"
+                )
         else:
             sc2 = sc.astype(str)
             oc2 = oc.astype(str)
