@@ -29,6 +29,7 @@ HEADLINE = [
     "rolling_counters",
     "amount_profile",
     "velocity_sliding",
+    "velocity_sliding_approx",
     "hourly_type_stats",
     "user_sessions",
     "pattern_buckets",
@@ -38,9 +39,29 @@ HEADLINE = [
     "minhash_signature",
     "lsh_near_dups",
     "simhash",
+    "simhash64",
     "embedding_near_dups",
     "ann_topk",
 ]
+
+
+def _velocity_sliding_approx(spark, sf_dir):
+    """The scale form of velocity_sliding: approx_count_distinct (HLL) in
+    place of the exact-NDV Expand + two-phase distinct — SCALE.md documents
+    when to flip `exact`; this entry keeps the measured gap in BENCH."""
+    from realtime_fraud_detection_spark.operators import aggregations as A
+    from realtime_fraud_detection_spark.sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return A.velocity_windows(
+        ev, "user_id", "ts", "value", ndv_col="event_type",
+        size="5 minutes", slide="1 minute", exact=False,
+    )
+
+
+# bench-only variants without a driver-suite entry (approximate results
+# can't hash-match a DuckDB oracle; the exact forms above are the gate)
+EXTRA = {"velocity_sliding_approx": _velocity_sliding_approx}
 
 
 def main() -> None:
@@ -56,8 +77,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        fn = qs.get(name) or EXTRA[name]
         t0 = time.time()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

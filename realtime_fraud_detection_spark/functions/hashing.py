@@ -30,3 +30,34 @@ def md5_bigint_sql(expr: str, salt: str | None = None) -> str:
     """The DuckDB-side rendering of :func:`md5_bigint` for oracle SQL."""
     inner = f"'{salt}' || {expr}" if salt else expr
     return f"(('0x' || substr(md5({inner}), 1, {HEX_CHARS}))::BIGINT)"
+
+
+def md5_bigint64(col: Column, salt: str | None = None) -> Column:
+    """Full 64-bit deterministic hash (two's-complement signed bigint) from
+    all 16 leading md5 hex chars — for signatures that need every bit
+    position populated (e.g. 64-bit SimHash, where the 60-bit form leaves
+    bits 60-63 permanently unset).
+
+    Built from two 32-bit halves: ``conv`` of the full 16 chars would yield
+    an unsigned decimal string that overflows a signed cast for values
+    >= 2^63, while ``shiftleft`` on a long wraps into the sign bit exactly
+    as two's-complement requires. Still all codegen'd built-ins.
+    """
+    x = F.concat(F.lit(salt), col) if salt else col
+    hx = F.md5(x)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def md5_bigint64_sql(expr: str, salt: str | None = None) -> str:
+    """DuckDB rendering of :func:`md5_bigint64`. DuckDB's ``<<`` raises on
+    overflow instead of wrapping, so the sign bit is folded in arithmetically:
+    hi is re-signed as a 32-bit two's-complement value before scaling."""
+    inner = f"'{salt}' || {expr}" if salt else expr
+    hi = f"('0x' || substr(md5({inner}), 1, 8))::BIGINT"
+    lo = f"('0x' || substr(md5({inner}), 9, 8))::BIGINT"
+    return (
+        f"((CASE WHEN {hi} >= 2147483648 THEN {hi} - 4294967296 ELSE {hi} END)"
+        f" * 4294967296 + {lo})"
+    )

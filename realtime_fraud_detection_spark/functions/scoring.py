@@ -50,7 +50,8 @@ def rule_based_score(
         .when(merchant_risk_level == "medium", 0.10)
         .otherwise(b)
         + F.when(merchant_is_blacklisted, 0.40).otherwise(b)
-        + 2.0 * merchant_fraud_rate
+        # fraud-rate term only fires above 5% (TransactionProcessor.java:399-401)
+        + F.when(merchant_fraud_rate > 0.05, 2.0 * merchant_fraud_rate).otherwise(b)
         + F.when(is_high_risk_category, 0.15).otherwise(b)
         + F.when(is_large_for_user, 0.15).otherwise(b)
         + F.when(is_new_device, 0.10).otherwise(b)
@@ -101,30 +102,61 @@ def ensemble_confidence(prob: Column) -> Column:
     return clamp(2.0 * F.abs(prob - 0.5), 0.0, 1.0)
 
 
-def risk_level(score: Column) -> Column:
-    """Score bands → VERY_LOW..CRITICAL (TransactionProcessor.java:444-473)."""
-    return (
-        F.when(score >= 0.9, "CRITICAL")
-        .when(score >= 0.7, "HIGH")
-        .when(score >= 0.5, "MEDIUM")
-        .when(score >= 0.3, "LOW")
-        .otherwise("VERY_LOW")
-    )
-
-
-def decision(score: Column, is_blacklisted: Column, confidence: Column | None = None) -> Column:
-    """APPROVE / REVIEW / DECLINE with blacklist override and
-    low-confidence→REVIEW band (TransactionProcessor.java:444-473,
-    ensemble_predictor.py:344-369)."""
+def risk_level(
+    score: Column, is_blacklisted: Column | None = None, threshold: float = 0.7
+) -> Column:
+    """Rule-path risk bands (TransactionProcessor.java:444-473): CRITICAL at
+    >= 0.9, HIGH at >= fraudThreshold (default 0.7, JobConfig.java:47),
+    MEDIUM at >= 0.5, else LOW — no VERY_LOW band on this path. Blacklisted
+    merchants override to CRITICAL (:463-469)."""
     base = (
+        F.when(score >= 0.9, "CRITICAL")
+        .when(score >= threshold, "HIGH")
+        .when(score >= 0.5, "MEDIUM")
+        .otherwise("LOW")
+    )
+    if is_blacklisted is not None:
+        return F.when(is_blacklisted, "CRITICAL").otherwise(base)
+    return base
+
+
+def decision(score: Column, is_blacklisted: Column, threshold: float = 0.7) -> Column:
+    """Rule-path APPROVE / REVIEW / DECLINE (TransactionProcessor.java:
+    444-473): DECLINE only at >= 0.9 or blacklist, REVIEW at
+    >= fraudThreshold (default 0.7), else APPROVE."""
+    return (
         F.when(is_blacklisted, "DECLINE")
-        .when(score >= 0.7, "DECLINE")
-        .when(score >= 0.5, "REVIEW")
+        .when(score >= 0.9, "DECLINE")
+        .when(score >= threshold, "REVIEW")
         .otherwise("APPROVE")
     )
-    if confidence is not None:
-        return F.when((confidence < 0.3) & (base == "APPROVE"), "REVIEW").otherwise(base)
-    return base
+
+
+def ensemble_decision(
+    prob: Column, confidence: Column, confidence_threshold: float = 0.7
+) -> Column:
+    """ML-path decision (ensemble_predictor.py:344-356): low confidence
+    forces REVIEW; then DECLINE >= 0.95, REVIEW >= 0.8,
+    APPROVE_WITH_MONITORING >= 0.6, else APPROVE."""
+    return (
+        F.when(confidence < confidence_threshold, "REVIEW")
+        .when(prob >= 0.95, "DECLINE")
+        .when(prob >= 0.8, "REVIEW")
+        .when(prob >= 0.6, "APPROVE_WITH_MONITORING")
+        .otherwise("APPROVE")
+    )
+
+
+def ensemble_risk_level(prob: Column) -> Column:
+    """ML-path risk bands (ensemble_predictor.py:358-369): CRITICAL >= 0.95,
+    HIGH >= 0.8, MEDIUM >= 0.6, LOW >= 0.3, else VERY_LOW."""
+    return (
+        F.when(prob >= 0.95, "CRITICAL")
+        .when(prob >= 0.8, "HIGH")
+        .when(prob >= 0.6, "MEDIUM")
+        .when(prob >= 0.3, "LOW")
+        .otherwise("VERY_LOW")
+    )
 
 
 def alert_level(score: Column) -> Column:
@@ -132,15 +164,29 @@ def alert_level(score: Column) -> Column:
     return F.when(score >= 0.9, "high").otherwise("medium")
 
 
-def velocity_score(tx_count: Column, total_amount: Column, distinct_merchants: Column) -> Column:
-    """A1's composite velocity score (WindowProcessor.java:327-351): additive
-    contributions from count, amount, and merchant diversity, clamped [0,1]."""
-    s = (
-        F.when(tx_count >= 20, 0.5).when(tx_count >= 10, 0.3).when(tx_count >= 5, 0.15).otherwise(F.lit(0.0))
-        + F.when(total_amount >= 10000, 0.3).when(total_amount >= 5000, 0.2).when(total_amount >= 1000, 0.1).otherwise(F.lit(0.0))
-        + F.when(distinct_merchants >= 10, 0.2).when(distinct_merchants >= 5, 0.1).otherwise(F.lit(0.0))
+def velocity_score(
+    tx_count: Column,
+    total_amount: Column,
+    fraud_count: Column,
+    distinct_merchants: Column,
+) -> Column:
+    """A1's composite velocity score (WindowProcessor.java:327-351), term for
+    term: count tiers +0.4/+0.2/+0.1 at > 20/10/5; amount tiers
+    +0.3/+0.2/+0.1 at > 10000/5000/1000; + fraudRate × 0.4; and +0.2 when
+    merchant diversity (uniqueMerchants / txCount) is LOW (< 0.2 — low
+    diversity is the suspicious signal); capped at 1.0."""
+    cnt = tx_count.cast("double")
+    fraud_rate = F.when(tx_count > 0, fraud_count.cast("double") / cnt).otherwise(F.lit(0.0))
+    diversity = F.when(tx_count > 0, distinct_merchants.cast("double") / cnt).otherwise(
+        F.lit(0.0)
     )
-    return clamp(s, 0.0, 1.0)
+    s = (
+        F.when(tx_count > 20, 0.4).when(tx_count > 10, 0.2).when(tx_count > 5, 0.1).otherwise(F.lit(0.0))
+        + F.when(total_amount > 10000, 0.3).when(total_amount > 5000, 0.2).when(total_amount > 1000, 0.1).otherwise(F.lit(0.0))
+        + fraud_rate * 0.4
+        + F.when(diversity < 0.2, 0.2).otherwise(F.lit(0.0))
+    )
+    return F.least(s, F.lit(1.0))
 
 
 def merchant_risk_score(fraud_rate: Column, high_risk_count: Column,

@@ -21,8 +21,8 @@ from pyspark.sql import functions as F
 
 from ..functions.scoring import (
     ensemble_confidence,
+    ensemble_decision,
     ensemble_weighted_average,
-    decision as decision_expr,
 )
 from ..operators.windows import first_seen_flag
 
@@ -65,7 +65,12 @@ def apply_ensemble(scored: DataFrame, model_scores: dict[str, F.Column]) -> Data
         .withColumn("ensemble_confidence", conf)
         .withColumn(
             "ensemble_decision",
-            decision_expr(F.col("ensemble_prob"), F.col("m_is_blacklisted"), F.col("ensemble_confidence")),
+            # blacklist overrides even the ML path (TransactionProcessor.java:463-469)
+            F.when(F.col("m_is_blacklisted"), "DECLINE").otherwise(
+                ensemble_decision(
+                    F.col("ensemble_prob"), F.col("ensemble_confidence")
+                )
+            ),
         )
     )
 

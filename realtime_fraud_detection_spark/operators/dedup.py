@@ -17,16 +17,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_bigint
+from ..functions.hashing import md5_bigint, md5_bigint64
 from ..functions.text import normalized_text
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles of the normalized text as an array<string>."""
+    """Word k-shingles of the normalized text as an array<string>.
+
+    Documents with fewer than k words fall back to the WHOLE normalized text
+    as a single shingle, so short docs keep content-dependent signatures
+    (a constant fallback would make every short doc a false near-duplicate
+    of every other). The DuckDB oracle (_SQL_SHINGLES, suite/dedup_q.py)
+    mirrors this CASE exactly.
+    """
     words = F.split(F.trim(normalized_text(text)), r"\s+")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n < k, F.array(F.concat_ws(" ", *[F.lit("")]))).otherwise(
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
         F.transform(
             idx,
             lambda i: F.concat_ws(
@@ -85,6 +92,37 @@ def exact_dedup(df: DataFrame, fingerprint: Column, id_col: str) -> DataFrame:
     )
 
 
+def _materialize(df: DataFrame, strategy: str, path: str | None) -> DataFrame:
+    """Materialization strategies for a subtree both sides of a self-join
+    share (a DAG has no sharing across join inputs, so an unmaterialized
+    subtree computes twice):
+
+    - ``local_checkpoint`` — executor-local storage; fastest, but lineage is
+      broken and blocks are lost with the executor (fine on a static
+      cluster / local mode).
+    - ``checkpoint`` — reliable checkpoint to ``spark.sparkContext
+      .setCheckpointDir`` storage; survives executor loss, the right choice
+      with dynamic allocation or spot instances.
+    - ``table`` — explicit parquet write-read via ``path``; the result is
+      inspectable and reusable across jobs (the band table is tiny:
+      (id, band, bucket-hash) per doc per band, regardless of corpus size).
+    - ``none`` — no materialization (the subtree computes once per join
+      side; only sensible when the upstream is itself a cheap scan).
+    """
+    if strategy == "local_checkpoint":
+        return df.localCheckpoint(eager=False)
+    if strategy == "checkpoint":
+        return df.checkpoint(eager=False)
+    if strategy == "table":
+        if path is None:
+            raise ValueError("materialize='table' requires materialize_path")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
+    if strategy == "none":
+        return df
+    raise ValueError(f"unknown materialize strategy: {strategy!r}")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -92,13 +130,18 @@ def minhash_lsh_candidates(
     num_perm: int = 4,
     band_size: int = 2,
     shingle_k: int = 3,
+    materialize: str = "local_checkpoint",
+    materialize_path: str | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: shingle → minhash → band buckets → self-join
     per bucket. Returns candidate pairs (id_a < id_b) with their band.
 
     Scale shape: the self-join shuffles on the band key only; bucket sizes are
     the skew risk (salting hook: add a `F.pmod(hash, nsalt)` term to the band
-    key if a bucket explodes).
+    key if a bucket explodes). `materialize` picks how the band table is
+    pinned before the self-join — see :func:`_materialize`; the default
+    executor-local form is right for local mode, `checkpoint`/`table` for
+    clusters that lose executors.
     """
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
     n_bands = num_perm // band_size
@@ -119,12 +162,7 @@ def minhash_lsh_candidates(
     tagged = sig.select(
         "doc", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # materialize once: both sides of the self-join would otherwise recompute
-    # the whole signature subtree (a DAG has no sharing across join inputs).
-    # The band table is tiny — (id, band, bucket-hash) per doc per band —
-    # regardless of corpus size; at cluster scale this is a checkpoint to
-    # executor storage, not driver memory.
-    tagged = tagged.localCheckpoint(eager=False)
+    tagged = _materialize(tagged, materialize, materialize_path)
     left = tagged.alias("l")
     right = tagged.alias("r")
     return (
@@ -178,6 +216,15 @@ def _bit_value(j: int) -> int:
     return (1 << j) if j < 63 else -(1 << 63)
 
 
+def _simhash_word_hash(w: Column, bits: int) -> Column:
+    """Word hash feeding the SimHash votes: the 60-bit md5 truncation for
+    signatures up to 60 bits; the full 64-bit two's-complement hash when all
+    64 bit positions must be able to vote (bits 60-63 of the truncated form
+    are always 0, which would silently degrade a "64-bit" signature to 60)."""
+    fn = md5_bigint64 if bits > 60 else md5_bigint
+    return fn(w, salt="simhash:")
+
+
 def simhash(text: Column, bits: int = 16) -> Column:
     """SimHash signature over word hashes: for each bit position, sum +1/-1
     votes across word hashes, set the bit when the vote is positive.
@@ -186,7 +233,7 @@ def simhash(text: Column, bits: int = 16) -> Column:
     positions, aggregate over words.
     """
     words = F.array_distinct(F.split(F.trim(normalized_text(text)), r"\s+"))
-    hashes = F.transform(words, lambda w: md5_bigint(w, salt="simhash:"))
+    hashes = F.transform(words, lambda w: _simhash_word_hash(w, bits))
     def bit_vote(j: int) -> Column:
         mask = F.lit(_bit_value(j)).cast("long")
         return F.aggregate(
@@ -214,7 +261,7 @@ def simhash_signatures(
         F.explode(
             F.array_distinct(F.split(F.trim(normalized_text(F.col(text_col))), r"\s+"))
         ).alias("w"),
-    ).withColumn("h", md5_bigint(F.col("w"), salt="simhash:"))
+    ).withColumn("h", _simhash_word_hash(F.col("w"), bits))
     votes = words.groupBy("doc").agg(
         *[
             F.sum(

@@ -134,7 +134,9 @@ def with_score(featured: DataFrame) -> DataFrame:
     )
     return (
         featured.withColumn("model_score", score)
-        .withColumn("risk_level", S.risk_level(F.col("model_score")))
+        .withColumn(
+            "risk_level", S.risk_level(F.col("model_score"), F.col("m_is_blacklisted"))
+        )
         .withColumn("decision", S.decision(F.col("model_score"), F.col("m_is_blacklisted")))
     )
 

@@ -5,10 +5,14 @@ python/simulator.py:159-374 and fraud_patterns.py:29-417) as a deterministic
 batch generator: user/merchant profile tables with the same statistical
 shapes (Beta(2,8) user risk, lognormal avg amounts, per-category merchant
 fraud rates), a transaction stream sampled from them, and labeled fraud
-injection for 7 patterns with the reference's probabilities and amount
-ranges (simulator.py:107-157) — card_testing 1-5, synthetic 1000-5000,
-money_laundering 9000-9900, account_takeover novel-device+distant-geo,
-velocity bursts >5-in-10-min.
+injection for the full 10-scenario module (fraud_patterns.py:38-141) with
+the reference's per-scenario probability, severity, detection difficulty,
+amount range, fraud-score range, and row shaping (:161-400) — card-testing
+bursts on test card numbers, account-takeover novel-device + remote-geo,
+velocity bursts with the stateful >5-in-10-min score, structured
+money-laundering amounts, merchant-fraud repetitive price points, bust-out
+spikes, and the low-score friendly / first-party scenarios that are
+deliberately hard to detect.
 
 Ground-truth labels make the output a correctness oracle for the fraud
 pipeline tests (the reference has no test suite — SURVEY §5).
@@ -33,16 +37,39 @@ MERCHANT_CATEGORIES = {
     "adult_entertainment": ("5967", "high", 0.12),
 }
 
-FRAUD_PATTERNS = [
-    # (name, probability, amount_lo, amount_hi)  (simulator.py:107-157)
-    ("card_testing", 0.02, 1.0, 5.0),
-    ("account_takeover", 0.01, 100.0, 2000.0),
-    ("synthetic_fraud", 0.005, 1000.0, 5000.0),
-    ("money_laundering", 0.003, 9000.0, 9900.0),
-    ("merchant_fraud", 0.002, 50.0, 500.0),
-    ("velocity_fraud", 0.01, 20.0, 200.0),
-    ("geographic_fraud", 0.005, 100.0, 1000.0),
-]
+# The 10-scenario fraud module (fraud_patterns.py:38-141):
+# name -> (probability, severity, detection_difficulty,
+#          amount_lo, amount_hi, frequency, geo_pattern,
+#          score_lo, score_hi, fraud_reason)
+FRAUD_SCENARIOS = {
+    "card_testing": (0.025, "medium", "easy", 0.99, 9.99, "burst", "random",
+                     0.75, 0.95, "Small amount testing pattern detected"),
+    "account_takeover": (0.015, "high", "medium", 100.0, 2000.0, "sustained", "remote",
+                         0.70, 0.90, "Geographic and device anomaly detected"),
+    "synthetic_identity": (0.008, "high", "hard", 500.0, 5000.0, "sustained", "local",
+                           0.65, 0.85, "Synthetic identity pattern indicators"),
+    "first_party_fraud": (0.012, "medium", "very_hard", 200.0, 1500.0, "single", "local",
+                          0.10, 0.40, "First party fraud indicators"),
+    "money_laundering": (0.005, "critical", "hard", 9000.0, 9900.0, "sustained", "random",
+                         0.70, 0.90, "Structured transaction pattern"),
+    "merchant_fraud": (0.003, "high", "medium", 50.0, 500.0, "sustained", "local",
+                       0.60, 0.85, "Merchant fraud pattern detected"),
+    "velocity_fraud": (0.018, "medium", "easy", 25.0, 300.0, "burst", "local",
+                       0.60, 0.80, "Velocity pattern detected"),
+    "geographic_fraud": (0.010, "medium", "medium", 100.0, 800.0, "single", "international",
+                         0.75, 0.90, "Geographic impossibility detected"),
+    "bust_out_fraud": (0.004, "high", "hard", 1000.0, 8000.0, "burst", "local",
+                       0.70, 0.90, "Bust-out spending pattern"),
+    "friendly_fraud": (0.020, "low", "very_hard", 50.0, 1000.0, "single", "local",
+                       0.05, 0.25, "Potential friendly fraud"),
+}
+
+# fraud_patterns.py:169 — card testing reuses known test card numbers
+CARD_TESTING_LAST_FOUR = ["1234", "5678", "9999", "0000"]
+# fraud_patterns.py:323 — merchant fraud repeats common price points
+MERCHANT_FRAUD_AMOUNTS = [49.99, 99.99, 199.99, 299.99]
+# burst scenarios -> extra cloned rows per seed row (typical_frequency='burst')
+BURST_CLONES = {"card_testing": 5, "velocity_fraud": 5, "bust_out_fraud": 3}
 
 SUSPICIOUS_NAMES = [
     "Quick Bitcoin Exchange",
@@ -137,19 +164,29 @@ def generate_transactions(
         * rng.normal(1, 0.2, n).clip(0.1)
     ).clip(1.0)
 
-    # fraud injection: cumulative probability roll (simulator.py:107-127)
+    # fraud injection: cumulative probability roll over the 10 scenarios
+    # (fraud_patterns.py:143-159 — weighted selection within the total
+    # fraud probability)
     roll = rng.random(n)
     fraud_type = np.array([None] * n, dtype=object)
+    severity = np.array([None] * n, dtype=object)
+    reason = np.array([None] * n, dtype=object)
     cum = 0.0
-    for name, p, lo, hi in FRAUD_PATTERNS:
+    for name, (p, sev, _diff, lo, hi, _freq, _geo, _slo, _shi, why) in FRAUD_SCENARIOS.items():
         mask = (roll >= cum) & (roll < cum + p)
         fraud_type[mask] = name
-        amount[mask] = rng.uniform(lo, hi, mask.sum())
+        severity[mask] = sev
+        reason[mask] = why
+        if name == "merchant_fraud":
+            # repetitive price points (fraud_patterns.py:322-324)
+            amount[mask] = rng.choice(MERCHANT_FRAUD_AMOUNTS, mask.sum())
+        else:
+            amount[mask] = rng.uniform(lo, hi, mask.sum())
         cum += p
     is_fraud = fraud_type != None  # noqa: E711
 
-    # device fingerprint: usually one of the user's; fraud (account_takeover)
-    # gets a novel one (fraud_patterns.py:189-257)
+    # device fingerprint: usually one of the user's; account takeover gets a
+    # novel fingerprint AND device id (fraud_patterns.py:210-212)
     fp_choice = rng.integers(0, 3, n)
     fp = [
         f"fp-novel-{i}"
@@ -157,12 +194,20 @@ def generate_transactions(
         else u["device_fingerprints"].iloc[i][fp_choice[i] % len(u["device_fingerprints"].iloc[i])]
         for i in range(n)
     ]
+    device_id = np.array([f"dev-{x}" for x in rng.integers(0, 1000, n)], dtype=object)
+    ato = fraud_type == "account_takeover"
+    device_id[ato] = [f"dev-novel-{i}" for i in np.flatnonzero(ato)]
 
     lat = u["home_lat"].to_numpy() + rng.normal(0, 0.5, n)
     lon = u["home_lon"].to_numpy() + rng.normal(0, 0.5, n)
-    geo_mask = (fraud_type == "geographic_fraud") | (fraud_type == "account_takeover")
-    lat[geo_mask] = rng.uniform(-60, 70, geo_mask.sum())
-    lon[geo_mask] = rng.uniform(-180, 180, geo_mask.sum())
+    # account takeover: sudden ±50° jump from the last known location,
+    # clamped to valid ranges (fraud_patterns.py:189-200)
+    lat[ato] = np.clip(lat[ato] + rng.uniform(-50, 50, ato.sum()), -90, 90)
+    lon[ato] = np.clip(lon[ato] + rng.uniform(-50, 50, ato.sum()), -180, 180)
+    # geographic impossibility: anywhere on the globe (fraud_patterns.py:301-310)
+    geo = fraud_type == "geographic_fraud"
+    lat[geo] = rng.uniform(-60, 70, geo.sum())
+    lon[geo] = rng.uniform(-180, 180, geo.sum())
 
     ip_pool = rng.integers(0, 255, (n, 2))
     private = rng.random(n) < 0.2
@@ -177,10 +222,19 @@ def generate_transactions(
         "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36",
     )
 
+    # per-scenario fraud-score ranges (fraud_patterns.py:161-400) — note the
+    # friendly/first-party scenarios deliberately score LOW (they look
+    # legitimate; detection_difficulty 'very_hard')
     score = rng.uniform(0, 0.3, n)
-    for name, _, _, _ in FRAUD_PATTERNS:
+    for name, (_p, _sev, _diff, _lo, _hi, _freq, _geo, slo, shi, _why) in FRAUD_SCENARIOS.items():
         mask = fraud_type == name
-        score[mask] = rng.uniform(0.5, 0.95, mask.sum())  # simulator.py:129-157
+        score[mask] = rng.uniform(slo, shi, mask.sum())
+
+    # card testing reuses a small set of test card numbers and hops IPs
+    # (fraud_patterns.py:166-179)
+    card_last_four = np.array([f"{x:04d}" for x in rng.integers(0, 10000, n)], dtype=object)
+    ct = fraud_type == "card_testing"
+    card_last_four[ct] = rng.choice(CARD_TESTING_LAST_FOUR, ct.sum())
 
     tx = pd.DataFrame(
         {
@@ -196,10 +250,10 @@ def generate_transactions(
                 ["credit_card", "debit_card", "digital_wallet", "bank_transfer"], n
             ),
             "card_type": rng.choice(["visa", "mastercard", "amex", "discover"], n),
-            "card_last_four": [f"{x:04d}" for x in rng.integers(0, 10000, n)],
+            "card_last_four": card_last_four,
             "ts": ts,
             "ip_address": ips,
-            "device_id": [f"dev-{x}" for x in rng.integers(0, 1000, n)],
+            "device_id": device_id,
             "device_fingerprint": fp,
             "user_agent": uas,
             "lat": lat,
@@ -208,21 +262,37 @@ def generate_transactions(
             "m_lon": m["m_lon"].to_numpy(),
             "is_fraud": is_fraud,
             "fraud_type": fraud_type,
+            "fraud_severity": severity,
+            "fraud_reason": reason,
             "fraud_score": score,
         }
     )
 
-    # velocity_fraud: burst shaping — clone each velocity row into a tight
-    # >5-tx 10-minute cluster (fraud_patterns.py:161-257, FIXTURES.md)
-    vmask = tx["fraud_type"] == "velocity_fraud"
+    # burst shaping for the burst-frequency scenarios: clone each seed row
+    # into a tight 10-minute cluster (fraud_patterns.py:226-258 velocity,
+    # :161-181 card testing, :335-348 bust-out). Velocity clones get the
+    # reference's STATEFUL score — min(0.95, 0.5 + 0.1 × count-in-window)
+    # once the 10-minute window holds more than 5 transactions (:245-253).
     bursts = []
-    for _, row in tx[vmask].iterrows():
-        for j in range(5):
-            r = row.copy()
-            r["transaction_id"] = f"{row['transaction_id']}_b{j}"
-            r["ts"] = row["ts"] + pd.Timedelta(seconds=int(rng.integers(10, 600)))
-            r["amount"] = round(float(row["amount"]) * float(rng.uniform(0.8, 1.2)), 2)
-            bursts.append(r)
+    for pattern, n_clones in BURST_CLONES.items():
+        pmask = tx["fraud_type"] == pattern
+        plo, phi = FRAUD_SCENARIOS[pattern][3], FRAUD_SCENARIOS[pattern][4]
+        for _, row in tx[pmask].iterrows():
+            for j in range(n_clones):
+                r = row.copy()
+                r["transaction_id"] = f"{row['transaction_id']}_b{j}"
+                r["ts"] = row["ts"] + pd.Timedelta(seconds=int(rng.integers(10, 600)))
+                if pattern == "merchant_fraud":
+                    pass  # repetitive price points stay identical
+                elif pattern == "card_testing":
+                    r["amount"] = round(float(rng.uniform(plo, phi)), 2)
+                else:
+                    r["amount"] = round(float(row["amount"]) * float(rng.uniform(0.8, 1.2)), 2)
+                if pattern == "velocity_fraud":
+                    count_in_window = j + 2  # seed row + clones so far
+                    if count_in_window > 5:
+                        r["fraud_score"] = min(0.95, 0.5 + 0.1 * count_in_window)
+                bursts.append(r)
     if bursts:
         tx = pd.concat([tx, pd.DataFrame(bursts)], ignore_index=True)
     return tx.sort_values("ts", kind="mergesort").reset_index(drop=True)

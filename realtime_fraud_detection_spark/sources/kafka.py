@@ -21,6 +21,37 @@ TOPIC_ALERTS = "fraud-alerts"
 TOPIC_ENRICHED = "transaction-enriched"
 TOPIC_FEATURES = "transaction-features"
 
+# FraudDetectionJob.java:16 (JobConfig default)
+CONSUMER_GROUP_ID = "fraud-detection-flink-job"
+
+# the S4-S6 fan-out routing (FraudDetectionJob.java:162-196, topics created
+# at scripts/setup/create-topics.sh:92-124)
+SINK_TOPICS = {
+    "fraud_alerts": TOPIC_ALERTS,
+    "transaction_enriched": TOPIC_ENRICHED,
+    "transaction_features": TOPIC_FEATURES,
+}
+
+
+def kafka_source_options(
+    brokers: str,
+    topic: str = TOPIC_TRANSACTIONS,
+    starting_offsets: str = "latest",
+    group_id: str = CONSUMER_GROUP_ID,
+) -> dict[str, str]:
+    """S1's exact consumer contract (FraudDetectionJob.java:141-157): the
+    reference subscribes `payment-transactions` with its own group id, latest
+    offsets, auto-commit off (Spark manages offsets via the checkpoint —
+    same intent as Flink's enable.auto.commit=false), and read_committed
+    isolation. Pure so the contract is testable without a broker."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "kafka.group.id": group_id,
+        "kafka.isolation.level": "read_committed",
+    }
+
 
 def read_kafka_stream(
     spark: SparkSession,
@@ -28,16 +59,11 @@ def read_kafka_stream(
     topic: str = TOPIC_TRANSACTIONS,
     starting_offsets: str = "latest",
 ) -> DataFrame:
-    """S1 — Kafka source (FraudDetectionJob.java:141-157: group id, latest
-    offsets, read_committed)."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("kafka.isolation.level", "read_committed")
-        .load()
-    )
+    """S1 — Kafka source wired from :func:`kafka_source_options`."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(brokers, topic, starting_offsets).items():
+        reader = reader.option(k, v)
+    return reader.load()
 
 
 def parse_transactions(raw: DataFrame, value_col: str = "value") -> DataFrame:
@@ -79,21 +105,47 @@ def serialize_for_kafka(df: DataFrame, key_col: str = "transaction_id") -> DataF
     )
 
 
+def kafka_sink_options(brokers: str, topic: str, checkpoint: str) -> dict[str, str]:
+    """S4-S6's producer contract (FraudDetectionJob.java:162-196): one topic
+    per sink, offsets tracked by the streaming checkpoint."""
+    return {
+        "kafka.bootstrap.servers": brokers,
+        "topic": topic,
+        "checkpointLocation": checkpoint,
+    }
+
+
 def write_kafka_stream(
     df: DataFrame,
     brokers: str,
     topic: str,
     checkpoint: str,
 ):
-    """S4/S5/S6 — Kafka sink (FraudDetectionJob.java:162-196)."""
-    return (
-        serialize_for_kafka(df)
-        .writeStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("topic", topic)
-        .option("checkpointLocation", checkpoint)
-        .start()
-    )
+    """S4/S5/S6 — Kafka sink wired from :func:`kafka_sink_options`; the
+    frame is the (key, value-JSON) shape from :func:`serialize_for_kafka`."""
+    writer = serialize_for_kafka(df).writeStream.format("kafka")
+    for k, v in kafka_sink_options(brokers, topic, checkpoint).items():
+        writer = writer.option(k, v)
+    return writer.start()
+
+
+def kafka_sink_frames(scored: DataFrame) -> dict[str, DataFrame]:
+    """The S4-S6 fan-out as (topic → (key, value) frame): exactly what a
+    foreachBatch kafka writer (or `write_kafka_stream` per topic) sends.
+    Testable without a broker — the frames ARE the wire contract."""
+    from .. import pipeline as P
+
+    return {
+        SINK_TOPICS["fraud_alerts"]: serialize_for_kafka(
+            P.fraud_alerts(scored), key_col="transaction_id"
+        ),
+        SINK_TOPICS["transaction_enriched"]: serialize_for_kafka(
+            scored, key_col="transaction_id"
+        ),
+        SINK_TOPICS["transaction_features"]: serialize_for_kafka(
+            P.feature_vector(scored).drop("features"), key_col="transaction_id"
+        ),
+    }
 
 
 def rate_transaction_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:

@@ -4,9 +4,16 @@ foreachBatch multi-write (SURVEY §2.9 "stream split", §7 hard-point 4).
 The reference runs four independent sinks off the processed stream
 (FraudDetectionJob.java:66-100) and swallows partial Redis failures
 (RedisTransactionSink.java:74-81). Here a single foreachBatch persists the
-scored micro-batch once and writes all projections from it — one scan, and
-every sink sees the same batch or none (checkpointed batch id = idempotent
-replay on retry).
+scored micro-batch once and writes all projections from it.
+
+Replay semantics: each sink partitions by batch_id and writes with DYNAMIC
+partition overwrite, so a batch replayed after a mid-fan-out crash replaces
+exactly its own partition in each sink instead of appending duplicates —
+end-to-end the sinks hold each batch's rows exactly once. (The window where
+a crash leaves SOME sinks with the new batch and others without lasts until
+the replay; readers that must never observe it should read a single sink or
+gate on the checkpoint's committed batch id. Transactional cross-table
+visibility is what Delta/Iceberg add in production.)
 """
 
 from __future__ import annotations
@@ -20,6 +27,19 @@ from pyspark.sql import functions as F
 from .. import pipeline as P
 
 
+def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
+    """Write one batch as partition batch_id=N, replacing that partition if
+    it already exists (idempotent replay) and leaving every other batch's
+    partition untouched (dynamic, not static, overwrite)."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(path)
+    )
+
+
 def multi_sink_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
     """foreachBatch function: scored batch → {alerts, enriched, features,
     aggregates} parquet tables (stand-ins for Kafka topics / Redis tables;
@@ -28,26 +48,28 @@ def multi_sink_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
     def write(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
         try:
-            P.fraud_alerts(batch).withColumn("batch_id", F.lit(batch_id)).write.mode(
-                "append"
-            ).parquet(os.path.join(out_dir, "fraud_alerts"))
-            batch.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(
-                os.path.join(out_dir, "transaction_enriched")
+            _write_batch_partition(
+                P.fraud_alerts(batch), batch_id, os.path.join(out_dir, "fraud_alerts")
             )
-            P.feature_vector(batch).drop("features").withColumn(
-                "batch_id", F.lit(batch_id)
-            ).write.mode("append").parquet(os.path.join(out_dir, "transaction_features"))
-            # A9-style hourly rollup upsert target (overwrite-by-batch keeps
-            # the demo simple; Delta MERGE in production)
-            (
-                batch.groupBy(F.date_trunc("hour", "ts").alias("hour"))
-                .agg(
+            _write_batch_partition(
+                batch, batch_id, os.path.join(out_dir, "transaction_enriched")
+            )
+            _write_batch_partition(
+                P.feature_vector(batch).drop("features"),
+                batch_id,
+                os.path.join(out_dir, "transaction_features"),
+            )
+            # A9-style hourly rollup: append-only per-batch partials,
+            # re-aggregated by hourly_rollup_view (Delta MERGE in production)
+            _write_batch_partition(
+                batch.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
                     F.count("*").alias("tx_count"),
-                    F.sum(F.col("amount").cast("decimal(18,2)")).cast("double").alias("total_amount"),
-                )
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
-                .parquet(os.path.join(out_dir, "hourly_aggregates"))
+                    F.sum(F.col("amount").cast("decimal(18,2)"))
+                    .cast("double")
+                    .alias("total_amount"),
+                ),
+                batch_id,
+                os.path.join(out_dir, "hourly_aggregates"),
             )
         finally:
             batch.unpersist()
@@ -55,41 +77,69 @@ def multi_sink_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
     return write
 
 
-def compact_hourly_rollups(spark, out_dir: str) -> int:
-    """Rewrite the append-only per-batch partial aggregates as one compacted
-    partial per hour (the maintenance job behind `hourly_rollup_view` — at
-    scale this runs periodically so the view's re-aggregation reads O(hours)
-    rows instead of O(hours × batches)).
+def _rollup_partitions(path: str) -> list[str]:
+    return [d for d in os.listdir(path) if d.startswith("batch_id=")]
 
-    Write-then-swap: the compacted table lands in a sibling temp dir and
-    replaces the log atomically at the directory level. Returns the number
-    of compacted rows.
+
+def compact_hourly_rollups(spark, out_dir: str, max_batch_id: int | None = None) -> int:
+    """Rewrite the per-batch partial aggregates as one compacted partial per
+    hour (the maintenance job behind `hourly_rollup_view` — at scale this
+    runs periodically so the view's re-aggregation reads O(hours) rows
+    instead of O(hours × batches)).
+
+    Consume-then-delete: only the batch partitions that existed when the
+    compaction STARTED are read, the compacted result lands as a fresh
+    negative-id partition (a plain directory rename — the target name never
+    pre-exists), and only the consumed partitions are then deleted. Batches
+    appended concurrently are therefore never lost; a reader racing the
+    deletes can transiently double-count the consumed partials (single
+    partition-swap atomicity is the Delta/Iceberg upgrade). Returns the
+    number of compacted rows.
+
+    `max_batch_id` guards against folding a batch the stream could still
+    REPLAY (idempotent overwrite only works while the batch's own partition
+    exists): pass the checkpoint's last committed batch id so only committed
+    batches — plus prior compaction outputs (negative ids) — are consumed.
     """
     import shutil
 
     path = os.path.join(out_dir, "hourly_aggregates")
+    consumed = _rollup_partitions(path)
+    if max_batch_id is not None:
+        consumed = [d for d in consumed if int(d.split("=", 1)[1]) <= max_batch_id]
+    if not consumed:
+        return 0
+    ids = [int(d.split("=", 1)[1]) for d in consumed]
+    gen = min(-1, min(ids) - 1)  # fresh negative id below any prior compaction
     compacted = (
-        spark.read.parquet(path)
+        spark.read.option("basePath", path)
+        .parquet(*[os.path.join(path, d) for d in consumed])
         .groupBy("hour")
         .agg(
             F.sum("tx_count").alias("tx_count"),
-            F.sum(F.col("total_amount").cast("decimal(18,2)")).cast("double").alias("total_amount"),
+            F.sum(F.col("total_amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_amount"),
         )
-        .withColumn("batch_id", F.lit(-1).cast("long"))
     )
     tmp = path + ".compacting"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     compacted.coalesce(1).write.mode("overwrite").parquet(tmp)
     n = spark.read.parquet(tmp).count()
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    os.rename(tmp, os.path.join(path, f"batch_id={gen}"))
+    for d in consumed:
+        shutil.rmtree(os.path.join(path, d))
     return n
 
 
 def hourly_rollup_view(spark, out_dir: str) -> DataFrame:
     """Current hourly totals from the per-batch partial aggregates the sink
-    appends — the compaction view over an append-only aggregate log (the
+    writes — the compaction view over a partitioned aggregate log (the
     parquet-native stand-in for a Delta MERGE target). Partials re-aggregate
-    exactly because they are counts and decimal-exact sums."""
+    exactly because they are counts and decimal-exact sums, and replay
+    cannot duplicate a batch because each batch overwrites its own
+    partition."""
     partials = spark.read.parquet(os.path.join(out_dir, "hourly_aggregates"))
     return partials.groupBy("hour").agg(
         F.sum("tx_count").alias("tx_count"),

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
-from ..functions.hashing import md5_bigint_sql
+from ..functions.hashing import md5_bigint64_sql, md5_bigint_sql
 from ..operators import dedup as D
 from ..operators import similarity as SIM
 from ..sources.testdata import load_table
@@ -37,8 +37,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Shared oracle-SQL building blocks -----------------------------------------
 _SQL_WORDS = r"string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+')"
+# <3-word docs: whole normalized text as the single shingle (mirrors
+# operators/dedup.word_shingles — content-dependent signatures for short docs)
 _SQL_SHINGLES = (
-    "list_transform(range(1, greatest(len(ws) - 1, 1)), i -> array_to_string(ws[i:i+2], ' '))"
+    "CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+    "ELSE list_transform(range(1, len(ws) - 1), i -> array_to_string(ws[i:i+2], ' ')) END"
 )
 
 
@@ -229,6 +232,37 @@ FROM hw
 
 
 # ---------------------------------------------------------------------------
+# 64-bit SimHash (production form): full 64-bit two's-complement word hashes
+# so bits 60-63 actually vote. Bit 63 is handled without shift masks on both
+# engines: h < 0 tests the sign bit, and setting it adds Long.MIN_VALUE
+# (1 << 63 overflows BIGINT in DuckDB and LongType in Spark alike).
+# ---------------------------------------------------------------------------
+def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return D.simhash_signatures(docs, "text", "doc_id", bits=64).withColumnRenamed(
+        "doc", "doc_id"
+    )
+
+
+_SIMHASH_H64 = md5_bigint64_sql("w", salt="simhash:")
+SQL_SIMHASH64 = rf"""
+WITH hw AS (
+  SELECT doc_id, list_transform(list_distinct({_SQL_WORDS}), w -> {_SIMHASH_H64}) AS hs
+  FROM documents
+)
+SELECT doc_id,
+  CAST(list_sum(list_transform(range(0, 63), j ->
+    CASE WHEN list_sum(list_transform(hs, h ->
+           CASE WHEN (h & (1::BIGINT << j)) <> 0 THEN 1 ELSE -1 END)) > 0
+         THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)
+  + CASE WHEN list_sum(list_transform(hs, h ->
+           CASE WHEN h < 0 THEN 1 ELSE -1 END)) > 0
+         THEN (-9223372036854775807 - 1) ELSE 0 END AS simhash64
+FROM hw
+"""
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs, blocked by label
 # ---------------------------------------------------------------------------
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -310,6 +344,7 @@ QUERIES = {
     "minhash_signature": q_minhash_signature,
     "lsh_near_dups": q_lsh_near_dups,
     "simhash": q_simhash,
+    "simhash64": q_simhash64,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
@@ -323,6 +358,7 @@ ORACLES = {
     "minhash_signature": SQL_MINHASH_SIGNATURE,
     "lsh_near_dups": SQL_LSH_NEAR_DUPS,
     "simhash": SQL_SIMHASH,
+    "simhash64": SQL_SIMHASH64,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "ann_topk": SQL_ANN_TOPK,
     # ann_lsh / ann_ivf: approximate by construction → rows-only check

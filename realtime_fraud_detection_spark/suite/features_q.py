@@ -213,7 +213,8 @@ def q_rule_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "signup", "medium")
         .otherwise("low"),
         merchant_is_blacklisted=F.col("event_type") == "error",
-        merchant_fraud_rate=(F.col("user_id") % 20).cast("double") / 400.0,
+        # % 40 / 400 spans 0..0.0975 so the > 0.05 gate splits the fixture
+        merchant_fraud_rate=(F.col("user_id") % 40).cast("double") / 400.0,
         is_high_risk_category=F.col("event_type") == "purchase",
         is_large_for_user=F.col("value") > 400,
         is_new_device=F.col("event_id") % 11 == 0,
@@ -221,11 +222,12 @@ def q_rule_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         within_merchant_hours=F.hour("ts").between(6, 22),
     )
     score_r = F.round(score, 6)
+    blacklisted = F.col("event_type") == "error"
     return j.select(
         "event_id",
         score_r.alias("fraud_score"),
-        S.risk_level(score_r).alias("risk_level"),
-        S.decision(score_r, F.col("event_type") == "error").alias("decision"),
+        S.risk_level(score_r, blacklisted).alias("risk_level"),
+        S.decision(score_r, blacklisted).alias("decision"),
     )
 
 
@@ -239,7 +241,8 @@ WITH scored AS (
       + CASE WHEN NOT (user_id % 7 <> 0) THEN 0.15 ELSE 0.0 END
       + CASE WHEN event_type = 'error' THEN 0.20 WHEN event_type = 'signup' THEN 0.10 ELSE 0.0 END
       + CASE WHEN event_type = 'error' THEN 0.40 ELSE 0.0 END
-      + 2.0 * (CAST(user_id % 20 AS DOUBLE) / 400.0)
+      + CASE WHEN CAST(user_id % 40 AS DOUBLE) / 400.0 > 0.05
+             THEN 2.0 * (CAST(user_id % 40 AS DOUBLE) / 400.0) ELSE 0.0 END
       + CASE WHEN event_type = 'purchase' THEN 0.15 ELSE 0.0 END
       + CASE WHEN value > 400 THEN 0.15 ELSE 0.0 END
       + CASE WHEN event_id % 11 = 0 THEN 0.10 ELSE 0.0 END
@@ -249,12 +252,12 @@ WITH scored AS (
     event_type
   FROM events LEFT JOIN customer ON user_id = c_custkey)
 SELECT event_id, fraud_score,
-  CASE WHEN fraud_score >= 0.9 THEN 'CRITICAL' WHEN fraud_score >= 0.7 THEN 'HIGH'
-       WHEN fraud_score >= 0.5 THEN 'MEDIUM' WHEN fraud_score >= 0.3 THEN 'LOW'
-       ELSE 'VERY_LOW' END AS risk_level,
+  CASE WHEN event_type = 'error' THEN 'CRITICAL'
+       WHEN fraud_score >= 0.9 THEN 'CRITICAL' WHEN fraud_score >= 0.7 THEN 'HIGH'
+       WHEN fraud_score >= 0.5 THEN 'MEDIUM' ELSE 'LOW' END AS risk_level,
   CASE WHEN event_type = 'error' THEN 'DECLINE'
-       WHEN fraud_score >= 0.7 THEN 'DECLINE'
-       WHEN fraud_score >= 0.5 THEN 'REVIEW'
+       WHEN fraud_score >= 0.9 THEN 'DECLINE'
+       WHEN fraud_score >= 0.7 THEN 'REVIEW'
        ELSE 'APPROVE' END AS decision
 FROM scored
 """
@@ -292,7 +295,8 @@ def q_ensemble_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         prob_r.alias("ensemble_prob"),
         conf_r.alias("confidence"),
         F.round(combined, 6).alias("combined_score"),
-        S.decision(prob_r, F.lit(False), conf_r).alias("decision"),
+        S.ensemble_decision(prob_r, conf_r).alias("decision"),
+        S.ensemble_risk_level(prob_r).alias("risk_level"),
     )
 
 
@@ -323,12 +327,16 @@ final AS (
       + 0.3 * 0.10), 0.0), 1.0), 6) AS combined_score
   FROM ens)
 SELECT event_id, ensemble_prob, confidence, combined_score,
-  CASE WHEN confidence < 0.3 AND (CASE WHEN ensemble_prob >= 0.7 THEN 'DECLINE'
-            WHEN ensemble_prob >= 0.5 THEN 'REVIEW' ELSE 'APPROVE' END) = 'APPROVE'
-       THEN 'REVIEW'
-       WHEN ensemble_prob >= 0.7 THEN 'DECLINE'
-       WHEN ensemble_prob >= 0.5 THEN 'REVIEW'
-       ELSE 'APPROVE' END AS decision
+  CASE WHEN confidence < 0.7 THEN 'REVIEW'
+       WHEN ensemble_prob >= 0.95 THEN 'DECLINE'
+       WHEN ensemble_prob >= 0.8 THEN 'REVIEW'
+       WHEN ensemble_prob >= 0.6 THEN 'APPROVE_WITH_MONITORING'
+       ELSE 'APPROVE' END AS decision,
+  CASE WHEN ensemble_prob >= 0.95 THEN 'CRITICAL'
+       WHEN ensemble_prob >= 0.8 THEN 'HIGH'
+       WHEN ensemble_prob >= 0.6 THEN 'MEDIUM'
+       WHEN ensemble_prob >= 0.3 THEN 'LOW'
+       ELSE 'VERY_LOW' END AS risk_level
 FROM final
 """
 

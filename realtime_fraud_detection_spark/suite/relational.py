@@ -196,17 +196,18 @@ SELECT c_custkey, 'intersect' AS op FROM (
 def q_case_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     score = F.col("value") / 500.0
+    blacklisted = F.col("event_type") == "error"
     risk = (
-        F.when(score >= 0.9, "CRITICAL")
+        F.when(blacklisted, "CRITICAL")
+        .when(score >= 0.9, "CRITICAL")
         .when(score >= 0.7, "HIGH")
         .when(score >= 0.5, "MEDIUM")
-        .when(score >= 0.3, "LOW")
-        .otherwise("VERY_LOW")
+        .otherwise("LOW")
     )
     decision = (
-        F.when(F.col("event_type") == "error", "DECLINE")
-        .when(score >= 0.7, "DECLINE")
-        .when(score >= 0.5, "REVIEW")
+        F.when(blacklisted, "DECLINE")
+        .when(score >= 0.9, "DECLINE")
+        .when(score >= 0.7, "REVIEW")
         .otherwise("APPROVE")
     )
     return (
@@ -220,14 +221,14 @@ def q_case_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_CASE_DECISION = """
 WITH scored AS (
   SELECT value,
-    CASE WHEN value/500.0 >= 0.9 THEN 'CRITICAL'
+    CASE WHEN event_type = 'error' THEN 'CRITICAL'
+         WHEN value/500.0 >= 0.9 THEN 'CRITICAL'
          WHEN value/500.0 >= 0.7 THEN 'HIGH'
          WHEN value/500.0 >= 0.5 THEN 'MEDIUM'
-         WHEN value/500.0 >= 0.3 THEN 'LOW'
-         ELSE 'VERY_LOW' END AS risk_level,
+         ELSE 'LOW' END AS risk_level,
     CASE WHEN event_type = 'error' THEN 'DECLINE'
-         WHEN value/500.0 >= 0.7 THEN 'DECLINE'
-         WHEN value/500.0 >= 0.5 THEN 'REVIEW'
+         WHEN value/500.0 >= 0.9 THEN 'DECLINE'
+         WHEN value/500.0 >= 0.7 THEN 'REVIEW'
          ELSE 'APPROVE' END AS decision
   FROM events)
 SELECT risk_level, decision, COUNT(*) AS cnt,

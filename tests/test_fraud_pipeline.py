@@ -80,12 +80,18 @@ def test_derived_ml_side_features(scored):
 def test_score_bounds_and_decision_consistency(scored):
     pdf = scored.select("model_score", "risk_level", "decision", "m_is_blacklisted").toPandas()
     assert ((pdf["model_score"] >= 0) & (pdf["model_score"] <= 1)).all()
-    # decision bands (TransactionProcessor.java:444-473)
+    # decision bands (TransactionProcessor.java:444-473): DECLINE only at
+    # >= 0.9 or blacklist; REVIEW >= 0.7; APPROVE below the 0.7 threshold
     declined = pdf[pdf["decision"] == "DECLINE"]
-    assert ((declined["model_score"] >= 0.7) | declined["m_is_blacklisted"]).all()
+    assert ((declined["model_score"] >= 0.9) | declined["m_is_blacklisted"]).all()
+    reviewed = pdf[pdf["decision"] == "REVIEW"]
+    assert ((reviewed["model_score"] >= 0.7) & (reviewed["model_score"] < 0.9)).all()
     approved = pdf[pdf["decision"] == "APPROVE"]
-    assert (approved["model_score"] < 0.5).all()
+    assert (approved["model_score"] < 0.7).all()
     assert not approved["m_is_blacklisted"].any()
+    # risk bands follow the same rule path, blacklist forcing CRITICAL
+    crit = pdf[pdf["risk_level"] == "CRITICAL"]
+    assert ((crit["model_score"] >= 0.9) | crit["m_is_blacklisted"]).all()
 
 
 def test_fraud_scores_separate_labels(scored):
