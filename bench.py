@@ -35,7 +35,8 @@ HEADLINE = [
     "pattern_buckets",
     "rule_score",
     "ensemble_decision",
-    "text_quality",
+    "text_features",
+    "doc_fingerprint",
     "minhash_signature",
     "lsh_near_dups",
     "simhash",

@@ -21,16 +21,12 @@ from ..functions.hashing import md5_bigint, md5_bigint64
 from ..functions.text import normalized_text
 
 
-def word_shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles of the normalized text as an array<string>.
-
-    Documents with fewer than k words fall back to the WHOLE normalized text
-    as a single shingle, so short docs keep content-dependent signatures
-    (a constant fallback would make every short doc a false near-duplicate
-    of every other). The DuckDB oracle (_SQL_SHINGLES, suite/dedup_q.py)
-    mirrors this CASE exactly.
-    """
-    words = F.split(F.trim(normalized_text(text)), r"\s+")
+def _shingles_from_words(words: Column, k: int) -> Column:
+    """k-shingles from a word array. Documents with fewer than k words fall
+    back to the WHOLE normalized text as a single shingle, so short docs
+    keep content-dependent signatures (a constant fallback would make every
+    short doc a false near-duplicate of every other). The DuckDB oracle
+    (_SQL_SHINGLES, suite/dedup_q.py) mirrors this CASE exactly."""
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
@@ -41,6 +37,45 @@ def word_shingles(text: Column, k: int = 3) -> Column:
             ),
         )
     )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles of the normalized text as an array<string>.
+
+    Column-level form for ad-hoc use. In scan-heavy operators prefer
+    :func:`shingle_table`: here the word array feeds a transform LAMBDA, and
+    expressions referenced under a higher-order-function lambda are
+    re-evaluated per element (no subexpression elimination under lambdas),
+    so the split+regexp runs once per shingle position — measured 3× slower
+    than the staged form at sf0.1.
+    """
+    return _shingles_from_words(F.split(F.trim(normalized_text(text)), r"\s+"), k)
+
+
+def shingle_table(df: DataFrame, text_col: str, id_col: str, k: int = 3,
+                  distinct: bool = False, exploded: bool = False) -> DataFrame:
+    """Shingles with the word array STAGED as a bound column before the
+    shingling lambda — the O(n) form (see :func:`word_shingles`). The
+    multiple references to the staged alias keep CollapseProject from
+    re-inlining the split into the lambda.
+
+    `exploded=True` returns (doc, s: one shingle per row) with the explode
+    applied DIRECTLY over the staged frame. Do not wrap the array in an
+    intermediate single-reference alias and explode that one level up: the
+    alias collapses into the Generate and drags the word-split back under
+    the lambda — measured 7× slower at sf0.1 (19.7 s vs 2.7 s minhash).
+    `exploded=False` returns (doc, sh: array<string>).
+    """
+    staged = df.select(
+        F.col(id_col).alias("doc"),
+        F.split(F.trim(normalized_text(F.col(text_col))), r"\s+").alias("_w"),
+    )
+    sh = _shingles_from_words(F.col("_w"), k)
+    if distinct:
+        sh = F.array_distinct(sh)
+    if exploded:
+        return staged.select("doc", F.explode(sh).alias("s"))
+    return staged.select("doc", sh.alias("sh"))
 
 
 def minhash(shingles: Column, num_perm: int = 4) -> list[Column]:
@@ -70,15 +105,87 @@ def minhash_signatures(
     shuffle carries only (id, num_perm mins). This is the 100 TB shape —
     the HOF variant re-evaluates the shingling per permutation, interpreted.
     """
-    exploded = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
-    )
+    exploded = shingle_table(df, text_col, id_col, shingle_k, exploded=True)
     return exploded.groupBy("doc").agg(
         *[
             F.min(md5_bigint(F.col("s"), salt=f"perm{p}:")).alias(f"mh{p}")
             for p in range(num_perm)
         ]
+    )
+
+
+def winnow_fingerprint_table(df: DataFrame, text_col: str, id_col: str,
+                             k: int = 5, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03):
+    hash every character k-gram of the normalized text, then keep the
+    minimum hash of each sliding window of w consecutive k-gram hashes.
+    Guarantees any shared substring of length >= k + w - 1 contributes at
+    least one shared fingerprint — the rolling-hash dedup primitive the
+    md5-whole-text fingerprint can't provide.
+
+    Returns (id, fps: sorted distinct array<long>). Pure expression (no
+    UDF), staged as one projection per array so every lambda operates on a
+    BOUND column: an expression referenced inside a higher-order-function
+    lambda is re-evaluated per element (Spark's subexpression elimination
+    does not reach under lambdas), so inlining text→grams→hashes→minima in
+    one expression is O(n²) per document — measured 25× slower at sf0.001.
+    Multiple references to each staged alias also stop CollapseProject from
+    re-inlining them. Docs shorter than k characters degenerate to one
+    whole-text fingerprint via the greatest(..., 1) bounds (substr past the
+    end truncates identically on Spark and DuckDB — no oracle special
+    case)."""
+    t = F.trim(normalized_text(F.col(text_col)))
+    staged = df.select(F.col(id_col).alias("_id"), t.alias("_t"))
+    tt = F.col("_t")
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(tt) - k + 1, F.lit(1))),
+        lambda i: md5_bigint(F.substr(tt, i, F.lit(k)), salt="winnow:"),
+    )
+    staged = staged.select("_id", hashes.alias("_hs"))
+    hs = F.col("_hs")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(hs) - w + 1, F.lit(1))),
+        lambda i: F.array_min(F.slice(hs, i, w)),
+    )
+    return staged.select(
+        F.col("_id").alias(id_col),
+        F.array_sort(F.array_distinct(wins)).alias("fps"),
+    )
+
+
+def winnow_digest(df: DataFrame, text_col: str, id_col: str,
+                  k: int = 5, w: int = 4) -> DataFrame:
+    """Per-document winnowing summary: fingerprint count + an md5 digest of
+    the sorted fingerprint set (1 row/doc, bounded output)."""
+    fp = winnow_fingerprint_table(df, text_col, id_col, k, w)
+    return fp.select(
+        id_col,
+        F.size("fps").alias("n_fingerprints"),
+        F.md5(F.concat_ws(",", F.transform(F.col("fps"), lambda x: x.cast("string")))).alias(
+            "fp_digest"
+        ),
+    )
+
+
+def winnow_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
+                           k: int = 5, w: int = 4,
+                           min_shared: int = 2) -> DataFrame:
+    """Near-dup candidates via shared winnowing fingerprints: explode each
+    doc's fingerprint set and equi-join on the fingerprint — the same
+    linear-scan + small-key-shuffle shape as LSH banding (never all-pairs).
+    Returns (doc_a, doc_b, shared_fingerprints) for pairs sharing at least
+    `min_shared` fingerprints."""
+    fp = winnow_fingerprint_table(df, text_col, id_col, k, w).select(
+        F.col(id_col).alias("doc"), F.explode("fps").alias("fp")
+    )
+    fp = fp.localCheckpoint(eager=False)  # shared self-join subtree
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
     )
 
 
@@ -190,10 +297,7 @@ def ngram_jaccard(
     equi joins on the doc id; the shingle arrays only materialize for
     candidates, not the whole corpus.
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.array_distinct(word_shingles(F.col(text_col), shingle_k)).alias("sh"),
-    )
+    sh = shingle_table(df, text_col, id_col, shingle_k, distinct=True)
     a = sh.alias("a")
     b = sh.alias("b")
     return (

@@ -62,7 +62,9 @@ sig AS (
 
 
 # ---------------------------------------------------------------------------
-# Text features (bert_text_analyzer.py:283-399 rule-based family)
+# Text analysis — one frame covering the rule-based feature family
+# (bert_text_analyzer.py:283-399) AND quality scoring / language ID / token
+# counting, merged into a single driver correctness row (50-query window).
 # ---------------------------------------------------------------------------
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
@@ -75,29 +77,6 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats["special_char_count"].alias("special_char_count"),
         feats["has_crypto_keyword"].alias("has_crypto_keyword"),
         feats["has_urgent_keyword"].alias("has_urgent_keyword"),
-    )
-
-
-SQL_TEXT_FEATURES = r"""
-SELECT doc_id,
-  length(text) AS text_length,
-  CASE WHEN length(trim(text)) = 0 THEN 0
-       ELSE len(string_split_regex(trim(text), '\s+')) END AS word_count,
-  len(regexp_extract_all(text, '[0-9]')) AS digit_count,
-  len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS special_char_count,
-  regexp_matches(text, '(?i)(bitcoin|crypto|btc|ethereum|coin)') AS has_crypto_keyword,
-  regexp_matches(text, '(?i)(urgent|immediately|act now|limited time)') AS has_urgent_keyword
-FROM documents
-"""
-
-
-# ---------------------------------------------------------------------------
-# Quality scoring + language ID + token counting
-# ---------------------------------------------------------------------------
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return docs.select(
-        "doc_id",
         "lang",
         F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
         TX.language_id(F.col("text")).alias("detected_lang"),
@@ -111,9 +90,9 @@ _DE = r"\b(der|die|das|und|ist|nicht|ein|eine|mit|von)\b"
 _FR = r"\b(le|la|les|et|est|une|des|dans|pour|que)\b"
 _ES = r"\b(el|la|los|las|es|una|del|para|por|que)\b"
 
-SQL_TEXT_QUALITY = rf"""
+SQL_TEXT_FEATURES = rf"""
 WITH base AS (
-  SELECT doc_id, lang,
+  SELECT doc_id, lang, text,
     length(text)::DOUBLE AS chlen,
     CASE WHEN length(trim(text)) = 0 THEN 0
          ELSE len(string_split_regex(trim(text), '\s+')) END AS wc,
@@ -124,7 +103,14 @@ WITH base AS (
     len(regexp_extract_all(text, '[^a-zA-Z0-9\s]'))::DOUBLE AS specials,
     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS tokens_bpe
   FROM documents)
-SELECT doc_id, lang,
+SELECT doc_id,
+  length(text) AS text_length,
+  wc AS word_count,
+  len(regexp_extract_all(text, '[0-9]')) AS digit_count,
+  CAST(specials AS BIGINT) AS special_char_count,
+  regexp_matches(text, '(?i)(bitcoin|crypto|btc|ethereum|coin)') AS has_crypto_keyword,
+  regexp_matches(text, '(?i)(urgent|immediately|act now|limited time)') AS has_urgent_keyword,
+  lang,
   ROUND(
       0.3 * LEAST(chlen / 500.0, 1.0)
     + 0.3 * LEAST(COALESCE(h_en / NULLIF(wc::DOUBLE, 0.0), 0.0) * 4.0, 1.0)
@@ -140,6 +126,40 @@ SELECT doc_id, lang,
   wc AS tokens_ws,
   tokens_bpe
 FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (rolling-hash) document fingerprints — k-gram hashes, window
+# minima (operators/dedup.winnow_fingerprints; SIGMOD'03). Output is the
+# per-doc fingerprint count + md5 digest of the sorted set, so the oracle
+# verifies every fingerprint without an exploded row blow-up.
+# ---------------------------------------------------------------------------
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return D.winnow_digest(docs, "text", "doc_id", k=5, w=4)
+
+
+_WINNOW_H = md5_bigint_sql("substr(t, CAST(i AS INTEGER), 5)", salt="winnow:")
+SQL_DOC_FINGERPRINT = rf"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(length(t) - 5 + 1, 1) + 1), i -> {_WINNOW_H}) AS hs
+  FROM norm
+), winnowed AS (
+  SELECT doc_id,
+    list_sort(list_distinct(
+      list_transform(range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+                     i -> list_min(hs[CAST(i AS INTEGER):CAST(i AS INTEGER)+3])))) AS fps
+  FROM hashed
+)
+SELECT doc_id,
+  len(fps) AS n_fingerprints,
+  md5(array_to_string(list_transform(fps, x -> x::VARCHAR), ',')) AS fp_digest
+FROM winnowed
 """
 
 
@@ -339,7 +359,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "text_features": q_text_features,
-    "text_quality": q_text_quality,
+    "doc_fingerprint": q_doc_fingerprint,
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
     "lsh_near_dups": q_lsh_near_dups,
@@ -353,7 +373,7 @@ QUERIES = {
 
 ORACLES = {
     "text_features": SQL_TEXT_FEATURES,
-    "text_quality": SQL_TEXT_QUALITY,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "exact_dedup": SQL_EXACT_DEDUP,
     "minhash_signature": SQL_MINHASH_SIGNATURE,
     "lsh_near_dups": SQL_LSH_NEAR_DUPS,
