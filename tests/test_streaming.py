@@ -176,6 +176,32 @@ def test_exact_rolling_velocity_stream_matches_batch(spark, fraud_data, tx_dir, 
         assert (g[c] == w[c]).all(), c
 
 
+def test_rolling_velocity_transformwithstate_matches_batch(spark, fraud_data, tx_dir, tmp_path):
+    """The Spark-4 transformWithStateInPandas form emits the same exact
+    trailing windows as the applyInPandasWithState form / the batch oracle.
+
+    Requires google.protobuf (the transformWithState driver-worker protocol
+    is protobuf-based); absent in this sandbox, so the test self-skips there
+    and runs wherever protobuf exists."""
+    pytest.importorskip("google.protobuf.descriptor")
+    users, merchants, tx = fraud_data
+    stream = (
+        spark.readStream.schema(tx.schema).option("maxFilesPerTrigger", 1).parquet(tx_dir)
+    )
+    q = SP.to_memory_sink(
+        ST.rolling_velocity_tws(stream), "rv_tws_test", str(tmp_path / "ck5t"), "append"
+    )
+    q.awaitTermination(180)
+    got = spark.sql("select * from rv_tws_test").toPandas()
+    want = ST.rolling_velocity_batch(tx).toPandas()
+    assert len(got) == len(want) == tx.count()
+    cols = ["count_5min", "amount_5min", "count_1h", "amount_1h", "count_24h", "amount_24h"]
+    g = got.sort_values("transaction_id").reset_index(drop=True)
+    w = want.sort_values("transaction_id").reset_index(drop=True)
+    for c in cols:
+        assert (g[c] == w[c]).all(), c
+
+
 def test_rolling_velocity_batch_matches_sql_window(spark, fraud_data, tx_dir):
     """The pandas operator against the pure-SQL RANGE-window equivalent."""
     _, _, tx = fraud_data
