@@ -239,16 +239,23 @@ def minhash_lsh_candidates(
     shingle_k: int = 3,
     materialize: str = "local_checkpoint",
     materialize_path: str | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding: shingle → minhash → band buckets → self-join
     per bucket. Returns candidate pairs (id_a < id_b) with their band.
 
-    Scale shape: the self-join shuffles on the band key only; bucket sizes are
-    the skew risk (salting hook: add a `F.pmod(hash, nsalt)` term to the band
-    key if a bucket explodes). `materialize` picks how the band table is
-    pinned before the self-join — see :func:`_materialize`; the default
-    executor-local form is right for local mode, `checkpoint`/`table` for
-    clusters that lose executors.
+    Scale shape: the self-join shuffles on the band key only; bucket sizes
+    are the skew risk — one bucket of B docs yields B² candidate pairs, and
+    at corpus scale boilerplate (empty pages, license headers, templated
+    text) lands thousands of docs in one bucket. `max_bucket_size` caps
+    that: buckets above the cap are dropped from candidate generation
+    entirely (their members are template-duplicates better handled by
+    EXACT dedup on the fingerprint, which is O(B), not O(B²)) — the
+    standard guard in production near-dup pipelines. The cap decision is a
+    count over the tiny band table, not the corpus. `materialize` picks how
+    the band table is pinned before the self-join — see
+    :func:`_materialize`; the default executor-local form is right for
+    local mode, `checkpoint`/`table` for clusters that lose executors.
     """
     sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
     n_bands = num_perm // band_size
@@ -270,6 +277,15 @@ def minhash_lsh_candidates(
         "doc", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     tagged = _materialize(tagged, materialize, materialize_path)
+    if max_bucket_size is not None:
+        sizes = tagged.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
+        tagged = (
+            tagged.join(
+                F.broadcast(sizes.filter(F.col("_bsz") > max_bucket_size)),
+                ["band", "bucket"],
+                "left_anti",
+            )
+        )
     left = tagged.alias("l")
     right = tagged.alias("r")
     return (
