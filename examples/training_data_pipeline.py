@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Training-data pipeline demo — the LLM-corpus operators end to end over
+the documents/embeddings fixtures:
+
+  documents → text features + quality/language filters
+            → exact dedup (md5 fingerprint)
+            → winnowing rolling-hash candidates (shared-substring overlap)
+            → MinHash+LSH near-dup pairs (bucket-capped) → Jaccard verify
+  embeddings → embedding-cosine near-dups → ANN top-k (brute force + LSH)
+
+Every stage is a linear scan plus an equi-join on a small derived key —
+the shapes that survive a 1000-executor / 100 TB corpus (SCALE.md).
+
+Usage: python examples/training_data_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from pyspark.sql import functions as F
+
+from realtime_fraud_detection_spark.functions import text as TX
+from realtime_fraud_detection_spark.operators import dedup as D
+from realtime_fraud_detection_spark.operators import similarity as SIM
+from realtime_fraud_detection_spark.session import get_spark
+from realtime_fraud_detection_spark.sources.testdata import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("training-data-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    n_docs = docs.count()
+
+    # 1. quality + language gate (keep scored rows for the report)
+    gated = docs.select(
+        "doc_id",
+        "text",
+        F.round(TX.quality_score(F.col("text")), 4).alias("quality"),
+        TX.language_id(F.col("text")).alias("lang_detected"),
+        TX.token_count_whitespace(F.col("text")).alias("tokens"),
+    ).filter(F.col("quality") >= 0.3)
+    n_gated = gated.count()
+
+    # 2. exact dedup on the content fingerprint
+    exact = D.exact_dedup(docs, TX.fingerprint(F.col("text")), "doc_id")
+    n_clusters = exact.count()
+    n_exact_dups = exact.agg(F.sum(F.col("dup_count") - 1)).first()[0]
+
+    # 3. winnowing candidates (shared-substring evidence)
+    winnow = D.winnow_candidate_pairs(docs, "text", "doc_id", min_shared=3)
+    n_winnow = winnow.count()
+
+    # 4. MinHash+LSH candidates (bucket-capped) verified by exact Jaccard
+    cands = D.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_perm=16, band_size=4, max_bucket_size=1000
+    )
+    near = D.ngram_jaccard(docs, cands, "text", "doc_id").filter(F.col("jaccard") >= 0.8)
+    n_near = near.count()
+
+    # 5. embedding-space: cosine near-dups + ANN top-k
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    emb_pairs = D.embedding_near_dup_pairs(emb, threshold=0.45)
+    n_emb = emb_pairs.count()
+    queries = emb.filter(F.col("vec_id") < 3)
+    ann = SIM.brute_force_topk(emb, queries, k=3)
+    n_ann = ann.count()
+
+    print(f"documents            {n_docs}")
+    print(f"quality-gated        {n_gated}  ({n_docs - n_gated} filtered)")
+    print(f"exact-dup clusters   {n_clusters}  ({n_exact_dups} redundant docs)")
+    print(f"winnow candidates    {n_winnow}  (>=3 shared fingerprints)")
+    print(f"lsh near-dups        {n_near}  (jaccard >= 0.8)")
+    print(f"embedding near-dups  {n_emb}  (cosine >= 0.45)")
+    print(f"ann results          {n_ann}  (3 queries x top-3)")
+    print(f"wall clock           {time.time() - t0:.1f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -170,16 +170,40 @@ def winnow_digest(df: DataFrame, text_col: str, id_col: str,
 
 def winnow_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
                            k: int = 5, w: int = 4,
-                           min_shared: int = 2) -> DataFrame:
+                           min_shared: int = 2,
+                           max_doc_freq: int | None = 100,
+                           materialize: str = "local_checkpoint",
+                           materialize_path: str | None = None) -> DataFrame:
     """Near-dup candidates via shared winnowing fingerprints: explode each
     doc's fingerprint set and equi-join on the fingerprint — the same
     linear-scan + small-key-shuffle shape as LSH banding (never all-pairs).
     Returns (doc_a, doc_b, shared_fingerprints) for pairs sharing at least
-    `min_shared` fingerprints."""
-    fp = winnow_fingerprint_table(df, text_col, id_col, k, w).select(
-        F.col(id_col).alias("doc"), F.explode("fps").alias("fp")
-    )
-    fp = fp.localCheckpoint(eager=False)  # shared self-join subtree
+    `min_shared` fingerprints.
+
+    `max_doc_freq` drops fingerprints present in more than that many
+    documents before the self-join (the IDF-style pruning every
+    fingerprint-overlap system needs): a character k-gram window shared by
+    D documents contributes D² join rows while carrying no near-dup signal
+    — on a common-vocabulary corpus the unpruned join is quadratic in
+    practice (observed: 500 fixture docs → minutes). The frequency count
+    runs on the small (doc, fp) table, not the corpus.
+
+    The fingerprint table is materialized (see :func:`_materialize`) BEFORE
+    the explode, for two reasons: (1) both the hot-fp count and the
+    self-join reuse it; (2) `explode` over a computed array expression is
+    O(n²) per document — Spark's Generate re-evaluates the generator
+    expression per OUTPUT element, not per input row (measured: explode
+    over the winnowing expression 100×+ slower than explode over the same
+    array as a materialized column at sf0.001)."""
+    fp = _materialize(
+        winnow_fingerprint_table(df, text_col, id_col, k, w),
+        materialize, materialize_path,
+    ).select(F.col(id_col).alias("doc"), F.explode("fps").alias("fp"))
+    if max_doc_freq is not None:
+        hot = fp.groupBy("fp").agg(F.count("*").alias("_df")).filter(
+            F.col("_df") > max_doc_freq
+        )
+        fp = fp.join(F.broadcast(hot), "fp", "left_anti")
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")))
@@ -396,6 +420,84 @@ def simhash_signatures(
             F.lit(0).cast("long")
         )
     return votes.select("doc", sig.alias(f"simhash{bits}"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_bands: int | None = None,
+    materialize: str = "local_checkpoint",
+    materialize_path: str | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: Hamming distance <= `max_hamming` over
+    `bits`-bit signatures, found without an all-pairs comparison.
+
+    Pigeonhole blocking (Manku et al., WWW'07 near-dup detection): split
+    the signature into `n_bands` contiguous bit bands; two signatures
+    within Hamming distance d differ in at most d bands, so with
+    n_bands >= d + 1 they agree EXACTLY on at least one band. Equi-join on
+    (band, band_bits) generates candidates (linear scan + small-key
+    shuffle, same shape as MinHash LSH banding), then the exact
+    `bit_count(xor)` filter keeps true near-dups — no recall loss, unlike
+    MinHash LSH: the band guarantee is exhaustive for the distance bound.
+
+    `max_bucket_size` drops degenerate bands (e.g. all-zero high bits on
+    short docs) exactly as in :func:`minhash_lsh_candidates` — members of
+    an over-full bucket are template-near-identical and belong to exact
+    dedup's O(B) path, not a B² pair join.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} must exceed max_hamming={max_hamming} for the "
+            "pigeonhole band guarantee to hold"
+        )
+    sig = simhash_signatures(df, text_col, id_col, bits)
+    sig_col = f"simhash{bits}"
+    # band b covers bit positions [lo, lo+width): unsigned shift then mask,
+    # so bit 63 (the sign bit) lands in the top band without overflow.
+    widths = [bits // n_bands + (1 if b < bits % n_bands else 0) for b in range(n_bands)]
+    band_structs, lo = [], 0
+    for b, w in enumerate(widths):
+        band_bits = F.shiftrightunsigned(F.col(sig_col), lo).bitwiseAND(
+            F.lit((1 << w) - 1).cast("long")
+        )
+        band_structs.append(F.struct(F.lit(b).alias("band"), band_bits.alias("bb")))
+        lo += w
+    tagged = sig.select(
+        "doc", F.col(sig_col).alias("sig"), F.explode(F.array(*band_structs)).alias("s")
+    ).select("doc", "sig", F.col("s.band").alias("band"), F.col("s.bb").alias("bb"))
+    tagged = _materialize(tagged, materialize, materialize_path)
+    if max_bucket_size is not None:
+        sizes = tagged.groupBy("band", "bb").agg(F.count("*").alias("_bsz"))
+        tagged = tagged.join(
+            F.broadcast(sizes.filter(F.col("_bsz") > max_bucket_size)),
+            ["band", "bb"],
+            "left_anti",
+        )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bb") == F.col("b.bb"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def embedding_near_dup_pairs(

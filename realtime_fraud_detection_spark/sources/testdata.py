@@ -24,11 +24,22 @@ from ..schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False
+) -> DataFrame:
+    """`fan_out=True` round-robins a scan with fewer input partitions than
+    the session's parallelism across all cores. The small fixtures are one
+    parquet file → one partition, so a CPU-bound expression stage downstream
+    (md5-per-shingle dedup, simhash votes) otherwise runs on ONE core —
+    observed 30×+ wall-clock on the winnowing ops. At real scale the scan
+    already has thousands of partitions and this is a no-op."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        return _load_events(spark, path)
-    return spark.read.parquet(path)
+    df = _load_events(spark, path) if name == "events" else spark.read.parquet(path)
+    if fan_out:
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+    return df
 
 
 def _load_events(spark: SparkSession, path: str) -> DataFrame:

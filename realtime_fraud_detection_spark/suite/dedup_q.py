@@ -20,19 +20,11 @@ from ..operators import similarity as SIM
 from ..sources.testdata import load_table
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents, fanned out to the session's parallelism.
-
-    The fixture is one small parquet file → one input partition; the dedup
-    ops are CPU-bound per-row expression stages (md5 per shingle), so
-    repartitioning is the difference between 1 core and all of them. At real
-    scale the scan already has thousands of partitions and this becomes a
-    cheap no-op-ish round-robin; locally it is a 2 MB shuffle.
-    """
-    df = load_table(spark, sf_dir, "documents")
-    par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        df = df.repartition(par)
-    return df
+    """documents, fanned out to the session's parallelism — the dedup ops
+    are CPU-bound per-row expression stages (md5 per shingle), so on the
+    one-file fixture this is the difference between 1 core and all of them
+    (see sources/testdata.load_table)."""
+    return load_table(spark, sf_dir, "documents", fan_out=True)
 
 
 # Shared oracle-SQL building blocks -----------------------------------------

@@ -62,3 +62,50 @@ def test_simhash_hamming_separates_near_dups(spark, ground_truth_pairs):
     # the fixture's docs share one vocabulary, so even unrelated pairs sit
     # close; near-dups must still be measurably closer
     assert sum(dup_d) / len(dup_d) * 2 < sum(rand_d) / len(rand_d)
+
+
+def test_simhash_banded_pairs_exhaustive_for_bound(spark):
+    """simhash_near_dup_pairs must return EXACTLY the pairs within the
+    Hamming bound (the pigeonhole band guarantee is exhaustive, not
+    probabilistic) — verified against all-pairs brute force on the fixture."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sig = {
+        r["doc"]: r["simhash64"]
+        for r in D.simhash_signatures(docs, "text", "doc_id", bits=64).collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    import itertools
+
+    max_h = 12  # the shared-vocabulary fixture sits close; 12 gives a non-empty set
+    truth = {
+        (a, b): ham(sig[a], sig[b])
+        for a, b in itertools.combinations(sorted(sig), 2)
+        if ham(sig[a], sig[b]) <= max_h
+    }
+    assert truth, "fixture should contain pairs within the bound"
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_near_dup_pairs(
+            docs, "text", "doc_id", bits=64, max_hamming=max_h
+        ).collect()
+    }
+    assert got == truth  # exact: same pairs AND same distances
+
+
+def test_simhash_banded_pairs_bucket_cap(spark):
+    """Identical docs all land in one band bucket; the cap drops that bucket
+    from pair generation (exact dedup's job), distinct pairs still appear."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(20)]
+    # one extra word on a 40-word doc flips ~5 of 64 bits (each bit's vote
+    # margin grows with doc length); short docs flip far more
+    long_doc = " ".join(f"word{i}" for i in range(40))
+    rows += [(100, long_doc), (101, long_doc + " extra")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    uncapped = D.simhash_near_dup_pairs(df, "text", "doc_id", max_hamming=6).collect()
+    capped = D.simhash_near_dup_pairs(
+        df, "text", "doc_id", max_hamming=6, max_bucket_size=10
+    ).collect()
+    assert any(r["doc_a"] < 100 for r in uncapped)  # template pairs present uncapped
+    assert all(r["doc_a"] >= 100 for r in capped)  # ...gone under the cap
+    assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(100, 101)}

@@ -70,6 +70,41 @@ def test_candidate_pairs_find_near_dups(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_max_doc_freq_prunes_corpus_wide_fingerprints(spark):
+    """Fingerprints present in more than max_doc_freq docs carry no
+    near-dup signal (boilerplate) and are dropped before the self-join;
+    rare shared passages still pair."""
+    boiler = "standard corporate boilerplate header appears on every page"
+    rare = "a rare shared passage only two documents actually contain"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler} then {rare} ends one"),
+            (2, f"{boiler} then {rare} ends two"),
+            (3, f"{boiler} unique middle section three closes"),
+            (4, f"{boiler} another distinct body four closes"),
+            (5, f"{boiler} yet more unrelated prose five closes"),
+        ],
+        "doc_id int, text string",
+    )
+    unpruned = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.winnow_candidate_pairs(
+            df, "text", "doc_id", K, W, min_shared=2, max_doc_freq=None
+        ).collect()
+    }
+    # Boundary windows (selection context straddles the shared-region edge)
+    # leak ~1 sub-threshold fingerprint per pair, so min_shared=2 + pruning
+    # is what isolates the genuinely-shared rare passage.
+    pruned = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.winnow_candidate_pairs(
+            df, "text", "doc_id", K, W, min_shared=2, max_doc_freq=3
+        ).collect()
+    }
+    assert (3, 4) in unpruned  # boilerplate alone pairs everything unpruned
+    assert pruned == {(1, 2)}  # only the rare shared passage survives
+
+
 def test_digest_matches_fingerprint_table(spark):
     df = spark.createDataFrame(
         [(i, f"document number {i} about winnowing with filler text {i * 3}") for i in range(6)],
