@@ -55,9 +55,15 @@ def main() -> None:
     n_clusters = exact.count()
     n_exact_dups = exact.agg(F.sum(F.col("dup_count") - 1)).first()[0]
 
-    # 3. winnowing candidates (shared-substring evidence)
-    winnow = D.winnow_candidate_pairs(docs, "text", "doc_id", min_shared=3)
+    # 3. winnowing candidates (shared-substring evidence; the fixture docs
+    # share one vocabulary, so only a high overlap count is signal)
+    winnow = D.winnow_candidate_pairs(docs, "text", "doc_id", min_shared=20)
     n_winnow = winnow.count()
+
+    # 3b. simhash Hamming-ball pairs (exhaustive for the bound via
+    # pigeonhole bit-banding)
+    sh_pairs = D.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=4)
+    n_shpairs = sh_pairs.count()
 
     # 4. MinHash+LSH candidates (bucket-capped) verified by exact Jaccard
     cands = D.minhash_lsh_candidates(
@@ -77,7 +83,8 @@ def main() -> None:
     print(f"documents            {n_docs}")
     print(f"quality-gated        {n_gated}  ({n_docs - n_gated} filtered)")
     print(f"exact-dup clusters   {n_clusters}  ({n_exact_dups} redundant docs)")
-    print(f"winnow candidates    {n_winnow}  (>=3 shared fingerprints)")
+    print(f"winnow candidates    {n_winnow}  (>=20 shared fingerprints)")
+    print(f"simhash near-dups    {n_shpairs}  (hamming <= 4)")
     print(f"lsh near-dups        {n_near}  (jaccard >= 0.8)")
     print(f"embedding near-dups  {n_emb}  (cosine >= 0.45)")
     print(f"ann results          {n_ann}  (3 queries x top-3)")

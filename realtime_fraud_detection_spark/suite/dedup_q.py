@@ -257,20 +257,85 @@ def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIMHASH_H64 = md5_bigint64_sql("w", salt="simhash:")
-SQL_SIMHASH64 = rf"""
-WITH hw AS (
-  SELECT doc_id, list_transform(list_distinct({_SQL_WORDS}), w -> {_SIMHASH_H64}) AS hs
-  FROM documents
-)
-SELECT doc_id,
-  CAST(list_sum(list_transform(range(0, 63), j ->
+# the 64-bit signature expression over a word-hash list column `hs`
+# (shared by the signature query and the Hamming-pair query)
+_SQL_SIMHASH64_SIG = """CAST(list_sum(list_transform(range(0, 63), j ->
     CASE WHEN list_sum(list_transform(hs, h ->
            CASE WHEN (h & (1::BIGINT << j)) <> 0 THEN 1 ELSE -1 END)) > 0
          THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)
   + CASE WHEN list_sum(list_transform(hs, h ->
            CASE WHEN h < 0 THEN 1 ELSE -1 END)) > 0
-         THEN (-9223372036854775807 - 1) ELSE 0 END AS simhash64
+         THEN (-9223372036854775807 - 1) ELSE 0 END"""
+SQL_SIMHASH64 = rf"""
+WITH hw AS (
+  SELECT doc_id, list_transform(list_distinct({_SQL_WORDS}), w -> {_SIMHASH_H64}) AS hs
+  FROM documents
+)
+SELECT doc_id, {_SQL_SIMHASH64_SIG} AS simhash64
 FROM hw
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash Hamming-distance near-dup pairs (pigeonhole bit-banding in Spark —
+# exhaustive for the bound, so the all-pairs DuckDB oracle must match
+# EXACTLY, pairs and distances both).
+# ---------------------------------------------------------------------------
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return D.simhash_near_dup_pairs(docs, "text", "doc_id", bits=64, max_hamming=4)
+
+
+SQL_SIMHASH_PAIRS = rf"""
+WITH hw AS (
+  SELECT doc_id, list_transform(list_distinct({_SQL_WORDS}), w -> {_SIMHASH_H64}) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, {_SQL_SIMHASH64_SIG} AS sig FROM hw
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 4
+"""
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint-overlap near-dup pairs: explode fps → IDF-style
+# doc-frequency pruning → fingerprint equi-join, counted per pair.
+# ---------------------------------------------------------------------------
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return D.winnow_candidate_pairs(
+        docs, "text", "doc_id", min_shared=20, max_doc_freq=100
+    )
+
+
+SQL_WINNOW_PAIRS = rf"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(length(t) - 5 + 1, 1) + 1), i -> {_WINNOW_H}) AS hs
+  FROM norm
+), winnowed AS (
+  SELECT doc_id,
+    list_sort(list_distinct(
+      list_transform(range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+                     i -> list_min(hs[CAST(i AS INTEGER):CAST(i AS INTEGER)+3])))) AS fps
+  FROM hashed
+), fp AS (
+  SELECT doc_id AS doc, unnest(fps) AS fp FROM winnowed
+), hot AS (
+  SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > 100
+), kept AS (
+  SELECT doc, fp FROM fp ANTI JOIN hot USING (fp)
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS shared_fingerprints
+FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc < b.doc
+GROUP BY 1, 2
+HAVING COUNT(*) >= 20
 """
 
 
@@ -359,8 +424,12 @@ QUERIES = {
     "simhash64": q_simhash64,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_topk": q_ann_topk,
+    # everything below sits past the driver's 50-query check window —
+    # verified by the local gate replica (tools/check_oracle.py) and tests
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "winnow_pairs": q_winnow_pairs,
+    "simhash_pairs": q_simhash_pairs,
 }
 
 ORACLES = {
@@ -374,4 +443,6 @@ ORACLES = {
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "ann_topk": SQL_ANN_TOPK,
     # ann_lsh / ann_ivf: approximate by construction → rows-only check
+    "winnow_pairs": SQL_WINNOW_PAIRS,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
 }
