@@ -6,6 +6,7 @@ the documents/embeddings fixtures:
             → exact dedup (md5 fingerprint)
             → winnowing rolling-hash candidates (shared-substring overlap)
             → MinHash+LSH near-dup pairs (bucket-capped) → Jaccard verify
+            → simhash Hamming pairs → connected components → survivors
   embeddings → embedding-cosine near-dups → ANN top-k (brute force + LSH)
 
 Every stage is a linear scan plus an equi-join on a small derived key —
@@ -25,6 +26,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 from pyspark.sql import functions as F
 
 from realtime_fraud_detection_spark.functions import text as TX
+from realtime_fraud_detection_spark.operators import clustering as C
 from realtime_fraud_detection_spark.operators import dedup as D
 from realtime_fraud_detection_spark.operators import similarity as SIM
 from realtime_fraud_detection_spark.session import get_spark
@@ -65,6 +67,13 @@ def main() -> None:
     sh_pairs = D.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=4)
     n_shpairs = sh_pairs.count()
 
+    # 3c. components over the simhash pairs → keep one doc per cluster
+    clusters = C.connected_components(
+        sh_pairs, vertices=docs.select("doc_id"), vertex_col="doc_id"
+    )
+    survivors = C.dedup_survivors(docs, clusters, "doc_id")
+    n_survivors = survivors.count()
+
     # 4. MinHash+LSH candidates (bucket-capped) verified by exact Jaccard
     cands = D.minhash_lsh_candidates(
         docs, "text", "doc_id", num_perm=16, band_size=4, max_bucket_size=1000
@@ -85,6 +94,7 @@ def main() -> None:
     print(f"exact-dup clusters   {n_clusters}  ({n_exact_dups} redundant docs)")
     print(f"winnow candidates    {n_winnow}  (>=20 shared fingerprints)")
     print(f"simhash near-dups    {n_shpairs}  (hamming <= 4)")
+    print(f"cluster survivors    {n_survivors}  (one doc per component)")
     print(f"lsh near-dups        {n_near}  (jaccard >= 0.8)")
     print(f"embedding near-dups  {n_emb}  (cosine >= 0.45)")
     print(f"ann results          {n_ann}  (3 queries x top-3)")

@@ -1,0 +1,119 @@
+"""Near-duplicate clustering: connected components over candidate-pair
+edges, and survivor selection — the step after pair generation
+(minhash_lsh_candidates / simhash_near_dup_pairs / winnow_candidate_pairs)
+in a production dedup pipeline: pairs → components → keep one doc per
+component.
+
+Reference behavior: the reference system deduplicates per-transaction via
+exact keys only (Redis SETNX on the transaction id); document-level
+near-dup clustering has no reference counterpart and follows the standard
+training-data-pipeline design instead (pairs from LSH, components, keep
+min-id survivor).
+
+Algorithm: iterative min-label propagation — every vertex repeatedly
+adopts the minimum label among itself and its neighbors until fixpoint.
+Deterministic (labels are the numeric doc ids; min is order-insensitive),
+and each round is one shuffle (join on the edge key + min-aggregate).
+Rounds needed = component diameter, which for near-dup clusters is small
+(dup clusters are dense — typically 2-4 rounds). For adversarial
+diameters (long chains) the O(log n)-round alternating large-star /
+small-star algorithm (Kiveris et al., "Connected Components in MapReduce
+and Beyond", SoCC'14) is the drop-in upgrade; the per-round join shape
+below is the same building block.
+
+The driver-side convergence loop is the standard shape for iterative
+graph algorithms on Spark (MLlib does the same): per round the driver
+sees ONE scalar (the changed-vertex count) — no data is collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    vertices: DataFrame | None = None,
+    vertex_col: str | None = None,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list.
+
+    Returns (doc, cluster) where `cluster` is the MINIMUM vertex id in the
+    component — deterministic, and directly usable as the survivor id.
+    `vertices` (optional) adds isolated vertices, which come back as
+    singleton components labelled with their own id.
+
+    Each round: symmetrized edges join the current labels on the source
+    (one shuffle on the edge key), neighbor labels min-aggregate per
+    destination (map-side combine), and the label table updates via a
+    left join. Label tables are localCheckpoint'd per round — iterative
+    lineage otherwise grows exponentially and replans every round.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+
+    labels = (
+        sym.select(F.col("src").alias("doc"))
+        .distinct()
+        .select("doc", F.col("doc").alias("cluster"))
+    )
+    if vertices is not None:
+        vcol = vertex_col or vertices.columns[0]
+        labels = (
+            vertices.select(F.col(vcol).alias("doc"))
+            .distinct()
+            .join(labels, "doc", "left")
+            .select("doc", F.coalesce("cluster", F.col("doc")).alias("cluster"))
+        )
+    labels = labels.localCheckpoint()
+    sym = sym.localCheckpoint()
+
+    for _ in range(max_rounds):
+        neighbor_min = (
+            sym.join(labels.withColumnRenamed("doc", "src"), "src")
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc", "left")
+            .select(
+                "doc",
+                F.least(F.col("cluster"), F.coalesce("nmin", F.col("cluster"))).alias(
+                    "cluster"
+                ),
+                (F.coalesce("nmin", F.col("cluster")) < F.col("cluster")).alias("_chg"),
+            )
+        ).localCheckpoint()
+        changed = updated.filter(F.col("_chg")).limit(1).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds — "
+        "component diameter exceeds the bound; raise max_rounds or switch "
+        "to the large-star/small-star variant"
+    )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep one row per near-dup component: the row whose id IS the
+    component label (the minimum id — same survivor rule as
+    :func:`dedup.exact_dedup`). Rows absent from `clusters` are singletons
+    and survive. One broadcast-able join — `clusters` carries two longs
+    per doc regardless of row width."""
+    keep = clusters.filter(F.col("doc") == F.col("cluster")).select(
+        F.col("doc").alias(id_col)
+    )
+    missing = df.select(id_col).join(
+        clusters.select(F.col("doc").alias(id_col)), id_col, "left_anti"
+    )
+    return df.join(keep.union(missing), id_col, "left_semi")

@@ -301,6 +301,47 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 4
 
 
 # ---------------------------------------------------------------------------
+# Near-dup clustering: simhash Hamming pairs → connected components →
+# (doc, min-id cluster label). Spark side iterates min-label propagation to
+# fixpoint; the oracle computes full reachability with a recursive CTE and
+# takes MIN over each reachable set — both are the exact components, so the
+# match is exact.
+# ---------------------------------------------------------------------------
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import clustering as C
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.simhash_near_dup_pairs(docs, "text", "doc_id", bits=64, max_hamming=4)
+    comp = C.connected_components(
+        pairs, vertices=docs.select("doc_id"), vertex_col="doc_id"
+    )
+    return comp.select(
+        F.col("doc").alias("doc_id"), F.col("cluster").alias("cluster_id")
+    )
+
+
+SQL_DEDUP_CLUSTERS = rf"""
+WITH RECURSIVE hw AS (
+  SELECT doc_id, list_transform(list_distinct({_SQL_WORDS}), w -> {_SIMHASH_H64}) AS hs
+  FROM documents
+), sigs AS (
+  SELECT doc_id, {_SQL_SIMHASH64_SIG} AS sig FROM hw
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sig, b.sig)) <= 4
+), edges AS (
+  SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs
+), reach(src, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a
+)
+SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+"""
+
+
+# ---------------------------------------------------------------------------
 # Winnowing fingerprint-overlap near-dup pairs: explode fps → IDF-style
 # doc-frequency pruning → fingerprint equi-join, counted per pair.
 # ---------------------------------------------------------------------------
@@ -430,6 +471,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "winnow_pairs": q_winnow_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -445,4 +487,5 @@ ORACLES = {
     # ann_lsh / ann_ivf: approximate by construction → rows-only check
     "winnow_pairs": SQL_WINNOW_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
 }
