@@ -2,7 +2,7 @@
 """Training-data pipeline demo — the LLM-corpus operators end to end over
 the documents/embeddings fixtures:
 
-  documents → text features + quality/language filters
+  documents → text features + quality/language + Gopher repetition filters
             → exact dedup (md5 fingerprint)
             → winnowing rolling-hash candidates (shared-substring overlap)
             → MinHash+LSH near-dup pairs (bucket-capped) → Jaccard verify
@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from realtime_fraud_detection_spark.functions import text as TX
 from realtime_fraud_detection_spark.operators import clustering as C
 from realtime_fraud_detection_spark.operators import dedup as D
+from realtime_fraud_detection_spark.operators import quality as Q
 from realtime_fraud_detection_spark.operators import similarity as SIM
 from realtime_fraud_detection_spark.session import get_spark
 from realtime_fraud_detection_spark.sources.testdata import load_table
@@ -51,6 +52,10 @@ def main() -> None:
         TX.token_count_whitespace(F.col("text")).alias("tokens"),
     ).filter(F.col("quality") >= 0.3)
     n_gated = gated.count()
+
+    # 1b. Gopher/C4 repetition gate
+    rep = Q.repetition_stats(docs)
+    n_gopher = rep.filter(Q.gopher_repetition_pass(rep)).count()
 
     # 2. exact dedup on the content fingerprint
     exact = D.exact_dedup(docs, TX.fingerprint(F.col("text")), "doc_id")
@@ -91,6 +96,7 @@ def main() -> None:
 
     print(f"documents            {n_docs}")
     print(f"quality-gated        {n_gated}  ({n_docs - n_gated} filtered)")
+    print(f"gopher-repetition    {n_gopher}  pass  ({n_docs - n_gopher} repetitious)")
     print(f"exact-dup clusters   {n_clusters}  ({n_exact_dups} redundant docs)")
     print(f"winnow candidates    {n_winnow}  (>=20 shared fingerprints)")
     print(f"simhash near-dups    {n_shpairs}  (hamming <= 4)")

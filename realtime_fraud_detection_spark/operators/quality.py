@@ -1,0 +1,150 @@
+"""Repetition-based document quality statistics — the Gopher/C4 filter
+family (Rae et al. 2021 "Scaling Language Models" appendix A1.1; Raffel et
+al. 2020 C4): repetitious documents (boilerplate, scraper loops, SEO spam)
+are removed from LLM training corpora by measuring how much of a document
+is duplicated lines or dominated by a few n-grams.
+
+Signals (all per document, all JVM-side explode + hash-aggregate — the
+same scan-once scale shape as minhash_signatures):
+
+- duplicate_line_frac       — fraction of non-empty lines that are repeats
+                              of an earlier-seen line (n_lines − n_distinct)
+                              / n_lines.
+- duplicate_line_char_frac  — fraction of line characters inside lines
+                              occurring more than once.
+- top{n}gram_char_frac      — fraction of normalized-text characters
+                              covered by the single most dominant word
+                              n-gram: max over n-grams of
+                              count × length(gram) ÷ chars. Computing the
+                              max of the product (not the product of the
+                              most frequent gram) keeps it deterministic
+                              without tie-breaking.
+- dup{n}gram_char_frac      — fraction of n-gram character mass in grams
+                              occurring more than once: sum(count × len)
+                              over grams with count > 1 ÷ sum over all.
+                              (The paper counts non-overlapping character
+                              spans; the mass ratio is the standard
+                              shuffle-friendly proxy and is deterministic.)
+
+The companion `gopher_repetition_pass` applies the published thresholds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_text
+from .dedup import shingle_table
+
+# Gopher table A1 thresholds (duplicate-line fraction; top-n-gram and
+# duplicate-n-gram character fractions)
+GOPHER_DUP_LINE_FRAC = 0.30
+GOPHER_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_TOP_NGRAM_CHAR_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_CHAR_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def _line_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc duplicate-line stats via explode(lines) → count per distinct
+    line → one aggregate. Shuffles (doc, line-hash) — never the document."""
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+    ).withColumn("line", F.trim(F.col("line"))).filter(F.length("line") > 0)
+    per_line = lines.groupBy("doc", "line").agg(F.count("*").alias("cnt"))
+    return per_line.groupBy("doc").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count("*").alias("n_distinct_lines"),
+        F.sum(F.col("cnt") * F.length("line")).alias("line_chars"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("line")).otherwise(0)
+        ).alias("dup_line_chars"),
+    )
+
+
+def _ngram_stats(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Per-doc n-gram dominance: explode word n-grams (shingle_table — the
+    staged, codegen-friendly form) → count per distinct gram → aggregate
+    max/dup character mass."""
+    grams = shingle_table(df, text_col, id_col, k=n, exploded=True)
+    per_gram = grams.groupBy("doc", "s").agg(F.count("*").alias("cnt"))
+    return per_gram.groupBy("doc").agg(
+        F.max(F.col("cnt") * F.length("s")).alias(f"top{n}_mass"),
+        F.sum(F.col("cnt") * F.length("s")).alias(f"all{n}_mass"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("s")).otherwise(0)
+        ).alias(f"dup{n}_mass"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5,),
+) -> DataFrame:
+    """Gopher-style repetition signals, one row per document.
+
+    Fractions are rounded to 6 dp (cross-engine transcendental rule does
+    not apply — these are ratios of exact integer masses — but rounding
+    pins double formatting on both engines)."""
+    chars = df.select(
+        F.col(id_col).alias("doc"),
+        F.length(F.trim(normalized_text(F.col(text_col)))).alias("chars"),
+    )
+    out = chars.join(_line_stats(df, text_col, id_col), "doc", "left")
+    for n in top_ns + tuple(d for d in dup_ns if d not in top_ns):
+        out = out.join(_ngram_stats(df, text_col, id_col, n), "doc", "left")
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.round(
+            F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(0.0), 6
+        )
+
+    cols = [
+        F.col("doc").alias(id_col),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        frac(
+            F.coalesce(F.col("n_lines") - F.col("n_distinct_lines"), F.lit(0)),
+            F.coalesce("n_lines", F.lit(0)),
+        ).alias("dup_line_frac"),
+        frac(
+            F.coalesce("dup_line_chars", F.lit(0)), F.coalesce("line_chars", F.lit(0))
+        ).alias("dup_line_char_frac"),
+    ]
+    for n in top_ns:
+        cols.append(
+            frac(F.coalesce(f"top{n}_mass", F.lit(0)), F.col("chars")).alias(
+                f"top{n}gram_char_frac"
+            )
+        )
+    for n in dup_ns:
+        cols.append(
+            frac(
+                F.coalesce(f"dup{n}_mass", F.lit(0)), F.coalesce(f"all{n}_mass", F.lit(0))
+            ).alias(f"dup{n}gram_char_frac")
+        )
+    return out.select(*cols)
+
+
+def gopher_repetition_pass(
+    stats: DataFrame,
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5,),
+) -> Column:
+    """Boolean pass/fail column applying the Gopher repetition thresholds
+    to a :func:`repetition_stats` frame."""
+    cond = (F.col("dup_line_frac") <= GOPHER_DUP_LINE_FRAC) & (
+        F.col("dup_line_char_frac") <= GOPHER_DUP_LINE_CHAR_FRAC
+    )
+    for n in top_ns:
+        cond = cond & (
+            F.col(f"top{n}gram_char_frac") <= GOPHER_TOP_NGRAM_CHAR_FRAC[n]
+        )
+    for n in dup_ns:
+        cond = cond & (
+            F.col(f"dup{n}gram_char_frac") <= GOPHER_DUP_NGRAM_CHAR_FRAC[n]
+        )
+    return cond

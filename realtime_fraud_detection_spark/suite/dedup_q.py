@@ -301,6 +301,97 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 4
 
 
 # ---------------------------------------------------------------------------
+# Gopher/C4 repetition-quality stats: duplicate-line fractions + n-gram
+# dominance (operators/quality.repetition_stats) with the published
+# thresholds as a pass flag. All ratios of exact integer masses, rounded
+# to 6 dp on both engines.
+# ---------------------------------------------------------------------------
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import quality as Q
+
+    docs = _docs(spark, sf_dir)
+    stats = Q.repetition_stats(docs, "text", "doc_id", top_ns=(2, 3), dup_ns=(5,))
+    return stats.withColumn("gopher_pass", Q.gopher_repetition_pass(stats))
+
+
+def _sql_shingles_k(k: int) -> str:
+    return (
+        f"CASE WHEN len(ws) < {k} THEN [array_to_string(ws, ' ')] "
+        f"ELSE list_transform(range(1, len(ws) - {k} + 2), "
+        f"i -> array_to_string(ws[i:i+{k - 1}], ' ')) END"
+    )
+
+
+def _sql_ngram_stats(n: int) -> str:
+    return f"""g{n} AS (
+  SELECT doc_id, unnest({_sql_shingles_k(n)}) AS s FROM ws_t
+), pg{n} AS (
+  SELECT doc_id, s, COUNT(*) AS cnt FROM g{n} GROUP BY 1, 2
+), ns{n} AS (
+  SELECT doc_id,
+    MAX(cnt * length(s)) AS top{n}_mass,
+    CAST(SUM(cnt * length(s)) AS BIGINT) AS all{n}_mass,
+    CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(s) ELSE 0 END) AS BIGINT) AS dup{n}_mass
+  FROM pg{n} GROUP BY 1
+)"""
+
+
+SQL_REPETITION_QUALITY = rf"""
+WITH ws_t AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws,
+         length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS chars
+  FROM documents
+), lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+  WHERE length(trim(l)) > 0
+), pl AS (
+  SELECT doc_id, line, COUNT(*) AS cnt FROM lines GROUP BY 1, 2
+), ls AS (
+  SELECT doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_lines,
+    COUNT(*) AS n_distinct,
+    CAST(SUM(cnt * length(line)) AS BIGINT) AS line_chars,
+    CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS BIGINT) AS dup_line_chars
+  FROM pl GROUP BY 1
+), {_sql_ngram_stats(2)}, {_sql_ngram_stats(3)}, {_sql_ngram_stats(5)}
+SELECT w.doc_id,
+  COALESCE(ls.n_lines, 0) AS n_lines,
+  ROUND(CASE WHEN COALESCE(ls.n_lines, 0) > 0
+        THEN (ls.n_lines - ls.n_distinct)::DOUBLE / ls.n_lines::DOUBLE ELSE 0.0 END, 6)
+    AS dup_line_frac,
+  ROUND(CASE WHEN COALESCE(ls.line_chars, 0) > 0
+        THEN ls.dup_line_chars::DOUBLE / ls.line_chars::DOUBLE ELSE 0.0 END, 6)
+    AS dup_line_char_frac,
+  ROUND(CASE WHEN w.chars > 0
+        THEN COALESCE(ns2.top2_mass, 0)::DOUBLE / w.chars::DOUBLE ELSE 0.0 END, 6)
+    AS top2gram_char_frac,
+  ROUND(CASE WHEN w.chars > 0
+        THEN COALESCE(ns3.top3_mass, 0)::DOUBLE / w.chars::DOUBLE ELSE 0.0 END, 6)
+    AS top3gram_char_frac,
+  ROUND(CASE WHEN COALESCE(ns5.all5_mass, 0) > 0
+        THEN ns5.dup5_mass::DOUBLE / ns5.all5_mass::DOUBLE ELSE 0.0 END, 6)
+    AS dup5gram_char_frac,
+  (ROUND(CASE WHEN COALESCE(ls.n_lines, 0) > 0
+         THEN (ls.n_lines - ls.n_distinct)::DOUBLE / ls.n_lines::DOUBLE ELSE 0.0 END, 6) <= 0.30
+   AND ROUND(CASE WHEN COALESCE(ls.line_chars, 0) > 0
+         THEN ls.dup_line_chars::DOUBLE / ls.line_chars::DOUBLE ELSE 0.0 END, 6) <= 0.20
+   AND ROUND(CASE WHEN w.chars > 0
+         THEN COALESCE(ns2.top2_mass, 0)::DOUBLE / w.chars::DOUBLE ELSE 0.0 END, 6) <= 0.20
+   AND ROUND(CASE WHEN w.chars > 0
+         THEN COALESCE(ns3.top3_mass, 0)::DOUBLE / w.chars::DOUBLE ELSE 0.0 END, 6) <= 0.18
+   AND ROUND(CASE WHEN COALESCE(ns5.all5_mass, 0) > 0
+         THEN ns5.dup5_mass::DOUBLE / ns5.all5_mass::DOUBLE ELSE 0.0 END, 6) <= 0.15)
+    AS gopher_pass
+FROM ws_t w
+LEFT JOIN ls  ON w.doc_id = ls.doc_id
+LEFT JOIN ns2 ON w.doc_id = ns2.doc_id
+LEFT JOIN ns3 ON w.doc_id = ns3.doc_id
+LEFT JOIN ns5 ON w.doc_id = ns5.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clustering: simhash Hamming pairs → connected components →
 # (doc, min-id cluster label). Spark side iterates min-label propagation to
 # fixpoint; the oracle computes full reachability with a recursive CTE and
@@ -472,6 +563,7 @@ QUERIES = {
     "winnow_pairs": q_winnow_pairs,
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "repetition_quality": q_repetition_quality,
 }
 
 ORACLES = {
@@ -488,4 +580,5 @@ ORACLES = {
     "winnow_pairs": SQL_WINNOW_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "repetition_quality": SQL_REPETITION_QUALITY,
 }
