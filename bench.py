@@ -41,6 +41,10 @@ HEADLINE = [
     "lsh_near_dups",
     "simhash",
     "simhash64",
+    "simhash_pairs",
+    "dedup_clusters",
+    "repetition_quality",
+    "sequence_packing",
     "embedding_near_dups",
     "ann_topk",
 ]

@@ -1,0 +1,84 @@
+"""Corpus sampling and sequence packing for training-data pipelines.
+
+- :func:`hash_sample` — reproducible Bernoulli sampling keyed on a
+  deterministic hash of the row id (not `df.sample`, whose output depends
+  on partitioning and Spark version): the same (seed, fraction) always
+  selects the same rows, on any cluster layout, in any engine. This is how
+  corpora are downsampled reproducibly across reruns and engines.
+
+- :func:`pack_sequences` — concat-and-chunk assignment of documents to
+  fixed token-budget training sequences: documents are laid out in
+  deterministic id order and a document belongs to the sequence where its
+  first token lands (seq = floor(starting_offset / budget)). One window
+  cumsum — at scale a range-partitioned sort, the same shape as any global
+  ordering. An optional stratum column packs per group (e.g. per language)
+  with an independent offset space per stratum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_bigint
+
+# hash buckets for the sampling decision: fraction is quantized to 1e-6
+SAMPLE_BUCKETS = 1_000_000
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    seed: str = "sample:",
+) -> DataFrame:
+    """Keep rows whose salted 60-bit md5 of the id falls below
+    fraction × 1e6 of the bucket space. Pure filter — pushes down past
+    column pruning, no shuffle, no state."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    bucket = md5_bigint(F.col(id_col).cast("string"), salt=seed) % SAMPLE_BUCKETS
+    return df.filter(bucket < int(round(fraction * SAMPLE_BUCKETS)))
+
+
+def hash_sample_sql(
+    id_expr: str, fraction: float, seed: str = "sample:"
+) -> str:
+    """DuckDB rendering of the :func:`hash_sample` predicate."""
+    from ..functions.hashing import md5_bigint_sql
+
+    h = md5_bigint_sql(f"CAST({id_expr} AS VARCHAR)", salt=seed)
+    return f"({h} % {SAMPLE_BUCKETS}) < {int(round(fraction * SAMPLE_BUCKETS))}"
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Assign each document a training-sequence id under a token budget.
+
+    Documents are ordered by id (deterministic); `offset` is the cumulative
+    token count before the document, and `seq_id = floor(offset / budget)`
+    — the sequence in which the document's first token lands under
+    concat-and-chunk packing. Documents longer than the budget still get
+    exactly one seq_id (where they start); a downstream chunker splits
+    them. Adds (offset, seq_id) columns.
+
+    Scale: the window is a global sort on (stratum, id) — a range-
+    partitioned sort-shuffle, the unavoidable cost of a globally ordered
+    layout. With `stratum_col` the sort key is (stratum, id) and each
+    stratum packs its own sequence space, so skewed strata parallelize
+    across their range partitions.
+    """
+    part = [stratum_col] if stratum_col else []
+    w = (
+        Window.partitionBy(*part).orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("bigint")
+    return df.withColumn("offset", offset).withColumn(
+        "seq_id", F.floor(F.col("offset") / F.lit(budget)).cast("bigint")
+    )

@@ -392,6 +392,60 @@ LEFT JOIN ns5 ON w.doc_id = ns5.doc_id
 
 
 # ---------------------------------------------------------------------------
+# Deterministic corpus sampling: Bernoulli on a salted md5 bucket of the id
+# — identical row selection in every engine and on every cluster layout
+# (df.sample is partitioning-dependent; this is the reproducible form).
+# ---------------------------------------------------------------------------
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    return SA.hash_sample(docs, "doc_id", 0.2).select("doc_id", "lang")
+
+
+def _sql_hash_sample() -> str:
+    from ..operators.sampling import hash_sample_sql
+
+    return f"SELECT doc_id, lang FROM documents WHERE {hash_sample_sql('doc_id', 0.2)}"
+
+
+SQL_HASH_SAMPLE = _sql_hash_sample()
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sequence packing (concat-and-chunk): one window cumsum per
+# stratum; a doc's sequence is where its first token lands.
+# ---------------------------------------------------------------------------
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import sampling as SA
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", TX.token_count_whitespace(F.col("text")).alias("tokens")
+    )
+    return SA.pack_sequences(toks, "doc_id", "tokens", budget=2000, stratum_col="lang")
+
+
+SQL_SEQUENCE_PACKING = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\s+')) END AS tokens
+  FROM documents
+), off AS (
+  SELECT doc_id, lang, tokens,
+    CAST(COALESCE(SUM(tokens) OVER (
+      PARTITION BY lang ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+  FROM toks
+)
+SELECT doc_id, lang, tokens, "offset",
+       CAST(FLOOR("offset"::DOUBLE / 2000) AS BIGINT) AS seq_id
+FROM off
+"""
+
+
+# ---------------------------------------------------------------------------
 # Near-dup clustering: simhash Hamming pairs → connected components →
 # (doc, min-id cluster label). Spark side iterates min-label propagation to
 # fixpoint; the oracle computes full reachability with a recursive CTE and
@@ -564,6 +618,8 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "repetition_quality": q_repetition_quality,
+    "hash_sample": q_hash_sample,
+    "sequence_packing": q_sequence_packing,
 }
 
 ORACLES = {
@@ -581,4 +637,6 @@ ORACLES = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "repetition_quality": SQL_REPETITION_QUALITY,
+    "hash_sample": SQL_HASH_SAMPLE,
+    "sequence_packing": SQL_SEQUENCE_PACKING,
 }
