@@ -26,8 +26,7 @@ HEADLINE = [
     "revenue_by_nation",
     "top_customers",
     "profile_enrich",
-    "rolling_counters",
-    "amount_profile",
+    "rolling_profile",
     "velocity_sliding",
     "velocity_sliding_approx",
     "hourly_type_stats",
@@ -40,11 +39,10 @@ HEADLINE = [
     "minhash_signature",
     "lsh_near_dups",
     "simhash",
-    "simhash64",
     "simhash_pairs",
     "dedup_clusters",
     "repetition_quality",
-    "sequence_packing",
+    "sample_pack",
     "embedding_near_dups",
     "ann_topk",
 ]

@@ -395,31 +395,42 @@ def simhash(text: Column, bits: int = 16) -> Column:
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, bits: int = 16
+    df: DataFrame, text_col: str, id_col: str, bits: int | tuple[int, ...] = 16
 ) -> DataFrame:
     """SimHash via explode(distinct words) → one hash per word → groupBy(id)
     with `bits` codegen'd vote sums — the scan-once aggregate form of
-    :func:`simhash` (same output)."""
+    :func:`simhash` (same output). `bits` may be a tuple of widths (e.g.
+    ``(16, 64)``): all signatures come out of the SAME scan + shuffle, one
+    `simhash{b}` column per width."""
+    widths = (bits,) if isinstance(bits, int) else tuple(bits)
     words = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.array_distinct(F.split(F.trim(normalized_text(F.col(text_col))), r"\s+"))
         ).alias("w"),
-    ).withColumn("h", _simhash_word_hash(F.col("w"), bits))
+    )
+    for b in widths:
+        words = words.withColumn(f"h{b}", _simhash_word_hash(F.col("w"), b))
     votes = words.groupBy("doc").agg(
         *[
             F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(_bit_value(j)).cast("long")) != 0, 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(bits)
+                F.when(
+                    F.col(f"h{b}").bitwiseAND(F.lit(_bit_value(j)).cast("long")) != 0, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}_{j}")
+            for b in widths
+            for j in range(b)
         ]
     )
-    sig = F.lit(0).cast("long")
-    for j in range(bits):
-        sig = sig + F.when(F.col(f"v{j}") > 0, F.lit(_bit_value(j)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return votes.select("doc", sig.alias(f"simhash{bits}"))
+    sigs = []
+    for b in widths:
+        sig = F.lit(0).cast("long")
+        for j in range(b):
+            sig = sig + F.when(
+                F.col(f"v{b}_{j}") > 0, F.lit(_bit_value(j)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        sigs.append(sig.alias(f"simhash{b}"))
+    return votes.select("doc", *sigs)
 
 
 def simhash_near_dup_pairs(

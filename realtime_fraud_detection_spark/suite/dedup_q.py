@@ -219,43 +219,21 @@ WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s
 
 
 # ---------------------------------------------------------------------------
-# SimHash signatures (16-bit for the oracle; 64-bit in production use)
-# ---------------------------------------------------------------------------
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return D.simhash_signatures(docs, "text", "doc_id", bits=16).withColumnRenamed(
-        "doc", "doc_id"
-    )
-
-
-_SIMHASH_H = md5_bigint_sql("w", salt="simhash:")
-SQL_SIMHASH = rf"""
-WITH hw AS (
-  SELECT doc_id, list_transform(list_distinct({_SQL_WORDS}), w -> {_SIMHASH_H}) AS hs
-  FROM documents
-)
-SELECT doc_id,
-  CAST(list_sum(list_transform(range(0, 16), j ->
-    CASE WHEN list_sum(list_transform(hs, h ->
-           CASE WHEN (h & (1::BIGINT << j)) <> 0 THEN 1 ELSE -1 END)) > 0
-         THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash16
-FROM hw
-"""
-
-
-# ---------------------------------------------------------------------------
-# 64-bit SimHash (production form): full 64-bit two's-complement word hashes
-# so bits 60-63 actually vote. Bit 63 is handled without shift masks on both
+# SimHash signatures — 16-bit (compact oracle form) AND full 64-bit
+# production form from ONE scan + shuffle (simhash_signatures with a width
+# tuple). The 64-bit form uses full two's-complement word hashes so bits
+# 60-63 actually vote; bit 63 is handled without shift masks on both
 # engines: h < 0 tests the sign bit, and setting it adds Long.MIN_VALUE
 # (1 << 63 overflows BIGINT in DuckDB and LongType in Spark alike).
 # ---------------------------------------------------------------------------
-def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return D.simhash_signatures(docs, "text", "doc_id", bits=64).withColumnRenamed(
-        "doc", "doc_id"
-    )
+    return D.simhash_signatures(
+        docs, "text", "doc_id", bits=(16, 64)
+    ).withColumnRenamed("doc", "doc_id")
 
 
+_SIMHASH_H = md5_bigint_sql("w", salt="simhash:")
 _SIMHASH_H64 = md5_bigint64_sql("w", salt="simhash:")
 # the 64-bit signature expression over a word-hash list column `hs`
 # (shared by the signature query and the Hamming-pair query)
@@ -266,12 +244,19 @@ _SQL_SIMHASH64_SIG = """CAST(list_sum(list_transform(range(0, 63), j ->
   + CASE WHEN list_sum(list_transform(hs, h ->
            CASE WHEN h < 0 THEN 1 ELSE -1 END)) > 0
          THEN (-9223372036854775807 - 1) ELSE 0 END"""
-SQL_SIMHASH64 = rf"""
+SQL_SIMHASH = rf"""
 WITH hw AS (
-  SELECT doc_id, list_transform(list_distinct({_SQL_WORDS}), w -> {_SIMHASH_H64}) AS hs
+  SELECT doc_id,
+         list_transform(list_distinct({_SQL_WORDS}), w -> {_SIMHASH_H}) AS hs16,
+         list_transform(list_distinct({_SQL_WORDS}), w -> {_SIMHASH_H64}) AS hs
   FROM documents
 )
-SELECT doc_id, {_SQL_SIMHASH64_SIG} AS simhash64
+SELECT doc_id,
+  CAST(list_sum(list_transform(range(0, 16), j ->
+    CASE WHEN list_sum(list_transform(hs16, h ->
+           CASE WHEN (h & (1::BIGINT << j)) <> 0 THEN 1 ELSE -1 END)) > 0
+         THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash16,
+  {_SQL_SIMHASH64_SIG} AS simhash64
 FROM hw
 """
 
@@ -392,46 +377,33 @@ LEFT JOIN ns5 ON w.doc_id = ns5.doc_id
 
 
 # ---------------------------------------------------------------------------
-# Deterministic corpus sampling: Bernoulli on a salted md5 bucket of the id
-# — identical row selection in every engine and on every cluster layout
-# (df.sample is partitioning-dependent; this is the reproducible form).
+# Deterministic corpus sampling + token-budget sequence packing, composed as
+# one pipeline step: Bernoulli-sample 20% of documents on a salted md5
+# bucket of the id (identical row selection in every engine and on every
+# cluster layout — df.sample is partitioning-dependent), then concat-and-
+# chunk the SAMPLED corpus into fixed token-budget training sequences via
+# one window cumsum per language stratum.
 # ---------------------------------------------------------------------------
-def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sampling as SA
 
     docs = load_table(spark, sf_dir, "documents")
-    return SA.hash_sample(docs, "doc_id", 0.2).select("doc_id", "lang")
-
-
-def _sql_hash_sample() -> str:
-    from ..operators.sampling import hash_sample_sql
-
-    return f"SELECT doc_id, lang FROM documents WHERE {hash_sample_sql('doc_id', 0.2)}"
-
-
-SQL_HASH_SAMPLE = _sql_hash_sample()
-
-
-# ---------------------------------------------------------------------------
-# Token-budget sequence packing (concat-and-chunk): one window cumsum per
-# stratum; a doc's sequence is where its first token lands.
-# ---------------------------------------------------------------------------
-def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import sampling as SA
-
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = SA.hash_sample(docs, "doc_id", 0.2).select(
         "doc_id", "lang", TX.token_count_whitespace(F.col("text")).alias("tokens")
     )
     return SA.pack_sequences(toks, "doc_id", "tokens", budget=2000, stratum_col="lang")
 
 
-SQL_SEQUENCE_PACKING = r"""
+def _sql_sample_pack() -> str:
+    from ..operators.sampling import hash_sample_sql
+
+    return rf"""
 WITH toks AS (
   SELECT doc_id, lang,
     CASE WHEN length(trim(text)) = 0 THEN 0
          ELSE len(string_split_regex(trim(text), '\s+')) END AS tokens
   FROM documents
+  WHERE {hash_sample_sql('doc_id', 0.2)}
 ), off AS (
   SELECT doc_id, lang, tokens,
     CAST(COALESCE(SUM(tokens) OVER (
@@ -443,6 +415,9 @@ SELECT doc_id, lang, tokens, "offset",
        CAST(FLOOR("offset"::DOUBLE / 2000) AS BIGINT) AS seq_id
 FROM off
 """
+
+
+SQL_SAMPLE_PACK = _sql_sample_pack()
 
 
 # ---------------------------------------------------------------------------
@@ -600,6 +575,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries, k=3, n_cells=8, n_probe=3)
 
 
+# Every oracle-backed query must sit within the driver's 50-entry check
+# window (dict insertion order across suite modules) — the two
+# approximate-by-construction ANN queries are rows-only and go LAST.
 QUERIES = {
     "text_features": q_text_features,
     "doc_fingerprint": q_doc_fingerprint,
@@ -607,19 +585,15 @@ QUERIES = {
     "minhash_signature": q_minhash_signature,
     "lsh_near_dups": q_lsh_near_dups,
     "simhash": q_simhash,
-    "simhash64": q_simhash64,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_topk": q_ann_topk,
-    # everything below sits past the driver's 50-query check window —
-    # verified by the local gate replica (tools/check_oracle.py) and tests
-    "ann_lsh": q_ann_lsh,
-    "ann_ivf": q_ann_ivf,
     "winnow_pairs": q_winnow_pairs,
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "repetition_quality": q_repetition_quality,
-    "hash_sample": q_hash_sample,
-    "sequence_packing": q_sequence_packing,
+    "sample_pack": q_sample_pack,
+    "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLES = {
@@ -629,14 +603,12 @@ ORACLES = {
     "minhash_signature": SQL_MINHASH_SIGNATURE,
     "lsh_near_dups": SQL_LSH_NEAR_DUPS,
     "simhash": SQL_SIMHASH,
-    "simhash64": SQL_SIMHASH64,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "ann_topk": SQL_ANN_TOPK,
-    # ann_lsh / ann_ivf: approximate by construction → rows-only check
     "winnow_pairs": SQL_WINNOW_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "repetition_quality": SQL_REPETITION_QUALITY,
-    "hash_sample": SQL_HASH_SAMPLE,
-    "sequence_packing": SQL_SEQUENCE_PACKING,
+    "sample_pack": SQL_SAMPLE_PACK,
+    # ann_lsh / ann_ivf: approximate by construction → rows-only check
 }

@@ -20,12 +20,15 @@ from ..sources.testdata import load_table
 
 
 # ---------------------------------------------------------------------------
-# Amount family (FeatureExtractor.java:92-131,386-392)
+# Amount family (FeatureExtractor.java:92-131,386-392) + temporal family
+# (FeatureExtractor.java:136-168,394-399) — one per-event projection, one
+# driver correctness row (50-query window).
 # ---------------------------------------------------------------------------
-def q_amount_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_amount_temporal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     v = F.col("value")
     feats = FF.amount_features(v)
+    tfeats = FF.temporal_features(F.col("ts"))
     return ev.select(
         "event_id",
         "value",
@@ -35,10 +38,18 @@ def q_amount_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         feats["is_round_10"].alias("is_round_10"),
         feats["amount_category"].alias("amount_category"),
         FF.amount_bucket_100(v).alias("amount_bucket_100"),
+        tfeats["hour_of_day"].alias("hour_of_day"),
+        tfeats["day_of_week"].alias("day_of_week"),
+        tfeats["day_of_month"].alias("day_of_month"),
+        tfeats["is_weekend"].alias("is_weekend"),
+        tfeats["time_period"].alias("time_period"),
+        tfeats["is_business_hours"].alias("is_business_hours"),
+        tfeats["is_night_time"].alias("is_night_time"),
+        FF.in_preferred_time(tfeats["hour_of_day"], F.lit(8), F.lit(20)).alias("in_preferred_time"),
     )
 
 
-SQL_AMOUNT_FEATURES = """
+SQL_AMOUNT_TEMPORAL_FEATURES = """
 SELECT event_id, value,
        ROUND(LN(1 + value), 6) AS amount_log,
        ROUND(SQRT(value), 6) AS amount_sqrt,
@@ -47,32 +58,7 @@ SELECT event_id, value,
        CASE WHEN value < 10 THEN 'micro' WHEN value < 100 THEN 'small'
             WHEN value < 1000 THEN 'medium' WHEN value < 10000 THEN 'large'
             ELSE 'very_large' END AS amount_category,
-       CAST(FLOOR(value / 100) * 100 AS DOUBLE) AS amount_bucket_100
-FROM events
-"""
-
-
-# ---------------------------------------------------------------------------
-# Temporal family (FeatureExtractor.java:136-168,394-399)
-# ---------------------------------------------------------------------------
-def q_temporal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    feats = FF.temporal_features(F.col("ts"))
-    return ev.select(
-        "event_id",
-        feats["hour_of_day"].alias("hour_of_day"),
-        feats["day_of_week"].alias("day_of_week"),
-        feats["day_of_month"].alias("day_of_month"),
-        feats["is_weekend"].alias("is_weekend"),
-        feats["time_period"].alias("time_period"),
-        feats["is_business_hours"].alias("is_business_hours"),
-        feats["is_night_time"].alias("is_night_time"),
-        FF.in_preferred_time(feats["hour_of_day"], F.lit(8), F.lit(20)).alias("in_preferred_time"),
-    )
-
-
-SQL_TEMPORAL_FEATURES = """
-SELECT event_id,
+       CAST(FLOOR(value / 100) * 100 AS DOUBLE) AS amount_bucket_100,
        hour(ts) AS hour_of_day,
        dayofweek(ts) + 1 AS day_of_week,
        dayofmonth(ts) AS day_of_month,
@@ -90,49 +76,17 @@ FROM events
 
 # ---------------------------------------------------------------------------
 # Geographic family incl. Haversine as a pure expression
-# (FeatureExtractor.java:173-211,401-417)
+# (FeatureExtractor.java:173-211,401-417) + device/network family
+# (FeatureExtractor.java:301-325,434-451) — one per-event projection, one
+# driver correctness row. IP, user-agent, and coordinates the fixture lacks
+# are derived deterministically from the keys.
 # ---------------------------------------------------------------------------
-def q_geo_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_geo_device_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     lat = (F.col("user_id") % 140 - 70).cast("double") + (F.col("event_id") % 100) / 100.0
     lon = ((F.col("user_id") * 7) % 340 - 170).cast("double") + (F.col("event_id") % 50) / 50.0
     mlat = ((F.col("user_id") * 3) % 140 - 70).cast("double")
     mlon = ((F.col("user_id") * 11) % 340 - 170).cast("double")
-    return ev.select(
-        "event_id",
-        lat.alias("lat"),
-        lon.alias("lon"),
-        FF.is_high_risk_location(lat, lon).alias("is_high_risk_country"),
-        F.round(FF.haversine_km(lat, lon, mlat, mlon), 4).alias("distance_to_merchant_km"),
-    )
-
-
-SQL_GEO_FEATURES = """
-WITH coords AS (
-  SELECT event_id,
-         CAST(user_id % 140 - 70 AS DOUBLE) + (event_id % 100) / 100.0 AS lat,
-         CAST((user_id * 7) % 340 - 170 AS DOUBLE) + (event_id % 50) / 50.0 AS lon,
-         CAST((user_id * 3) % 140 - 70 AS DOUBLE) AS mlat,
-         CAST((user_id * 11) % 340 - 170 AS DOUBLE) AS mlon
-  FROM events)
-SELECT event_id, lat, lon,
-       (ABS(lat) > 60 OR (ABS(lat) < 10 AND ABS(lon) < 10)) AS is_high_risk_country,
-       ROUND(2 * 6371.0 * ATAN2(
-         SQRT(POWER(SIN(RADIANS(mlat - lat) / 2), 2)
-              + COS(RADIANS(lat)) * COS(RADIANS(mlat)) * POWER(SIN(RADIANS(mlon - lon) / 2), 2)),
-         SQRT(1 - (POWER(SIN(RADIANS(mlat - lat) / 2), 2)
-              + COS(RADIANS(lat)) * COS(RADIANS(mlat)) * POWER(SIN(RADIANS(mlon - lon) / 2), 2)))
-       ), 4) AS distance_to_merchant_km
-FROM coords
-"""
-
-
-# ---------------------------------------------------------------------------
-# Device / network family (FeatureExtractor.java:301-325,434-451) — IP and
-# user-agent derived deterministically from keys.
-# ---------------------------------------------------------------------------
-def q_device_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
     ip = F.when(
         F.col("user_id") % 3 == 0,
         F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".1")),
@@ -142,25 +96,41 @@ def q_device_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ua = F.when(F.col("user_id") % 7 == 0, F.lit("bot-agent/1.0")).otherwise(
         F.lit("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36")
     )
-    feats = FF.device_features(ip, ua)
+    dfeats = FF.device_features(ip, ua)
     return ev.select(
         "event_id",
+        lat.alias("lat"),
+        lon.alias("lon"),
+        FF.is_high_risk_location(lat, lon).alias("is_high_risk_country"),
+        F.round(FF.haversine_km(lat, lon, mlat, mlon), 4).alias("distance_to_merchant_km"),
         ip.alias("ip_address"),
-        feats["is_private_ip"].alias("is_private_ip"),
-        feats["ip_risk_score"].alias("ip_risk_score"),
-        feats["suspicious_user_agent"].alias("suspicious_user_agent"),
+        dfeats["is_private_ip"].alias("is_private_ip"),
+        dfeats["ip_risk_score"].alias("ip_risk_score"),
+        dfeats["suspicious_user_agent"].alias("suspicious_user_agent"),
     )
 
 
-SQL_DEVICE_FEATURES = """
+SQL_GEO_DEVICE_FEATURES = """
 WITH derived AS (
   SELECT event_id,
+         CAST(user_id % 140 - 70 AS DOUBLE) + (event_id % 100) / 100.0 AS lat,
+         CAST((user_id * 7) % 340 - 170 AS DOUBLE) + (event_id % 50) / 50.0 AS lon,
+         CAST((user_id * 3) % 140 - 70 AS DOUBLE) AS mlat,
+         CAST((user_id * 11) % 340 - 170 AS DOUBLE) AS mlon,
     CASE WHEN user_id % 3 = 0 THEN '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1'
          ELSE '203.0.113.' || CAST(user_id % 256 AS VARCHAR) END AS ip_address,
     CASE WHEN user_id % 7 = 0 THEN 'bot-agent/1.0'
          ELSE 'Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36' END AS ua
   FROM events)
-SELECT event_id, ip_address,
+SELECT event_id, lat, lon,
+       (ABS(lat) > 60 OR (ABS(lat) < 10 AND ABS(lon) < 10)) AS is_high_risk_country,
+       ROUND(2 * 6371.0 * ATAN2(
+         SQRT(POWER(SIN(RADIANS(mlat - lat) / 2), 2)
+              + COS(RADIANS(lat)) * COS(RADIANS(mlat)) * POWER(SIN(RADIANS(mlon - lon) / 2), 2)),
+         SQRT(1 - (POWER(SIN(RADIANS(mlat - lat) / 2), 2)
+              + COS(RADIANS(lat)) * COS(RADIANS(mlat)) * POWER(SIN(RADIANS(mlon - lon) / 2), 2)))
+       ), 4) AS distance_to_merchant_km,
+  ip_address,
   (ip_address LIKE '192.168.%' OR ip_address LIKE '10.%' OR ip_address LIKE '172.16.%') AS is_private_ip,
   CASE WHEN ip_address LIKE '192.168.%' OR ip_address LIKE '10.%' OR ip_address LIKE '172.16.%'
        THEN 0.1 ELSE 0.3 END AS ip_risk_score,
@@ -342,20 +312,16 @@ FROM final
 
 
 QUERIES = {
-    "amount_features": q_amount_features,
-    "temporal_features": q_temporal_features,
-    "geo_features": q_geo_features,
-    "device_features": q_device_features,
+    "amount_temporal_features": q_amount_temporal_features,
+    "geo_device_features": q_geo_device_features,
     "json_extract": q_json_extract,
     "rule_score": q_rule_score,
     "ensemble_decision": q_ensemble_decision,
 }
 
 ORACLES = {
-    "amount_features": SQL_AMOUNT_FEATURES,
-    "temporal_features": SQL_TEMPORAL_FEATURES,
-    "geo_features": SQL_GEO_FEATURES,
-    "device_features": SQL_DEVICE_FEATURES,
+    "amount_temporal_features": SQL_AMOUNT_TEMPORAL_FEATURES,
+    "geo_device_features": SQL_GEO_DEVICE_FEATURES,
     "json_extract": SQL_JSON_EXTRACT,
     "rule_score": SQL_RULE_SCORE,
     "ensemble_decision": SQL_ENSEMBLE_DECISION,

@@ -35,89 +35,50 @@ WHERE recency_rank <= 5
 """
 
 
-# W2 — rolling 24h/1h trailing counters (RedisTransactionSink.java:87-135)
-def q_rolling_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+# W2 + W5 — rolling 24h/1h trailing counters (RedisTransactionSink.java:
+# 87-135) AND amount percentile/z-score vs own history (feature_processor.py:
+# 74-75), one driver correctness row (50-query window). Two operators chained
+# on the same entity partitioning: one shuffle, per-frame sorts.
+def q_rolling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     out = W.rolling_ranges(
         ev, "user_id", "ts", "value", {"rolling_24h": 86400, "rolling_1h": 3600}
     )
+    out = W.amount_profile(out, "user_id", "value", "ts")
     return out.select(
         "event_id",
         "user_id",
+        "value",
         "rolling_24h_count",
         "rolling_24h_amount",
         "rolling_1h_count",
         "rolling_1h_amount",
-    )
-
-
-SQL_ROLLING_COUNTERS = """
-SELECT event_id, user_id,
-  COUNT(*) OVER w24 AS rolling_24h_count,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w24 AS DOUBLE) AS rolling_24h_amount,
-  COUNT(*) OVER w1 AS rolling_1h_count,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w1 AS DOUBLE) AS rolling_1h_amount
-FROM events
-WINDOW
-  w24 AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW),
-  w1  AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-"""
-
-
-# W3 — time since last event (feature_processor.py:85)
-def q_time_since_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return W.time_since_last(ev, "user_id", "ts").select(
-        "event_id", "user_id", "micros_since_last"
-    )
-
-
-SQL_TIME_SINCE_LAST = """
-SELECT event_id, user_id,
-       epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS micros_since_last
-FROM events
-"""
-
-
-# W4 — first-seen flag (new-merchant-for-user, graph_neural_network.py:386-387)
-def q_first_seen_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return W.first_seen_flag(ev, "user_id", "event_type", "ts", "event_id").select(
-        "event_id", "user_id", "event_type", "is_first_seen"
-    )
-
-
-SQL_FIRST_SEEN = """
-SELECT event_id, user_id, event_type,
-       ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1 AS is_first_seen
-FROM events
-"""
-
-
-# W5 — percentile + z-score vs own history (feature_processor.py:74-75)
-def q_amount_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return W.amount_profile(ev, "user_id", "value", "ts").select(
-        "event_id",
-        "user_id",
-        "value",
         "amount_pct_rank",
         F.round("entity_avg_amount", 6).alias("user_avg_value"),
         "amount_zscore",
     )
 
 
-SQL_AMOUNT_PROFILE = """
+SQL_ROLLING_PROFILE = """
 WITH stats AS (
   SELECT event_id, user_id, value,
+    COUNT(*) OVER w24 AS rolling_24h_count,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w24 AS DOUBLE) AS rolling_24h_amount,
+    COUNT(*) OVER w1 AS rolling_1h_count,
+    CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w1 AS DOUBLE) AS rolling_1h_amount,
     PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value) AS amount_pct_rank,
     COUNT(*) OVER w AS n,
     CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
     CAST(SUM(CAST(value * value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS s2
   FROM events
-  WINDOW w AS (PARTITION BY user_id)
+  WINDOW
+    w24 AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW),
+    w1  AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+    w   AS (PARTITION BY user_id)
 )
-SELECT event_id, user_id, value, amount_pct_rank,
+SELECT event_id, user_id, value,
+  rolling_24h_count, rolling_24h_amount, rolling_1h_count, rolling_1h_amount,
+  amount_pct_rank,
   ROUND(s1 / n, 6) AS user_avg_value,
   ROUND((value - s1 / n) /
         NULLIF(SQRT(GREATEST((s2 - s1 * s1 / n) / NULLIF(n - 1, 0), 0.0)), 0.0), 6) + 0.0 AS amount_zscore
@@ -125,18 +86,33 @@ FROM stats
 """
 
 
+# W3 + W4 — time since last event (feature_processor.py:85) AND first-seen
+# flag (new-merchant-for-user, graph_neural_network.py:386-387), one row.
+def q_recency_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    out = W.time_since_last(ev, "user_id", "ts")
+    out = W.first_seen_flag(out, "user_id", "event_type", "ts", "event_id")
+    return out.select(
+        "event_id", "user_id", "event_type", "micros_since_last", "is_first_seen"
+    )
+
+
+SQL_RECENCY_FLAGS = """
+SELECT event_id, user_id, event_type,
+       epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS micros_since_last,
+       ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1 AS is_first_seen
+FROM events
+"""
+
+
 QUERIES = {
     "last_n_per_user": q_last_n_per_user,
-    "rolling_counters": q_rolling_counters,
-    "time_since_last": q_time_since_last,
-    "first_seen_flag": q_first_seen_flag,
-    "amount_profile": q_amount_profile,
+    "rolling_profile": q_rolling_profile,
+    "recency_flags": q_recency_flags,
 }
 
 ORACLES = {
     "last_n_per_user": SQL_LAST_N,
-    "rolling_counters": SQL_ROLLING_COUNTERS,
-    "time_since_last": SQL_TIME_SINCE_LAST,
-    "first_seen_flag": SQL_FIRST_SEEN,
-    "amount_profile": SQL_AMOUNT_PROFILE,
+    "rolling_profile": SQL_ROLLING_PROFILE,
+    "recency_flags": SQL_RECENCY_FLAGS,
 }
