@@ -41,7 +41,7 @@ HEADLINE = [
     "simhash",
     "simhash_pairs",
     "dedup_clusters",
-    "repetition_quality",
+    "quality_filters",
     "sample_pack",
     "embedding_near_dups",
     "ann_topk",

@@ -129,6 +129,67 @@ def repetition_stats(
     return out.select(*cols)
 
 
+# C4 (Raffel et al. 2020, §2.2) line/page heuristics
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_KEPT_LINES = 3
+
+
+def c4_line_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-doc C4 cleaning signals: explode(lines) → per-line flags →
+    one aggregate (same shuffle shape as :func:`_line_stats`).
+
+    C4 keeps a line when it ends in terminal punctuation (. ! ? "), has at
+    least 5 words, and does not mention javascript; a page survives when it
+    has >= 3 kept lines, no "lorem ipsum", and no '{'. The doc-level
+    substring flags are pure projections computed here alongside the line
+    aggregate so the caller gets one frame.
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        )
+        .withColumn("line", F.trim(F.col("line")))
+        .filter(F.length("line") > 0)
+    )
+    terminal = F.col("line").rlike('[.!?"]$')
+    words = F.size(F.split(F.col("line"), r"\s+"))
+    js = F.lower(F.col("line")).contains("javascript")
+    kept = terminal & (words >= C4_MIN_WORDS_PER_LINE) & ~js
+    agg = lines.groupBy("doc").agg(
+        F.count("*").alias("n_rich_lines"),
+        F.sum(kept.cast("int")).alias("n_kept_lines"),
+        F.round(F.avg(terminal.cast("double")), 6).alias("terminal_line_frac"),
+        F.round(
+            F.avg((words < C4_MIN_WORDS_PER_LINE).cast("double")), 6
+        ).alias("short_line_frac"),
+    )
+    flags = df.select(
+        F.col(id_col).alias("doc"),
+        F.lower(F.col(text_col)).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        F.col(text_col).contains("{").alias("has_curly_brace"),
+    )
+    return flags.join(agg, "doc", "left").select(
+        "doc",
+        F.coalesce("n_rich_lines", F.lit(0)).alias("n_rich_lines"),
+        F.coalesce("n_kept_lines", F.lit(0)).alias("n_kept_lines"),
+        F.coalesce("terminal_line_frac", F.lit(0.0)).alias("terminal_line_frac"),
+        F.coalesce("short_line_frac", F.lit(0.0)).alias("short_line_frac"),
+        "has_lorem_ipsum",
+        "has_curly_brace",
+    )
+
+
+def c4_page_pass(stats: DataFrame) -> Column:
+    """Boolean page-survival column applying the C4 thresholds to a
+    :func:`c4_line_stats` frame."""
+    return (
+        (F.col("n_kept_lines") >= C4_MIN_KEPT_LINES)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_curly_brace")
+    )
+
+
 def gopher_repetition_pass(
     stats: DataFrame,
     top_ns: tuple[int, ...] = (2, 3),

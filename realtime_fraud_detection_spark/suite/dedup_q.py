@@ -286,17 +286,83 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 4
 
 
 # ---------------------------------------------------------------------------
-# Gopher/C4 repetition-quality stats: duplicate-line fractions + n-gram
-# dominance (operators/quality.repetition_stats) with the published
-# thresholds as a pass flag. All ratios of exact integer masses, rounded
-# to 6 dp on both engines.
+# Document quality filters, one per-doc frame covering three families:
+#   * Gopher repetition stats (duplicate-line fractions + n-gram dominance,
+#     operators/quality.repetition_stats) with the published thresholds;
+#   * C4 line/page heuristics (terminal punctuation, min words per line,
+#     javascript/lorem-ipsum/brace rules, operators/quality.c4_line_stats);
+#   * PII counts + redaction (functions/pii) — verified bit-exactly via the
+#     md5 of the redacted text.
+# The fixture documents are single-line word bags, so the C4/PII signals
+# run on a deterministic "rich" variant derived from the keys (same pattern
+# as the derived IPs in geo_device_features) — both engines build the
+# identical string, so every regex fires on real structure.
 # ---------------------------------------------------------------------------
-def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rich_text() -> object:
+    d = F.col("doc_id")
+    nl = F.lit("\n")
+    return F.concat(
+        F.col("text"),
+        nl,
+        F.lit("Contact user"),
+        (d % 50).cast("string"),
+        F.lit("@example.com for more details."),
+        nl,
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("Call 555-123-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+                F.lit(" today!"),
+            ),
+        ).otherwise(F.lit("Here is another quality sentence.")),
+        nl,
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("Server 10.0."),
+                (d % 256).cast("string"),
+                F.lit(".1 runs javascript widgets."),
+            ),
+        ).otherwise(F.lit("This closing sentence has six words.")),
+        F.when(
+            d % 17 == 0,
+            F.concat(
+                nl,
+                F.lit("Card 4111-1111-1111-1111 with SSN 987-65-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+                F.lit("."),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 11 == 0, F.concat(nl, F.lit("Totally lorem ipsum filler here."))
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 13 == 0, F.concat(nl, F.lit("var f = function() { return 1; };"))
+        ).otherwise(F.lit("")),
+    )
+
+
+def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import pii as P
     from ..operators import quality as Q
 
     docs = _docs(spark, sf_dir)
-    stats = Q.repetition_stats(docs, "text", "doc_id", top_ns=(2, 3), dup_ns=(5,))
-    return stats.withColumn("gopher_pass", Q.gopher_repetition_pass(stats))
+    rep = Q.repetition_stats(docs, "text", "doc_id", top_ns=(2, 3), dup_ns=(5,))
+    rep = rep.withColumn("gopher_pass", Q.gopher_repetition_pass(rep))
+
+    rich = docs.select("doc_id", _rich_text().alias("rich"))
+    c4 = Q.c4_line_stats(rich, "rich", "doc_id")
+    c4 = c4.withColumn("c4_pass", Q.c4_page_pass(c4)).withColumnRenamed(
+        "doc", "doc_id"
+    )
+    counts = P.pii_counts(F.col("rich"))
+    pii = rich.select(
+        "doc_id",
+        *[counts[k].cast("bigint").alias(f"n_{k}") for k in P.PII_PATTERNS],
+        F.md5(P.redact_pii(F.col("rich"))).alias("pii_redacted_md5"),
+    )
+    return rep.join(c4, "doc_id").join(pii, "doc_id")
 
 
 def _sql_shingles_k(k: int) -> str:
@@ -321,7 +387,61 @@ def _sql_ngram_stats(n: int) -> str:
 )"""
 
 
-SQL_REPETITION_QUALITY = rf"""
+# the deterministic rich-text expression (must byte-match _rich_text());
+# plain string — single braces are literal SQL here
+_SQL_RICH = """text
+  || chr(10) || 'Contact user' || CAST(doc_id % 50 AS VARCHAR) || '@example.com for more details.'
+  || chr(10) || CASE WHEN doc_id % 3 = 0
+       THEN 'Call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today!'
+       ELSE 'Here is another quality sentence.' END
+  || chr(10) || CASE WHEN doc_id % 5 = 0
+       THEN 'Server 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 runs javascript widgets.'
+       ELSE 'This closing sentence has six words.' END
+  || CASE WHEN doc_id % 17 = 0
+       THEN chr(10) || 'Card 4111-1111-1111-1111 with SSN 987-65-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+       ELSE '' END
+  || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'Totally lorem ipsum filler here.' ELSE '' END
+  || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'var f = function() { return 1; };' ELSE '' END"""
+
+
+def _sql_quality_pii_ctes() -> str:
+    """The rich-text / C4-line / PII CTEs appended to the repetition CTEs."""
+    from ..functions.pii import PII_PATTERNS, pii_count_sql, redact_pii_sql
+
+    counts = ",\n    ".join(
+        pii_count_sql("rich", k) + " AS n_" + k for k in PII_PATTERNS
+    )
+    return (
+        "rich AS (\n  SELECT doc_id, " + _SQL_RICH + " AS rich FROM documents\n"
+        "), rl AS (\n"
+        "  SELECT doc_id, trim(l) AS line\n"
+        "  FROM (SELECT doc_id, unnest(string_split(rich, chr(10))) AS l FROM rich)\n"
+        "  WHERE length(trim(l)) > 0\n"
+        "), rf AS (\n"
+        "  SELECT doc_id,\n"
+        "    regexp_matches(line, '[.!?\"]$') AS terminal,\n"
+        r"    len(string_split_regex(line, '\s+')) AS words,"
+        "\n    contains(lower(line), 'javascript') AS js\n"
+        "  FROM rl\n"
+        "), c4 AS (\n"
+        "  SELECT doc_id,\n"
+        "    COUNT(*) AS n_rich_lines,\n"
+        "    CAST(SUM(CASE WHEN terminal AND words >= 5 AND NOT js THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,\n"
+        "    ROUND(AVG(CASE WHEN terminal THEN 1.0 ELSE 0.0 END), 6) AS terminal_line_frac,\n"
+        "    ROUND(AVG(CASE WHEN words < 5 THEN 1.0 ELSE 0.0 END), 6) AS short_line_frac\n"
+        "  FROM rf GROUP BY 1\n"
+        "), pii AS (\n"
+        "  SELECT doc_id,\n"
+        "    contains(lower(rich), 'lorem ipsum') AS has_lorem_ipsum,\n"
+        "    contains(rich, '{') AS has_curly_brace,\n"
+        "    " + counts + ",\n"
+        "    md5(" + redact_pii_sql("rich") + ") AS pii_redacted_md5\n"
+        "  FROM rich\n"
+        ")"
+    )
+
+
+SQL_QUALITY_FILTERS = rf"""
 WITH ws_t AS (
   SELECT doc_id, {_SQL_WORDS} AS ws,
          length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS chars
@@ -339,7 +459,8 @@ WITH ws_t AS (
     CAST(SUM(cnt * length(line)) AS BIGINT) AS line_chars,
     CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS BIGINT) AS dup_line_chars
   FROM pl GROUP BY 1
-), {_sql_ngram_stats(2)}, {_sql_ngram_stats(3)}, {_sql_ngram_stats(5)}
+), {_sql_ngram_stats(2)}, {_sql_ngram_stats(3)}, {_sql_ngram_stats(5)},
+{_sql_quality_pii_ctes()}
 SELECT w.doc_id,
   COALESCE(ls.n_lines, 0) AS n_lines,
   ROUND(CASE WHEN COALESCE(ls.n_lines, 0) > 0
@@ -367,12 +488,24 @@ SELECT w.doc_id,
          THEN COALESCE(ns3.top3_mass, 0)::DOUBLE / w.chars::DOUBLE ELSE 0.0 END, 6) <= 0.18
    AND ROUND(CASE WHEN COALESCE(ns5.all5_mass, 0) > 0
          THEN ns5.dup5_mass::DOUBLE / ns5.all5_mass::DOUBLE ELSE 0.0 END, 6) <= 0.15)
-    AS gopher_pass
+    AS gopher_pass,
+  COALESCE(c4.n_rich_lines, 0) AS n_rich_lines,
+  COALESCE(c4.n_kept_lines, 0) AS n_kept_lines,
+  COALESCE(c4.terminal_line_frac, 0.0) AS terminal_line_frac,
+  COALESCE(c4.short_line_frac, 0.0) AS short_line_frac,
+  pii.has_lorem_ipsum,
+  pii.has_curly_brace,
+  (COALESCE(c4.n_kept_lines, 0) >= 3 AND NOT pii.has_lorem_ipsum
+   AND NOT pii.has_curly_brace) AS c4_pass,
+  pii.n_credit_card, pii.n_ssn, pii.n_phone, pii.n_ipv4, pii.n_email,
+  pii.pii_redacted_md5
 FROM ws_t w
 LEFT JOIN ls  ON w.doc_id = ls.doc_id
 LEFT JOIN ns2 ON w.doc_id = ns2.doc_id
 LEFT JOIN ns3 ON w.doc_id = ns3.doc_id
 LEFT JOIN ns5 ON w.doc_id = ns5.doc_id
+LEFT JOIN c4  ON w.doc_id = c4.doc_id
+JOIN pii ON w.doc_id = pii.doc_id
 """
 
 
@@ -590,7 +723,7 @@ QUERIES = {
     "winnow_pairs": q_winnow_pairs,
     "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
-    "repetition_quality": q_repetition_quality,
+    "quality_filters": q_quality_filters,
     "sample_pack": q_sample_pack,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
@@ -608,7 +741,7 @@ ORACLES = {
     "winnow_pairs": SQL_WINNOW_PAIRS,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
-    "repetition_quality": SQL_REPETITION_QUALITY,
+    "quality_filters": SQL_QUALITY_FILTERS,
     "sample_pack": SQL_SAMPLE_PACK,
     # ann_lsh / ann_ivf: approximate by construction → rows-only check
 }

@@ -75,3 +75,87 @@ def test_empty_and_whitespace_docs(spark):
     for d in (1, 2):
         assert s[d]["n_lines"] == 0
         assert s[d]["dup_line_frac"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# C4 line/page heuristics (operators/quality.c4_line_stats / c4_page_pass)
+# ---------------------------------------------------------------------------
+def _c4(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    stats = Q.c4_line_stats(df, "text", "doc_id")
+    return {
+        r["doc"]: r.asDict()
+        for r in stats.withColumn("ok", Q.c4_page_pass(stats)).collect()
+    }
+
+
+def test_c4_keeps_terminal_punct_five_word_lines(spark):
+    text = (
+        "This is a proper sentence right here.\n"  # kept
+        "no terminal punctuation on this line\n"   # not kept (no punct)
+        "Too short.\n"                             # not kept (<5 words)
+        "This one mentions javascript libraries today.\n"  # not kept (js)
+        "Another fully valid sentence ends here!\n"  # kept
+        "And a third keeps the page alive?"          # kept
+    )
+    s = _c4(spark, [(1, text)])[1]
+    assert s["n_rich_lines"] == 6
+    assert s["n_kept_lines"] == 3
+    assert s["terminal_line_frac"] == pytest.approx(round(5 / 6, 6))
+    assert s["short_line_frac"] == pytest.approx(round(1 / 6, 6))
+    assert s["ok"] is True
+
+
+def test_c4_page_fails_on_lorem_brace_or_few_lines(spark):
+    good = "One good sentence sits here.\nA second good sentence follows now.\nAnd a third one completes it."
+    s = _c4(
+        spark,
+        [
+            (1, good),
+            (2, good + "\nsome lorem ipsum filler"),
+            (3, good + "\nfunction() { return; }"),
+            (4, "Only two good sentences exist here.\nSo the page must fail now."),
+        ],
+    )
+    assert s[1]["ok"] is True
+    assert s[2]["ok"] is False  # lorem ipsum
+    assert s[3]["ok"] is False  # curly brace
+    assert s[4]["ok"] is False  # < 3 kept lines
+
+
+# ---------------------------------------------------------------------------
+# PII bank (functions/pii): counts + redaction placeholders
+# ---------------------------------------------------------------------------
+def test_pii_counts_and_redaction(spark):
+    from realtime_fraud_detection_spark.functions import pii as P
+
+    text = (
+        "Mail alice@example.com or bob.smith@corp.co, call 555-123-4567, "
+        "server 10.1.2.3, card 4111-1111-1111-1111, SSN 987-65-4321."
+    )
+    df = spark.createDataFrame([(1, text)], "id int, t string")
+    counts = P.pii_counts(F.col("t"))
+    row = df.select(
+        *[counts[k].alias(k) for k in P.PII_PATTERNS],
+        P.redact_pii(F.col("t")).alias("red"),
+    ).collect()[0]
+    assert row["email"] == 2
+    assert row["phone"] == 1
+    assert row["ipv4"] == 1
+    assert row["credit_card"] == 1
+    assert row["ssn"] == 1
+    red = row["red"]
+    for tok in ("[EMAIL]", "[PHONE]", "[IPV4]", "[CREDIT_CARD]", "[SSN]"):
+        assert tok in red
+    assert "alice@example.com" not in red
+    assert "4111" not in red
+    assert "987-65-4321" not in red
+
+
+def test_pii_clean_text_untouched(spark):
+    from realtime_fraud_detection_spark.functions import pii as P
+
+    text = "No identifiers here, just prose with numbers like 42 and 3.14."
+    df = spark.createDataFrame([(1, text)], "id int, t string")
+    row = df.select(P.redact_pii(F.col("t")).alias("red")).collect()[0]
+    assert row["red"] == text
