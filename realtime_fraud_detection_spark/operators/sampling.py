@@ -51,6 +51,55 @@ def hash_sample_sql(
     return f"({h} % {SAMPLE_BUCKETS}) < {int(round(fraction * SAMPLE_BUCKETS))}"
 
 
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    seed: str = "sample:",
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sampling — the mixture-weighting
+    step of a corpus pipeline (e.g. upweight low-resource languages by
+    keeping a larger fraction of them). Same salted-bucket mechanism as
+    :func:`hash_sample`, but the threshold is looked up per stratum, so the
+    selection stays reproducible AND nested per stratum (a stratum's 10%
+    sample is a subset of its 30% sample). Strata absent from `fractions`
+    keep `default`. Pure filter: no shuffle, no state, prunes to the id and
+    stratum columns only."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+    if not 0.0 <= default <= 1.0:
+        raise ValueError(f"default must be in [0, 1], got {default}")
+    bucket = md5_bigint(F.col(id_col).cast("string"), salt=seed) % SAMPLE_BUCKETS
+    threshold = F.lit(int(round(default * SAMPLE_BUCKETS)))
+    for k, v in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(stratum_col) == k, F.lit(int(round(v * SAMPLE_BUCKETS)))
+        ).otherwise(threshold)
+    return df.filter(bucket < threshold)
+
+
+def stratified_sample_sql(
+    id_expr: str,
+    stratum_expr: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    seed: str = "sample:",
+) -> str:
+    """DuckDB rendering of the :func:`stratified_sample` predicate."""
+    from ..functions.hashing import md5_bigint_sql
+
+    h = md5_bigint_sql(f"CAST({id_expr} AS VARCHAR)", salt=seed)
+    branches = "".join(
+        f"WHEN {stratum_expr} = '{k}' THEN {int(round(v * SAMPLE_BUCKETS))} "
+        for k, v in sorted(fractions.items())
+    )
+    thr = f"CASE {branches}ELSE {int(round(default * SAMPLE_BUCKETS))} END"
+    return f"({h} % {SAMPLE_BUCKETS}) < ({thr})"
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

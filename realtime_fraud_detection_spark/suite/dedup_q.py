@@ -511,24 +511,30 @@ JOIN pii ON w.doc_id = pii.doc_id
 
 # ---------------------------------------------------------------------------
 # Deterministic corpus sampling + token-budget sequence packing, composed as
-# one pipeline step: Bernoulli-sample 20% of documents on a salted md5
-# bucket of the id (identical row selection in every engine and on every
-# cluster layout — df.sample is partitioning-dependent), then concat-and-
-# chunk the SAMPLED corpus into fixed token-budget training sequences via
-# one window cumsum per language stratum.
+# one pipeline step: mixture-weighted Bernoulli sampling on a salted md5
+# bucket of the id — per-LANGUAGE fractions (the corpus-rebalancing step:
+# downsample the dominant language, keep more of the rest), identical row
+# selection in every engine and on every cluster layout (df.sample is
+# partitioning-dependent) — then concat-and-chunk the SAMPLED corpus into
+# fixed token-budget training sequences via one window cumsum per stratum.
 # ---------------------------------------------------------------------------
+_MIXTURE = {"en": 0.15, "de": 0.4, "fr": 0.4, "es": 0.35}  # default 0.25 (zh)
+
+
 def q_sample_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import sampling as SA
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = SA.hash_sample(docs, "doc_id", 0.2).select(
+    toks = SA.stratified_sample(
+        docs, "doc_id", "lang", _MIXTURE, default=0.25
+    ).select(
         "doc_id", "lang", TX.token_count_whitespace(F.col("text")).alias("tokens")
     )
     return SA.pack_sequences(toks, "doc_id", "tokens", budget=2000, stratum_col="lang")
 
 
 def _sql_sample_pack() -> str:
-    from ..operators.sampling import hash_sample_sql
+    from ..operators.sampling import stratified_sample_sql
 
     return rf"""
 WITH toks AS (
@@ -536,7 +542,7 @@ WITH toks AS (
     CASE WHEN length(trim(text)) = 0 THEN 0
          ELSE len(string_split_regex(trim(text), '\s+')) END AS tokens
   FROM documents
-  WHERE {hash_sample_sql('doc_id', 0.2)}
+  WHERE {stratified_sample_sql('doc_id', 'lang', _MIXTURE, default=0.25)}
 ), off AS (
   SELECT doc_id, lang, tokens,
     CAST(COALESCE(SUM(tokens) OVER (

@@ -72,3 +72,43 @@ def test_pack_sequences_per_stratum(spark):
         ).collect()
     }
     assert got2 == {1: 0, 2: 1, 3: 0, 4: 1}
+
+
+def test_stratified_sample_per_stratum_thresholds(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id int, lang string")
+    got = {
+        (r["doc_id"], r["lang"])
+        for r in S.stratified_sample(
+            df, "doc_id", "lang", {"en": 0.1, "de": 0.5}
+        ).collect()
+    }
+    want = {
+        (i, lang)
+        for i, lang in rows
+        if _py_bucket(i) < (100_000 if lang == "en" else 500_000)
+    }
+    assert got == want
+    # nested within stratum: en@5% subset of en@10%
+    small = {
+        r["doc_id"]
+        for r in S.stratified_sample(df, "doc_id", "lang", {"en": 0.05}).collect()
+    }
+    big = {r[0] for r in got if r[1] == "en"}
+    assert small <= big
+
+
+def test_stratified_sample_default_and_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "zz"), (3, "zz")], "doc_id int, lang string"
+    )
+    # default=1.0 keeps all unlisted strata; en listed at 0 drops en
+    out = {
+        r["doc_id"]
+        for r in S.stratified_sample(
+            df, "doc_id", "lang", {"en": 0.0}, default=1.0
+        ).collect()
+    }
+    assert out == {2, 3}
+    with pytest.raises(ValueError):
+        S.stratified_sample(df, "doc_id", "lang", {"en": 2.0})
