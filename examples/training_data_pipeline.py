@@ -86,6 +86,32 @@ def main() -> None:
     near = D.ngram_jaccard(docs, cands, "text", "doc_id").filter(F.col("jaccard") >= 0.8)
     n_near = near.count()
 
+    # 4b. PII scan over the surviving corpus (counts; redact_pii is the
+    # writer-side transform)
+    from realtime_fraud_detection_spark.functions import pii as P
+
+    counts = P.pii_counts(F.col("text"))
+    n_pii = (
+        survivors.select(
+            sum(counts.values(), F.lit(0)).alias("hits")
+        )
+        .agg(F.sum("hits"))
+        .first()[0]
+    )
+
+    # 4c. mixture rebalance + token-budget packing: per-language sampling
+    # fractions, then concat-and-chunk sequence assignment per stratum
+    from realtime_fraud_detection_spark.operators import sampling as SA
+
+    mix = {"en": 0.15, "de": 0.4, "fr": 0.4, "es": 0.35}
+    sampled = SA.stratified_sample(survivors, "doc_id", "lang", mix, default=0.25)
+    toks = sampled.select(
+        "doc_id", "lang", TX.token_count_whitespace(F.col("text")).alias("tokens")
+    )
+    packed = SA.pack_sequences(toks, "doc_id", "tokens", budget=2000, stratum_col="lang")
+    n_sampled = packed.count()
+    n_seqs = packed.select("lang", "seq_id").distinct().count()
+
     # 5. embedding-space: cosine near-dups + ANN top-k
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     emb_pairs = D.embedding_near_dup_pairs(emb, threshold=0.45)
@@ -102,6 +128,8 @@ def main() -> None:
     print(f"simhash near-dups    {n_shpairs}  (hamming <= 4)")
     print(f"cluster survivors    {n_survivors}  (one doc per component)")
     print(f"lsh near-dups        {n_near}  (jaccard >= 0.8)")
+    print(f"pii matches          {n_pii}  (email/phone/ip/ssn/card)")
+    print(f"mixture sample       {n_sampled}  docs -> {n_seqs} packed sequences")
     print(f"embedding near-dups  {n_emb}  (cosine >= 0.45)")
     print(f"ann results          {n_ann}  (3 queries x top-3)")
     print(f"wall clock           {time.time() - t0:.1f}s")
