@@ -42,6 +42,7 @@ def connected_components(
     vertices: DataFrame | None = None,
     vertex_col: str | None = None,
     max_rounds: int = 50,
+    contract_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Connected components over an undirected edge list.
 
@@ -75,6 +76,7 @@ def connected_components(
         )
     labels = labels.localCheckpoint()
     sym = sym.localCheckpoint()
+    n_edges = sym.count()
 
     for _ in range(max_rounds):
         neighbor_min = (
@@ -108,6 +110,35 @@ def connected_components(
         labels = updated.drop("_chg")
         if changed == 0:
             return labels
+        # edge contraction: rewrite endpoints through the new labels and
+        # dedupe — intra-cluster edges become self-loops and drop, so the
+        # edge table (the per-round shuffle cost) shrinks geometrically;
+        # the pointer jump above pulls super-vertex label changes back
+        # down to every original vertex. sf0.1 simhash graph: 743k -> 31k
+        # -> 276 -> 0 symmetric edges over the rounds. GATED on edge count:
+        # below the threshold the 3 extra stages per round cost more than
+        # the small shuffle they save (measured +30% at sf0.1); above it
+        # the per-round shuffle dominates and shrinking it wins.
+        if n_edges > contract_threshold:
+            sym = (
+                sym.join(
+                    labels.select(
+                        F.col("doc").alias("src"), F.col("cluster").alias("_ns")
+                    ),
+                    "src",
+                )
+                .join(
+                    labels.select(
+                        F.col("doc").alias("dst"), F.col("cluster").alias("_nd")
+                    ),
+                    "dst",
+                )
+                .select(F.col("_ns").alias("src"), F.col("_nd").alias("dst"))
+                .filter(F.col("src") != F.col("dst"))
+                .distinct()
+                .localCheckpoint()
+            )
+            n_edges = sym.count()
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds — "
         "component diameter exceeds the bound; raise max_rounds or switch "

@@ -83,3 +83,24 @@ def test_deterministic_across_runs(spark):
     edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(25)]
     edges = [(a, b) for a, b in edges if a != b]
     assert _run(spark, edges) == _run(spark, edges)
+
+
+def test_edge_contraction_path_equivalent(spark):
+    """contract_threshold=0 forces contraction every round; results must be
+    identical to the uncontracted path (long chain exercises multi-round
+    convergence through contracted super-vertex edges)."""
+    rng = random.Random(13)
+    edges = [(i, i + 1) for i in range(20)]  # one chain: diameter 20
+    edges += [(rng.randrange(40, 70), rng.randrange(40, 70)) for _ in range(30)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edf = spark.createDataFrame(edges, "doc_a int, doc_b int")
+    plain = {
+        r["doc"]: r["cluster"] for r in C.connected_components(edf).collect()
+    }
+    contracted = {
+        r["doc"]: r["cluster"]
+        for r in C.connected_components(edf, contract_threshold=0).collect()
+    }
+    assert plain == contracted
+    uf = _uf_components(70, edges)
+    assert plain == {v: uf[v] for v in plain}  # consistent with union-find
