@@ -37,7 +37,11 @@ def build_corpus(spark, replicas: int) -> None:
     docs = load_table(spark, SF_DIR, "documents", fan_out=True)
     parts = []
     for r in range(replicas):
-        mutated = F.regexp_replace(F.col("text"), r"(\S+)", rf"$1_{r}")
+        # suffix must be ALPHANUMERIC with no separator: the dedup ops
+        # normalize text to [a-z0-9] words, so "query_0" would split into
+        # "query 0" and replicas would share the original vocabulary again
+        # (observed: identical pair counts under every separator scheme)
+        mutated = F.regexp_replace(F.col("text"), r"(\S+)", rf"$1qz{r}")
         parts.append(
             docs.select(
                 (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
@@ -73,7 +77,9 @@ def main() -> None:
     t_minhash = time.time() - t0
 
     t0 = time.time()
-    cands = D.minhash_lsh_candidates(docs, "text", "doc_id", num_perm=4, band_size=2)
+    cands = D.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_perm=16, band_size=4, max_bucket_size=1000
+    )
     n_cands = cands.count()
     t_lsh = time.time() - t0
 
