@@ -180,6 +180,50 @@ def c4_line_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def boilerplate_line_stats(
+    df: DataFrame, text_col: str, id_col: str, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document boilerplate detection — C4's corpus-level span dedup
+    at line granularity: a line occurring in >= `min_docs` DISTINCT
+    documents is boilerplate (headers, footers, nav text, templated
+    sentences), and the per-doc fraction of such lines is the removal
+    signal.
+
+    Two shuffles, both on (line-sized) small keys: explode(lines) →
+    count_distinct(doc) per line → join the tiny per-line df back to the
+    exploded table → per-doc aggregate. The corpus-wide line table is the
+    only global state and it is vocabulary-sized, not corpus-sized; at
+    real scale hash the line (`md5`) before the groupBy so the shuffle
+    carries a fixed-width key instead of the line text.
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        )
+        .withColumn("line", F.trim(F.col("line")))
+        .filter(F.length("line") > 0)
+    )
+    line_df = lines.groupBy("line").agg(F.count_distinct("doc").alias("line_df"))
+    return (
+        lines.join(line_df, "line")
+        .groupBy("doc")
+        .agg(
+            F.count("*").alias("n_boiler_checked"),
+            F.sum((F.col("line_df") >= min_docs).cast("int")).alias("n_boiler_lines"),
+        )
+        .select(
+            "doc",
+            "n_boiler_lines",
+            F.round(
+                F.col("n_boiler_lines").cast("double")
+                / F.col("n_boiler_checked").cast("double"),
+                6,
+            ).alias("boiler_line_frac"),
+        )
+    )
+
+
 def c4_page_pass(stats: DataFrame) -> Column:
     """Boolean page-survival column applying the C4 thresholds to a
     :func:`c4_line_stats` frame."""

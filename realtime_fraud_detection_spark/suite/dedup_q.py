@@ -362,7 +362,10 @@ def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[counts[k].cast("bigint").alias(f"n_{k}") for k in P.PII_PATTERNS],
         F.md5(P.redact_pii(F.col("rich"))).alias("pii_redacted_md5"),
     )
-    return rep.join(c4, "doc_id").join(pii, "doc_id")
+    boiler = Q.boilerplate_line_stats(rich, "rich", "doc_id").withColumnRenamed(
+        "doc", "doc_id"
+    )
+    return rep.join(c4, "doc_id").join(pii, "doc_id").join(boiler, "doc_id")
 
 
 def _sql_shingles_k(k: int) -> str:
@@ -437,6 +440,13 @@ def _sql_quality_pii_ctes() -> str:
         "    " + counts + ",\n"
         "    md5(" + redact_pii_sql("rich") + ") AS pii_redacted_md5\n"
         "  FROM rich\n"
+        "), bl AS (\n"
+        "  SELECT line, COUNT(DISTINCT doc_id) AS line_df FROM rl GROUP BY 1\n"
+        "), boiler AS (\n"
+        "  SELECT doc_id,\n"
+        "    CAST(SUM(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,\n"
+        "    ROUND(SUM(CASE WHEN line_df >= 2 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)::DOUBLE, 6) AS boiler_line_frac\n"
+        "  FROM rl JOIN bl USING (line) GROUP BY 1\n"
         ")"
     )
 
@@ -498,7 +508,9 @@ SELECT w.doc_id,
   (COALESCE(c4.n_kept_lines, 0) >= 3 AND NOT pii.has_lorem_ipsum
    AND NOT pii.has_curly_brace) AS c4_pass,
   pii.n_credit_card, pii.n_ssn, pii.n_phone, pii.n_ipv4, pii.n_email,
-  pii.pii_redacted_md5
+  pii.pii_redacted_md5,
+  COALESCE(boiler.n_boiler_lines, 0) AS n_boiler_lines,
+  COALESCE(boiler.boiler_line_frac, 0.0) AS boiler_line_frac
 FROM ws_t w
 LEFT JOIN ls  ON w.doc_id = ls.doc_id
 LEFT JOIN ns2 ON w.doc_id = ns2.doc_id
@@ -506,6 +518,7 @@ LEFT JOIN ns3 ON w.doc_id = ns3.doc_id
 LEFT JOIN ns5 ON w.doc_id = ns5.doc_id
 LEFT JOIN c4  ON w.doc_id = c4.doc_id
 JOIN pii ON w.doc_id = pii.doc_id
+LEFT JOIN boiler ON w.doc_id = boiler.doc_id
 """
 
 

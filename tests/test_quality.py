@@ -159,3 +159,19 @@ def test_pii_clean_text_untouched(spark):
     df = spark.createDataFrame([(1, text)], "id int, t string")
     row = df.select(P.redact_pii(F.col("t")).alias("red")).collect()[0]
     assert row["red"] == text
+
+
+def test_boilerplate_line_stats_cross_doc(spark):
+    rows = [
+        (1, "Shared footer line\nUnique content one"),
+        (2, "Shared footer line\nDifferent content two"),
+        (3, "Totally unique document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc"]: (r["n_boiler_lines"], r["boiler_line_frac"])
+        for r in Q.boilerplate_line_stats(df, "text", "doc_id").collect()
+    }
+    assert got[1] == (1, 0.5)
+    assert got[2] == (1, 0.5)
+    assert got[3] == (0, 0.0)
