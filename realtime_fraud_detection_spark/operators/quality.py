@@ -234,6 +234,48 @@ def c4_page_pass(stats: DataFrame) -> Column:
     )
 
 
+def contamination_stats(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination — flag training documents that contain
+    word n-grams from an evaluation set (the standard n-gram overlap
+    check; n=8..13 in published pipelines).
+
+    Scale shape: the benchmark gram set is tiny relative to the corpus, so
+    it BROADCASTS — the corpus explodes its n-grams once and probes the
+    broadcast hash set map-side; no shuffle of corpus data at all. Returns
+    (doc, n_contaminated_grams, contaminated) per document — filter on
+    `contaminated` (any hit) or threshold the count for fuzzy overlap.
+    """
+    bench_grams = (
+        shingle_table(benchmark, bench_text_col, id_col, k=n, exploded=True)
+        .select("s")
+        .distinct()
+    )
+    doc_grams = shingle_table(df, text_col, id_col, k=n, exploded=True)
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "s", "left_semi")
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_contaminated_grams", F.lit(0)).alias(
+                "n_contaminated_grams"
+            ),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def gopher_repetition_pass(
     stats: DataFrame,
     top_ns: tuple[int, ...] = (2, 3),

@@ -175,3 +175,40 @@ def test_boilerplate_line_stats_cross_doc(spark):
     assert got[1] == (1, 0.5)
     assert got[2] == (1, 0.5)
     assert got[3] == (0, 0.0)
+
+
+def test_contamination_stats_broadcast_ngram_overlap(spark):
+    # doc 1 contains the benchmark's 8-gram verbatim; doc 2 shares only
+    # shorter overlaps; doc 3 is clean
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id int, text string",
+    )
+    rows = [
+        (1, "prefix words alpha beta gamma delta epsilon zeta eta theta suffix"),
+        (2, "alpha beta gamma delta unrelated tail of words here"),
+        (3, "completely different content with no overlap at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc"]: (r["n_contaminated_grams"], r["contaminated"])
+        for r in Q.contamination_stats(df, bench, n=8).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+
+
+def test_contamination_short_doc_exact_match(spark):
+    # docs shorter than n fall back to the whole text as one shingle:
+    # a short doc equal to a short benchmark row is flagged
+    bench = spark.createDataFrame([(1, "tiny eval prompt")], "doc_id int, text string")
+    df = spark.createDataFrame(
+        [(10, "tiny eval prompt"), (11, "another tiny prompt")],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc"]: r["contaminated"]
+        for r in Q.contamination_stats(df, bench, n=8).collect()
+    }
+    assert got == {10: True, 11: False}
