@@ -347,11 +347,16 @@ def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import pii as P
     from ..operators import quality as Q
 
-    docs = _docs(spark, sf_dir)
+    # seven per-doc aggregate subtrees (repetition lines/2-3-5-grams, C4
+    # lines, PII, boilerplate) each re-scan their input — materialize the
+    # fanned-out docs once so the single-file scan + repartition runs once
+    docs = _docs(spark, sf_dir).localCheckpoint(eager=False)
     rep = Q.repetition_stats(docs, "text", "doc_id", top_ns=(2, 3), dup_ns=(5,))
     rep = rep.withColumn("gopher_pass", Q.gopher_repetition_pass(rep))
 
-    rich = docs.select("doc_id", _rich_text().alias("rich"))
+    rich = docs.select("doc_id", _rich_text().alias("rich")).localCheckpoint(
+        eager=False
+    )
     c4 = Q.c4_line_stats(rich, "rich", "doc_id")
     c4 = c4.withColumn("c4_pass", Q.c4_page_pass(c4)).withColumnRenamed(
         "doc", "doc_id"
