@@ -4,12 +4,17 @@ Plain `spark.read.parquet` — the point is that filters and projections applied
 by downstream queries reach the scan (PushedFilters / ReadSchema in
 `.explain`), which parquet gives us for free.
 
-One wrinkle: `events.parquet` carries INT64 TIMESTAMP(NANOS), which Spark's
-parquet reader rejects outright (PARQUET_TYPE_ILLEGAL). We flip the
-`spark.sql.legacy.parquet.nanosAsLong` escape hatch (runtime-settable) and
-rebuild the timestamp from the nanosecond long. The division must be integer
-(`div`), not double, because ns-epoch values (~1.7e18) exceed double's 53-bit
-exact-integer range.
+One wrinkle: `events.parquet`'s `ts` encoding has varied across driver
+regenerations — INT64 TIMESTAMP(NANOS) (round 1) vs TIMESTAMP(MICROS)
+isAdjustedToUTC=false (round 2). Spark rejects the nanos form outright
+(PARQUET_TYPE_ILLEGAL) unless `spark.sql.legacy.parquet.nanosAsLong` is set,
+and reads the micros form as TIMESTAMP_NTZ. `_load_events` detects which one
+it got and normalizes to plain TimestampType either way:
+
+- bigint (nanos-as-long): rebuild with integer division (`div`, not double —
+  ns-epoch values ~1.7e18 exceed double's 53-bit exact-integer range).
+- timestamp_ntz: cast to timestamp (wall-clock reinterpretation in the
+  session timezone; the harness runs UTC so this is value-identical).
 """
 
 from __future__ import annotations
