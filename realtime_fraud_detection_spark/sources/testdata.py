@@ -50,9 +50,17 @@ def load_table(
 def _load_events(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    # The fixture's timestamps are microsecond-granular (ns % 1000 == 0 for
-    # every row), so this conversion is lossless.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        # nanos-as-long: rebuild with integer division (`div`, not double —
+        # ns-epoch values ~1.7e18 exceed double's 53-bit exact range). The
+        # fixture's timestamps are microsecond-granular, so this is lossless.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        # Wall-clock reinterpretation in the session timezone; the harness
+        # runs UTC so this is value-identical.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,68 @@
+"""load_table normalization: events.ts must come out as plain TimestampType
+regardless of how the driver encoded the fixture (INT64 TIMESTAMP(NANOS) in
+round 1, TIMESTAMP(MICROS)/NTZ in round 2). Regression for the round-2 gate
+collapse (ADVICE.md r2)."""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql.types import TimestampType
+
+from realtime_fraud_detection_spark.sources.testdata import load_table
+
+from conftest import SF_SMOKE
+
+EXPECTED = datetime.datetime(2024, 3, 1, 12, 34, 56, 789000)
+EPOCH_US = int(EXPECTED.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+
+
+def _fixture_dir(tmp_path, ts_array):
+    table = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([7], pa.int64()),
+            "event_type": pa.array(["purchase"]),
+            "value": pa.array([1.5], pa.float64()),
+            "props": pa.array(['{"k":1}']),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(table, os.path.join(str(d), "events.parquet"))
+    return str(d)
+
+
+def test_real_fixture_ts_is_timestamp(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    assert ev.count() > 0
+
+
+def test_nanos_as_long_encoding(spark, tmp_path):
+    arr = pa.array([EPOCH_US * 1000], pa.timestamp("ns"))
+    sf = _fixture_dir(tmp_path, arr)
+    ev = load_table(spark, sf, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    assert ev.first()["ts"] == EXPECTED
+
+
+def test_micros_ntz_encoding(spark, tmp_path):
+    arr = pa.array([EXPECTED], pa.timestamp("us"))
+    sf = _fixture_dir(tmp_path, arr)
+    ev = load_table(spark, sf, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    assert ev.first()["ts"] == EXPECTED
+
+
+def test_micros_utc_adjusted_encoding(spark, tmp_path):
+    # isAdjustedToUTC=true reads as plain TIMESTAMP already — pass-through.
+    arr = pa.array([EPOCH_US], pa.timestamp("us", tz="UTC"))
+    sf = _fixture_dir(tmp_path, arr)
+    ev = load_table(spark, sf, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    assert ev.first()["ts"] == EXPECTED
