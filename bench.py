@@ -78,12 +78,20 @@ def main() -> None:
     # warmup: JIT + codegen + parquet footer caches on a tiny query
     qs["pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
+    # Per-query fault isolation: one broken query must not zero the whole
+    # bench artifact (round 2 lost its BENCH file to a single loader
+    # exception). Failures land in "errors" and the process still exits 0
+    # with timings for everything that ran.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs.get(name) or EXTRA[name]
         t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — report, keep benching
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -93,6 +101,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
 
