@@ -10,7 +10,7 @@ batch and (with watermarks) streaming.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -153,6 +153,97 @@ def salted_join(
     )
     out = salted_left.join(salted_right, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance: str | None = None,
+    suffix: str = "_asof",
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """As-of (temporal) LEFT join: attach to each left row the LATEST right
+    row with the same key and ``right_ts <= left_ts`` (ties at equal ts
+    match). Unmatched left rows keep NULL right columns; ``tolerance``
+    (an INTERVAL string, e.g. ``"1 hour"``) additionally nulls out matches
+    older than ``left_ts - tolerance``.
+
+    The reference approximates this with per-record Redis point lookups of
+    "the latest profile/velocity state" (TransactionProcessor.java:97-138) —
+    an as-of join is the set-oriented form of that lookup.
+
+    Scale design: NOT a range join (which Spark would execute as a
+    broadcast-nested-loop or an exploding theta join). Both sides are
+    unioned into one (key, ts, is_left)-tagged frame and the right payload
+    is carried forward with ``last(..., ignorenulls=True)`` over a
+    (key)-partitioned (ts, is_left)-ordered running frame — ONE shuffle and
+    one sort of |left|+|right| rows, the same plan shape as a window
+    aggregate, regardless of how many right rows precede each left row.
+    This is the merge-join strategy every native as-of implementation
+    (kdb+ aj, DuckDB ASOF, pandas merge_asof) uses, expressed as a window.
+
+    Right rows sort with ``is_left = 0`` so a right row at exactly
+    ``left_ts`` is visible to that left row. If (key, right_ts) is not
+    unique, pass ``tie_break`` columns to make the winner deterministic
+    (they extend the sort order); otherwise the last duplicate in sort
+    order wins nondeterministically.
+    """
+    r_payload = [c for c in right.columns if c != key]
+    collide = {c + suffix for c in r_payload} & set(left.columns)
+    if collide:
+        raise ValueError(f"suffixed right columns collide with left: {collide}")
+    l_rest = [c for c in left.columns if c not in (key, left_ts)]
+    l_u = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in l_rest],
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
+            for c in r_payload
+        ],
+    )
+    r_u = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_rest],
+        *[F.col(c).alias(c + suffix) for c in r_payload],
+    )
+    order = [F.col("_t"), F.col("_is_left")] + [
+        F.col(c + suffix) for c in (tie_break or [])
+    ]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_u.unionByName(r_u).select(
+        key,
+        "_t",
+        "_is_left",
+        *l_rest,
+        *[
+            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix)
+            for c in r_payload
+        ],
+    )
+    out = filled.filter(F.col("_is_left") == 1).drop("_is_left")
+    if tolerance is not None:
+        stale = F.col(right_ts + suffix) < F.expr(f"_t - interval {tolerance}")
+        out = out.select(
+            key,
+            "_t",
+            *l_rest,
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(c + suffix)).alias(c + suffix)
+                for c in r_payload
+            ],
+        )
+    return out.withColumnRenamed("_t", left_ts)
 
 
 def multi_stream_correlate(streams: list[tuple[str, DataFrame]], key: str = "user_id") -> DataFrame:

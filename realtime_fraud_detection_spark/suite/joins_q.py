@@ -305,8 +305,57 @@ FROM unioned GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# As-of join — for each purchase, the user's most recent 'view' event at or
+# before the purchase, LEFT semantics with staleness. Spark side is
+# operators/joins.asof_join (union + last-value window, one shuffle); the
+# oracle is DuckDB's native ASOF LEFT JOIN, so the window formulation is
+# checked against a reference implementation of the operator itself.
+# ---------------------------------------------------------------------------
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("amount")
+    )
+    # dedupe right to unique (user_id, ts) so the as-of winner is
+    # deterministic in both engines
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+    )
+    out = asof_join(purchases, views, "user_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "amount",
+        F.col("view_value_asof").alias("last_view_value"),
+        F.col("ts_asof").alias("last_view_ts"),
+        (F.unix_micros("ts") - F.unix_micros("ts_asof")).alias("staleness_us"),
+    )
+
+
+SQL_ASOF_JOIN = """
+WITH l AS (
+  SELECT event_id, user_id, ts, value AS amount FROM events
+  WHERE event_type = 'purchase'
+), r AS (
+  SELECT user_id, ts, MAX(value) AS view_value FROM events
+  WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id, l.ts, l.amount,
+       r.view_value AS last_view_value, r.ts AS last_view_ts,
+       epoch_us(l.ts) - epoch_us(r.ts) AS staleness_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 QUERIES = {
     "time_range_join": q_time_range_join,
+    "asof_join": q_asof_join,
     "multistream_union": q_multistream_union,
     "behavior_risk": q_behavior_risk,
     "pattern_similarity": q_pattern_similarity,
@@ -317,6 +366,7 @@ QUERIES = {
 
 ORACLES = {
     "time_range_join": SQL_TIME_RANGE_JOIN,
+    "asof_join": SQL_ASOF_JOIN,
     "multistream_union": SQL_MULTISTREAM_UNION,
     "behavior_risk": SQL_BEHAVIOR_RISK,
     "pattern_similarity": SQL_PATTERN_SIMILARITY,

@@ -117,11 +117,20 @@ FROM events LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 10 <> 7) c
 
 
 # ---------------------------------------------------------------------------
-# q_semi_anti_join — EXISTS / NOT-EXISTS shapes (the J5 "profile found /
-# not found" split as first-class operators), tagged and unioned into one
-# frame so both plans land in a single driver correctness row (the driver
-# checks at most 50 queries).
+# q_set_membership — EXISTS / NOT-EXISTS shapes (the J5 "profile found /
+# not found" split as first-class operators) AND the §2.6 set operations
+# (UNION DISTINCT + EXCEPT, INTERSECT), all tagged and unioned into one
+# frame so all five plans land in a single driver correctness row (the
+# driver checks at most 50 queries; set-op rows carry c_name = NULL).
 # ---------------------------------------------------------------------------
+def q_set_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    semi_anti = q_semi_anti_join(spark, sf_dir)
+    sets = q_set_ops(spark, sf_dir).withColumn(
+        "c_name", F.lit(None).cast("string")
+    )
+    return semi_anti.unionByName(sets)
+
+
 def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
@@ -186,6 +195,12 @@ SELECT c_custkey, 'intersect' AS op FROM (
   INTERSECT
   SELECT c_custkey FROM customer WHERE c_acctbal > 3000
 )
+"""
+
+SQL_SET_MEMBERSHIP = f"""
+SELECT c_custkey, c_name, op FROM ({SQL_SEMI_ANTI_JOIN})
+UNION ALL
+SELECT c_custkey, NULL AS c_name, op FROM ({SQL_SET_OPS})
 """
 
 
@@ -402,8 +417,7 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "profile_enrich": q_profile_enrich,
-    "semi_anti_join": q_semi_anti_join,
-    "set_ops": q_set_ops,
+    "set_membership": q_set_membership,
     "case_decision": q_case_decision,
     "filter_project": q_filter_project,
     "revenue_by_nation": q_revenue_by_nation,
@@ -417,8 +431,7 @@ ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_customers": SQL_TOP_CUSTOMERS,
     "profile_enrich": SQL_PROFILE_ENRICH,
-    "semi_anti_join": SQL_SEMI_ANTI_JOIN,
-    "set_ops": SQL_SET_OPS,
+    "set_membership": SQL_SET_MEMBERSHIP,
     "case_decision": SQL_CASE_DECISION,
     "filter_project": SQL_FILTER_PROJECT,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
