@@ -1,0 +1,131 @@
+"""Time-series resampling and gap filling — the hypertable-style operator
+family (continuous-aggregate rollups live in suite/eventtime_q.py and
+streaming/sinks.py; this module adds the regular-grid form).
+
+The reference keeps per-entity rolling state in Redis sorted sets and
+recomputes velocity on demand (RedisService.java rolling counters) — it has
+no notion of a regular time grid. Gap filling is what a downstream
+forecasting/feature consumer needs: a dense per-key bucket spine with
+carried-forward or interpolated values.
+
+Scale design: the spine is generated per key with `sequence()` over that
+key's own [min_bucket, max_bucket] span — rows produced = active span /
+step per key, never a cross join against a global calendar. The generator
+expression is two scalar columns (cheap — safe under Generate's
+per-output-element re-evaluation, see CLAUDE.md). Fill is one
+key-partitioned ordered window over the spine: same single-shuffle shape
+as any per-entity window feature, so a 1000-executor run distributes by
+key exactly like the rest of the window library.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "15 minutes",
+    agg: str = "avg",
+) -> DataFrame:
+    """Aggregate an irregular series onto an epoch-aligned regular grid:
+    one row per (key, bucket) that has data. `agg` ∈ {avg, sum, min, max,
+    count, last}. avg/sum go through DECIMAL (exact, order-insensitive —
+    suite determinism rule); `last` tie-breaks by (ts, value) max-struct so
+    it is deterministic without a sort."""
+    bucket = F.window(ts_col, step)["start"].alias("bucket")
+    g = df.groupBy(F.col(key), bucket)
+    dec = F.sum(F.col(value_col).cast("decimal(18,2)"))
+    if agg == "avg":
+        # double(decimal sum) / count, NOT decimal division — Spark and
+        # DuckDB disagree on result scale/rounding of decimal division
+        out = g.agg(
+            (dec.cast("double") / F.count(value_col)).alias(value_col)
+        )
+    elif agg == "sum":
+        out = g.agg(dec.cast("double").alias(value_col))
+    elif agg in ("min", "max", "count"):
+        out = g.agg(getattr(F, agg)(value_col).alias(value_col))
+    elif agg == "last":
+        out = g.agg(
+            F.max(F.struct(ts_col, value_col))[value_col].alias(value_col)
+        )
+    else:
+        raise ValueError(f"unsupported agg: {agg}")
+    return out
+
+
+def gap_fill(
+    bucketed: DataFrame,
+    key: str,
+    bucket_col: str = "bucket",
+    value_col: str = "value",
+    step: str = "15 minutes",
+    interpolate: bool = True,
+) -> DataFrame:
+    """Densify a bucketed series: emit EVERY step-bucket between each key's
+    first and last observed bucket, with
+
+      * ``<value>``        — the observed value (NULL in gaps),
+      * ``<value>_ffill``  — last observation carried forward,
+      * ``<value>_interp`` — linear interpolation between the surrounding
+        observations (only when ``interpolate=True``; equals the
+        observation where one exists, stays NULL before the first one),
+      * ``is_gap``         — whether the bucket was absent in the input.
+
+    Interpolation divides by the surrounding-observation time delta, so the
+    result is rounded to 6 dp (cross-engine transcendental rule)."""
+    span = bucketed.groupBy(key).agg(
+        F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
+    )
+    spine = span.select(
+        key,
+        F.explode(
+            F.sequence(F.col("_mn"), F.col("_mx"), F.expr(f"interval {step}"))
+        ).alias(bucket_col),
+    )
+    dense = spine.join(bucketed, [key, bucket_col], "left").withColumn(
+        "is_gap", F.col(value_col).isNull()
+    )
+    w_back = (
+        Window.partitionBy(key)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = dense.withColumn(
+        f"{value_col}_ffill", F.last(value_col, ignorenulls=True).over(w_back)
+    )
+    if not interpolate:
+        return out
+    w_fwd = (
+        Window.partitionBy(key)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last(value_col, ignorenulls=True).over(w_back)
+    prev_t = F.last(
+        F.when(~F.col("is_gap"), F.col(bucket_col)), ignorenulls=True
+    ).over(w_back)
+    next_v = F.first(value_col, ignorenulls=True).over(w_fwd)
+    next_t = F.first(
+        F.when(~F.col("is_gap"), F.col(bucket_col)), ignorenulls=True
+    ).over(w_fwd)
+    frac = (F.unix_micros(F.col(bucket_col)) - F.unix_micros(prev_t)) / (
+        F.unix_micros(next_t) - F.unix_micros(prev_t)
+    )
+    # explicit floor-based half-up rounding to 6 dp: engine round() tie
+    # handling differs between Spark (decimal HALF_UP) and DuckDB (binary)
+    # and interpolation of 2-dp inputs lands on exact .xxxxxx5 ties often;
+    # floor(x*1e6 + 0.5)/1e6 is bit-deterministic given identical input
+    # doubles (values are non-negative here)
+    lerp = prev_v + (next_v - prev_v) * frac
+    interp = (
+        F.when(~F.col("is_gap"), F.col(value_col))
+        .when(next_v.isNull(), prev_v)  # trailing gap: carry forward
+        .when(prev_v.isNotNull(), F.floor(lerp * 1e6 + 0.5) / 1e6)
+    )
+    return out.withColumn(f"{value_col}_interp", interp)

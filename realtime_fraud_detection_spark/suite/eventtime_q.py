@@ -375,8 +375,68 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# Time-series resample + gap fill (operators/timeseries.py): per-user hourly
+# average purchase value, densified over each user's own [first, last]
+# bucket span with forward fill and linear interpolation. Oracle rebuilds
+# the spine with generate_series and the fills with IGNORE NULLS windows —
+# DuckDB's native form of the same operator.
+# ---------------------------------------------------------------------------
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import timeseries as T
+
+    ev = _events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    hourly = T.resample(ev, "user_id", "ts", "value", step="1 hour", agg="avg")
+    return T.gap_fill(
+        hourly, "user_id", "bucket", "value", step="1 hour", interpolate=True
+    )
+
+
+SQL_GAP_FILL = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), span AS (
+  SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM b GROUP BY 1
+), spine AS (
+  SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+  FROM span
+), dense AS (
+  SELECT s.user_id, s.bucket, b.value, b.value IS NULL AS is_gap
+  FROM spine s LEFT JOIN b ON s.user_id = b.user_id AND s.bucket = b.bucket
+), f AS (
+  SELECT *,
+    LAST_VALUE(value IGNORE NULLS) OVER w_back AS value_ffill,
+    LAST_VALUE(CASE WHEN NOT is_gap THEN bucket END IGNORE NULLS)
+      OVER w_back AS prev_t,
+    FIRST_VALUE(value IGNORE NULLS) OVER w_fwd AS next_v,
+    FIRST_VALUE(CASE WHEN NOT is_gap THEN bucket END IGNORE NULLS)
+      OVER w_fwd AS next_t
+  FROM dense
+  WINDOW
+    w_back AS (PARTITION BY user_id ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY user_id ORDER BY bucket
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket, value, is_gap, value_ffill,
+  CASE WHEN NOT is_gap THEN value
+       WHEN next_v IS NULL THEN value_ffill
+       WHEN value_ffill IS NOT NULL THEN
+         -- parens around the ratio: Spark computes x*(A/B); bare x*A/B
+         -- associates as (x*A)/B and differs in the last ulp
+         FLOOR((value_ffill + (next_v - value_ffill)
+           * (CAST(epoch_us(bucket) - epoch_us(prev_t) AS DOUBLE)
+              / CAST(epoch_us(next_t) - epoch_us(prev_t) AS DOUBLE))) * 1e6 + 0.5) / 1e6
+  END AS value_interp
+FROM f
+"""
+
+
 QUERIES = {
     "velocity_sliding": q_velocity_sliding,
+    "gap_fill": q_gap_fill,
     "hourly_type_stats": q_hourly_type_stats_full,
     "user_sessions": q_user_sessions,
     "geo_grid": q_geo_grid,
@@ -390,6 +450,7 @@ QUERIES = {
 
 ORACLES = {
     "velocity_sliding": SQL_VELOCITY_SLIDING,
+    "gap_fill": SQL_GAP_FILL,
     "hourly_type_stats": SQL_HOURLY_TYPE_STATS,
     "user_sessions": SQL_USER_SESSIONS,
     "geo_grid": SQL_GEO_GRID,

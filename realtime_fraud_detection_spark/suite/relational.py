@@ -308,42 +308,29 @@ GROUP BY n_name
 
 
 # ---------------------------------------------------------------------------
-# q_distinct_agg — exact distinct counting (the reference's HashSet counting,
-# WindowProcessor.java:496-510) per group.
-# ---------------------------------------------------------------------------
-def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.count("*").alias("cnt"),
-        F.countDistinct("user_id").alias("distinct_users"),
-        dec_sum("value").alias("total_value"),
-    )
-
-
-SQL_DISTINCT_AGG = """
-SELECT event_type, COUNT(*) AS cnt, COUNT(DISTINCT user_id) AS distinct_users,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-FROM events GROUP BY event_type
-"""
-
-
-# ---------------------------------------------------------------------------
 # q_rollup — multi-grain aggregation (beyond the reference — SURVEY §2.5
-# notes it has no grouping sets; Spark gives rollup free).
+# notes it has no grouping sets; Spark gives rollup free) WITH exact
+# distinct counting at every grain (the reference's HashSet counting,
+# WindowProcessor.java:496-510; two-phase distinct under Expand here) — the
+# former standalone distinct_agg query's per-type rows are this rollup's
+# event_type grain, merged to keep the driver's 50-query window.
 # ---------------------------------------------------------------------------
 def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "user_bucket", (F.col("user_id") % 10).cast("long")
     )
     return ev.rollup("event_type", "user_bucket").agg(
-        F.count("*").alias("cnt"), dec_sum("value").alias("total_value")
+        F.count("*").alias("cnt"),
+        F.countDistinct("user_id").alias("distinct_users"),
+        dec_sum("value").alias("total_value"),
     )
 
 
 SQL_ROLLUP = """
 SELECT event_type, user_bucket, COUNT(*) AS cnt,
+       COUNT(DISTINCT user_id) AS distinct_users,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-FROM (SELECT event_type, user_id % 10 AS user_bucket, value FROM events)
+FROM (SELECT event_type, user_id, user_id % 10 AS user_bucket, value FROM events)
 GROUP BY ROLLUP (event_type, user_bucket)
 """
 
@@ -421,7 +408,6 @@ QUERIES = {
     "case_decision": q_case_decision,
     "filter_project": q_filter_project,
     "revenue_by_nation": q_revenue_by_nation,
-    "distinct_agg": q_distinct_agg,
     "rollup": q_rollup,
     "promo_share": q_promo_share,
     "above_segment_avg": q_above_segment_avg,
@@ -435,7 +421,6 @@ ORACLES = {
     "case_decision": SQL_CASE_DECISION,
     "filter_project": SQL_FILTER_PROJECT,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
-    "distinct_agg": SQL_DISTINCT_AGG,
     "rollup": SQL_ROLLUP,
     "promo_share": SQL_PROMO_SHARE,
     "above_segment_avg": SQL_ABOVE_SEGMENT_AVG,
