@@ -52,10 +52,22 @@ def _load_events(spark: SparkSession, path: str) -> DataFrame:
     df = spark.read.parquet(path)
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        # nanos-as-long: rebuild with integer division (`div`, not double —
-        # ns-epoch values ~1.7e18 exceed double's 53-bit exact range). The
-        # fixture's timestamps are microsecond-granular, so this is lossless.
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Epoch-integer column (nanos-as-long under the legacy conf, or a
+        # plain INT64 epoch in any unit a future regeneration might pick).
+        # Detect the unit per value by magnitude — 2024-epoch is ~1.7e18 ns
+        # / ~1.7e15 us / ~1.7e12 ms / ~1.7e9 s, four orders of magnitude
+        # apart, so the thresholds are unambiguous for any date within
+        # centuries of now. Integer division (`div`, not double — ns values
+        # exceed double's 53-bit exact range); one codegen'd CASE, no
+        # driver-side action.
+        c = F.col("ts")
+        micros = (
+            F.when(c > F.lit(10**17), F.expr("ts div 1000"))
+            .when(c > F.lit(10**14), c)
+            .when(c > F.lit(10**11), c * 1000)
+            .otherwise(c * 1_000_000)
+        )
+        return df.withColumn("ts", F.timestamp_micros(micros))
     if ts_type == "timestamp_ntz":
         # Wall-clock reinterpretation in the session timezone; the harness
         # runs UTC so this is value-identical.

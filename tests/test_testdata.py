@@ -32,7 +32,7 @@ def _fixture_dir(tmp_path, ts_array):
         }
     )
     d = tmp_path / "sf"
-    d.mkdir()
+    d.mkdir(parents=True)
     pq.write_table(table, os.path.join(str(d), "events.parquet"))
     return str(d)
 
@@ -49,6 +49,22 @@ def test_nanos_as_long_encoding(spark, tmp_path):
     ev = load_table(spark, sf, "events")
     assert isinstance(ev.schema["ts"].dataType, TimestampType)
     assert ev.first()["ts"] == EXPECTED
+
+
+def test_plain_int64_epoch_encodings(spark, tmp_path):
+    # a future regeneration might write ts as a raw epoch integer in any
+    # unit — the loader detects the unit by magnitude
+    for unit, v in [
+        ("us", EPOCH_US),
+        ("ms", EPOCH_US // 1000),
+        ("s", EPOCH_US // 1_000_000),
+    ]:
+        arr = pa.array([v], pa.int64())
+        sf = _fixture_dir(tmp_path / unit, arr)
+        ev = load_table(spark, sf, "events")
+        assert isinstance(ev.schema["ts"].dataType, TimestampType), unit
+        expected = EXPECTED.replace(microsecond=0) if unit == "s" else EXPECTED
+        assert ev.first()["ts"] == expected, unit
 
 
 def test_micros_ntz_encoding(spark, tmp_path):
