@@ -557,3 +557,69 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    fit_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the embedding
+    space, treat cosine >= `threshold` WITHIN a cell as semantic duplicates,
+    and keep one representative per duplicate group.
+
+    Deterministic variant of the paper's greedy per-cluster pruning: the
+    within-cell pairs above threshold feed connected components and the
+    minimum id per component survives — seed-stable and order-insensitive,
+    where greedy pruning depends on iteration order.
+
+    Scale: k-means is the IVF coarse-quantizer pattern (similarity.ivf_topk)
+    — at 100 TB fit the model on `fit_fraction` of the data (assignment is
+    still a full scan-side projection; centroids broadcast), and the
+    pairwise cosine runs only within cells via the codegen'd unpacked-dot
+    join of :func:`embedding_near_dup_pairs`. Cell sizes are data-adaptive;
+    a degenerate mega-cell should be re-clustered or capped the same way as
+    LSH buckets (`max_bucket_size` there).
+
+    Returns (id, cell, dup_group, is_survivor).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .clustering import connected_components
+
+    with_vec = emb.withColumn(
+        "_fv", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    fit_on = (
+        with_vec.sample(fraction=fit_fraction, seed=seed)
+        if fit_fraction is not None
+        else with_vec
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="cell")
+    cells = km.fit(fit_on).transform(with_vec).drop("_fv")
+    pairs = embedding_near_dup_pairs(
+        cells, id_col, vec_col, bucket_col="cell", threshold=threshold, dim=dim
+    )
+    comp = connected_components(
+        pairs,
+        "vec_a",
+        "vec_b",
+        vertices=cells.select(id_col),
+        vertex_col=id_col,
+    )
+    return (
+        cells.select(id_col, "cell")
+        .join(comp.withColumnRenamed("doc", id_col), id_col)
+        .select(
+            id_col,
+            "cell",
+            F.col("cluster").alias("dup_group"),
+            (F.col(id_col) == F.col("cluster")).alias("is_survivor"),
+        )
+    )

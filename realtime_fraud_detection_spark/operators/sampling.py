@@ -131,3 +131,58 @@ def pack_sequences(
     return df.withColumn("offset", offset).withColumn(
         "seq_id", F.floor(F.col("offset") / F.lit(budget)).cast("bigint")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document into fixed-size context-window chunks of
+    `chunk_tokens` whitespace tokens, with optional overlap
+    (`stride` < `chunk_tokens`; default no overlap). The training-data
+    step between cleaning and packing: models consume bounded windows,
+    and retrieval indexes chunk before embedding.
+
+    One pass: the token array is STAGED as a bound column (HOF-lambda
+    re-evaluation rule — see shingle_table), chunk starts come from
+    `sequence(0, n-1, stride)`, and the generator expression is a cheap
+    slice+join per OUTPUT chunk, safe under Generate's per-element
+    re-evaluation. Rows out = ceil(tokens/stride) per doc — linear in
+    corpus token count, shuffle-free (narrow explode).
+
+    Returns (id, chunk_id, n_chunks, chunk_text, chunk_tokens) where
+    chunk_id is 0-based document order; the final chunk may be short.
+    Empty/whitespace docs yield one empty chunk (chunk_tokens = 0).
+    """
+    if stride is None:
+        stride = chunk_tokens
+    if not 0 < stride <= chunk_tokens:
+        raise ValueError(f"stride {stride} must be in (0, {chunk_tokens}]")
+    trimmed = F.trim(F.col(text_col))
+    staged = df.select(
+        F.col(id_col),
+        F.when(F.length(trimmed) == 0, F.array().cast("array<string>"))
+        .otherwise(F.split(trimmed, r"\s+"))
+        .alias("_w"),
+    )
+    w = F.col("_w")
+    n = F.size(w)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    staged = staged.select(id_col, "_w", F.size(w).alias("_n"), starts.alias("_st"))
+    out = staged.select(
+        id_col,
+        "_w",
+        F.posexplode("_st").alias("chunk_id", "_start"),
+        F.size("_st").alias("n_chunks"),
+    )
+    piece = F.slice(F.col("_w"), F.col("_start") + 1, chunk_tokens)
+    return out.select(
+        id_col,
+        "chunk_id",
+        "n_chunks",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).alias("chunk_tokens"),
+    )

@@ -732,6 +732,28 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries, k=3, n_cells=8, n_probe=3)
 
 
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup, arXiv:2303.09540): KMeans cells → within-cell
+# cosine groups → min-id survivors (rows-only: cell assignment depends on
+# MLlib's kmeans; the deterministic group/survivor semantics are pinned by
+# tests/test_semantic_dedup.py).
+# ---------------------------------------------------------------------------
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.semantic_dedup(emb, threshold=0.45, n_cells=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking (rows-only here; exact DuckDB parity is pinned by
+# tests/test_chunking.py::test_chunking_matches_duckdb).
+# ---------------------------------------------------------------------------
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import chunk_documents
+
+    docs = _docs(spark, sf_dir)
+    return chunk_documents(docs, "text", "doc_id", chunk_tokens=128, stride=96)
+
+
 # Every oracle-backed query must sit within the driver's 50-entry check
 # window (dict insertion order across suite modules) — the two
 # approximate-by-construction ANN queries are rows-only and go LAST.
@@ -751,6 +773,8 @@ QUERIES = {
     "sample_pack": q_sample_pack,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "semantic_dedup": q_semantic_dedup,
+    "doc_chunks": q_doc_chunks,
 }
 
 ORACLES = {

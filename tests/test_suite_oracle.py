@@ -44,6 +44,6 @@ def test_entry_contract(spark):
 
 
 def test_every_query_has_oracle_or_is_declared_approximate():
-    approximate = {"ann_lsh", "ann_ivf"}
+    approximate = {"ann_lsh", "ann_ivf", "semantic_dedup", "doc_chunks"}
     missing = set(QUERIES) - set(ORACLES) - approximate
     assert not missing, f"queries without oracle: {missing}"
