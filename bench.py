@@ -34,6 +34,8 @@ HEADLINE = [
     "pattern_buckets",
     "rule_score",
     "ensemble_decision",
+    "asof_join",
+    "gap_fill",
     "text_features",
     "doc_fingerprint",
     "minhash_signature",
@@ -43,6 +45,7 @@ HEADLINE = [
     "dedup_clusters",
     "quality_filters",
     "sample_pack",
+    "doc_chunks",
     "embedding_near_dups",
     "ann_topk",
 ]

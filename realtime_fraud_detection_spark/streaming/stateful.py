@@ -398,3 +398,110 @@ def capped_recency_stream(tx: DataFrame, cap: int = 100) -> DataFrame:
             GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming as-of enrichment — the continuous form of operators/joins.
+# asof_join: per key, keep a time-ordered buffer of reference ("right")
+# observations and emit each event ("left") row with the latest observation
+# at or before its timestamp. This is Flink's temporal-table join shape —
+# the reference approximates it with a Redis GET of "the latest profile"
+# per record (TransactionProcessor.java:97-138); here the lookup state is
+# keyed operator state, bounded by `retention` and a processing-time
+# timeout.
+#
+# Input is the same tagged union the batch operator builds internally:
+# (key, ts, is_left, row_id, value) with is_left=0 for reference rows.
+# Append-mode caveat (documented, tested): a reference row that arrives in
+# a LATER micro-batch than an event row with a larger event-time cannot
+# retro-update the already-emitted match — the same no-retraction rule as
+# every append-mode stream join; bound disorder with watermarks upstream.
+# ---------------------------------------------------------------------------
+ASOF_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("row_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("matched_ts", T.TimestampType()),
+        T.StructField("matched_value", T.DoubleType()),
+    ]
+)
+_ASOF_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("vals", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def asof_enrich_fn(retention_us: int = WINDOW_24H_US):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        import numpy as np
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        buf_ts, buf_val = (
+            ([], []) if not state.exists else (list(state.get[0]), list(state.get[1]))
+        )
+        out: list[dict] = []
+        for pdf in pdfs:
+            # event-time order, reference rows first at equal ts (same
+            # tie rule as the batch operator's (_t, _is_left) sort)
+            pdf = pdf.sort_values(["ts", "is_left"], kind="mergesort")
+            ts_us = _ts_us(pdf["ts"]).to_numpy()
+            for t, is_left, row_id, value, ts in zip(
+                ts_us, pdf["is_left"], pdf["row_id"], pdf["value"], pdf["ts"]
+            ):
+                if not is_left:
+                    # maintain sorted buffer under cross-batch disorder
+                    pos = int(np.searchsorted(np.array(buf_ts, dtype="int64"), t, side="right"))
+                    buf_ts.insert(pos, int(t))
+                    buf_val.insert(pos, float(value))
+                    continue
+                pos = int(np.searchsorted(np.array(buf_ts, dtype="int64"), t, side="right"))
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "row_id": int(row_id),
+                        "ts": pd.Timestamp(ts),
+                        "matched_ts": pd.Timestamp(buf_ts[pos - 1], unit="us") if pos else pd.NaT,
+                        "matched_value": buf_val[pos - 1] if pos else None,
+                    }
+                )
+        if buf_ts:
+            horizon = buf_ts[-1] - retention_us
+            # keep the newest observation at or before the horizon too —
+            # it is still the valid match for events near the cutoff
+            first_keep = max(0, int(np.searchsorted(np.array(buf_ts, dtype="int64"), horizon, side="right")) - 1)
+            buf_ts, buf_val = buf_ts[first_keep:], buf_val[first_keep:]
+        state.update((buf_ts, buf_val))
+        state.setTimeoutDuration(24 * 3600 * 1000)
+        if out:
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def asof_enrich_stream(
+    tagged: DataFrame, retention: str = "24 hours"
+) -> DataFrame:
+    """`tagged`: (user_id, ts, is_left, row_id, value) — see module comment.
+    Retention bounds state exactly like the batch `tolerance` bounds match
+    staleness."""
+    retention_us = {"24 hours": WINDOW_24H_US, "1 hour": WINDOW_1H_US}.get(
+        retention, WINDOW_24H_US
+    )
+    return (
+        tagged.select("user_id", "ts", "is_left", "row_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            asof_enrich_fn(retention_us),
+            ASOF_OUTPUT,
+            _ASOF_STATE,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
