@@ -7,7 +7,9 @@ the documents/embeddings fixtures:
             → winnowing rolling-hash candidates (shared-substring overlap)
             → MinHash+LSH near-dup pairs (bucket-capped) → Jaccard verify
             → simhash Hamming pairs → connected components → survivors
-  embeddings → embedding-cosine near-dups → ANN top-k (brute force + LSH)
+            → mixture sampling → token packing → context-window chunks
+  embeddings → embedding-cosine near-dups → semantic dedup (SemDeDup)
+            → ANN top-k (brute force + LSH)
 
 Every stage is a linear scan plus an equi-join on a small derived key —
 the shapes that survive a 1000-executor / 100 TB corpus (SCALE.md).
@@ -112,10 +114,17 @@ def main() -> None:
     n_sampled = packed.count()
     n_seqs = packed.select("lang", "seq_id").distinct().count()
 
-    # 5. embedding-space: cosine near-dups + ANN top-k
+    # 4d. context-window chunking of the packed sample (what an embedding
+    # or pretraining consumer reads: bounded windows, stride overlap)
+    chunks = SA.chunk_documents(sampled, "text", "doc_id", chunk_tokens=128, stride=96)
+    n_chunks = chunks.count()
+
+    # 5. embedding-space: cosine near-dups + semantic dedup + ANN top-k
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     emb_pairs = D.embedding_near_dup_pairs(emb, threshold=0.45)
     n_emb = emb_pairs.count()
+    sem = D.semantic_dedup(emb, threshold=0.45, n_cells=8)
+    n_sem = sem.filter(~F.col("is_survivor")).count()
     queries = emb.filter(F.col("vec_id") < 3)
     ann = SIM.brute_force_topk(emb, queries, k=3)
     n_ann = ann.count()
@@ -130,7 +139,9 @@ def main() -> None:
     print(f"lsh near-dups        {n_near}  (jaccard >= 0.8)")
     print(f"pii matches          {n_pii}  (email/phone/ip/ssn/card)")
     print(f"mixture sample       {n_sampled}  docs -> {n_seqs} packed sequences")
+    print(f"context chunks       {n_chunks}  (128-token windows, stride 96)")
     print(f"embedding near-dups  {n_emb}  (cosine >= 0.45)")
+    print(f"semantic dups        {n_sem}  pruned (SemDeDup, within-cell cosine)")
     print(f"ann results          {n_ann}  (3 queries x top-3)")
     print(f"wall clock           {time.time() - t0:.1f}s")
     spark.stop()
