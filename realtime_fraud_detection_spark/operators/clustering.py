@@ -142,7 +142,7 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds — "
         "component diameter exceeds the bound; raise max_rounds or switch "
-        "to the large-star/small-star variant"
+        "to connected_components_star (O(log n) rounds on any graph)"
     )
 
 
@@ -163,3 +163,105 @@ def dedup_survivors(
         clusters.select(F.col("doc").alias(id_col)), id_col, "left_anti"
     )
     return df.join(keep.union(missing), id_col, "left_semi")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    vertices: DataFrame | None = None,
+    vertex_col: str | None = None,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — O(log n) rounds with high probability on ANY graph,
+    including long-chain diameters where plain min-label propagation needs
+    diameter-many rounds (pointer jumping in :func:`connected_components`
+    gets to ~log2(diameter); this variant's bound is on n and also shrinks
+    the edge set every round).
+
+    large-star: every node points its LARGER neighbors at the minimum of
+    its neighborhood (plus itself); small-star: every node points its
+    smaller-or-equal neighbors at that minimum. Both emit (min, other)
+    parent edges, so the edge table converges to a star per component
+    whose center is the component minimum — the same deterministic
+    min-id label as the propagation variant.
+
+    Each round is one groupBy over the symmetrized edge table (map-side
+    combined min per node) joined back — no vertex-label side table, so
+    the per-round state is the (shrinking) edge table itself.
+    Returns (doc, cluster) like :func:`connected_components`.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # neighborhoods as (node, nbr) with node the star center side:
+        # large-star groups by EVERY node (both directions) and links
+        # strictly-larger neighbors to the neighborhood min; small-star
+        # groups by the larger endpoint only and links the <= neighbors.
+        if large:
+            nbrs = e.select(F.col("hi").alias("n"), F.col("lo").alias("m")).union(
+                e.select(F.col("lo").alias("n"), F.col("hi").alias("m"))
+            )
+        else:
+            nbrs = e.select(F.col("hi").alias("n"), F.col("lo").alias("m"))
+        mins = nbrs.groupBy("n").agg(F.min("m").alias("mn"))
+        mins = mins.select("n", F.least("n", "mn").alias("mn"))
+        linked = nbrs.join(mins, "n")
+        if large:
+            out = linked.filter(F.col("m") > F.col("n")).select(
+                F.col("m").alias("hi"), F.col("mn").alias("lo")
+            )
+            self_edge = mins.select(F.col("n").alias("hi"), F.col("mn").alias("lo"))
+            out = out.union(self_edge)
+        else:
+            out = linked.select(F.col("m").alias("hi"), F.col("mn").alias("lo")).union(
+                mins.select(F.col("n").alias("hi"), F.col("mn").alias("lo"))
+            )
+        return (
+            out.filter(F.col("hi") != F.col("lo"))
+            .select(F.greatest("hi", "lo").alias("hi"), F.least("hi", "lo").alias("lo"))
+            .distinct()
+        )
+
+    for _ in range(max_rounds):
+        sym = _star(sym, large=True).localCheckpoint()
+        sym = _star(sym, large=False).localCheckpoint()
+        # converged when every edge already points at its component min:
+        # one more large-star pass changes nothing — detectable as "no hi
+        # appears as a lo" (pure star forest)
+        non_star = (
+            sym.select(F.col("lo").alias("x"))
+            .join(sym.select(F.col("hi").alias("x")), "x", "left_semi")
+            .limit(1)
+            .count()
+        )
+        if non_star == 0:
+            labels = sym.select(F.col("hi").alias("doc"), F.col("lo").alias("cluster"))
+            if vertices is not None:
+                vcol = vertex_col or vertices.columns[0]
+                labels = (
+                    vertices.select(F.col(vcol).alias("doc"))
+                    .distinct()
+                    .join(labels, "doc", "left")
+                    .select(
+                        "doc", F.coalesce("cluster", F.col("doc")).alias("cluster")
+                    )
+                )
+            # centers label themselves
+            centers = labels.select(F.col("cluster").alias("doc")).distinct().join(
+                labels.select(F.col("doc")), "doc", "left_anti"
+            ).select("doc", F.col("doc").alias("cluster"))
+            return labels.union(centers) if vertices is None else labels
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_rounds} rounds"
+    )
