@@ -164,12 +164,16 @@ def asof_join(
     tolerance: str | None = None,
     suffix: str = "_asof",
     tie_break: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of (temporal) LEFT join: attach to each left row the LATEST right
     row with the same key and ``right_ts <= left_ts`` (ties at equal ts
     match). Unmatched left rows keep NULL right columns; ``tolerance``
     (an INTERVAL string, e.g. ``"1 hour"``) additionally nulls out matches
-    older than ``left_ts - tolerance``.
+    older than ``left_ts - tolerance``. ``direction="forward"`` flips the
+    search (EARLIEST right row with ``right_ts >= left_ts``, tolerance
+    bounding ``left_ts + tolerance``) — pandas merge_asof's direction
+    semantics, same plan shape (the union sorts descending instead).
 
     The reference approximates this with per-record Redis point lookups of
     "the latest profile/velocity state" (TransactionProcessor.java:97-138) —
@@ -213,7 +217,15 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_rest],
         *[F.col(c).alias(c + suffix) for c in r_payload],
     )
-    order = [F.col("_t"), F.col("_is_left")] + [
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward, got {direction}")
+    fwd = direction == "forward"
+    # forward search = the same running-prefix scan over a DESCENDING time
+    # sort (right rows still first within equal ts). An unbounded-FOLLOWING
+    # frame would be O(n²) per key — Spark only evaluates unbounded-
+    # PRECEDING frames incrementally.
+    t_ord = F.col("_t").desc() if fwd else F.col("_t").asc()
+    order = [t_ord, F.col("_is_left")] + [
         F.col(c + suffix) for c in (tie_break or [])
     ]
     w = (
@@ -233,7 +245,11 @@ def asof_join(
     )
     out = filled.filter(F.col("_is_left") == 1).drop("_is_left")
     if tolerance is not None:
-        stale = F.col(right_ts + suffix) < F.expr(f"_t - interval {tolerance}")
+        stale = (
+            F.col(right_ts + suffix) > F.expr(f"_t + interval {tolerance}")
+            if fwd
+            else F.col(right_ts + suffix) < F.expr(f"_t - interval {tolerance}")
+        )
         out = out.select(
             key,
             "_t",

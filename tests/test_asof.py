@@ -118,3 +118,59 @@ def test_asof_plan_is_single_window_not_range_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_forward_direction(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, "user_id", direction="forward")
+    rows = {(r["user_id"], r["ts"]): r for r in out.collect()}
+    # 09:00 → earliest right at-or-after is 09:30
+    assert rows[("u1", _ts("2024-01-01 09:00:00"))]["score_asof"] == 1.0
+    # equal-ts still matches (10:00 → 10:00)
+    assert rows[("u1", _ts("2024-01-01 10:00:00"))]["score_asof"] == 2.0
+    # 10:05 has no right at-or-after → NULL
+    assert rows[("u1", _ts("2024-01-01 10:05:00"))]["score_asof"] is None
+    assert rows[("u2", _ts("2024-01-01 10:00:00"))]["score_asof"] is None
+    # forward tolerance: 09:00 → 09:30 is outside 10 minutes
+    out2 = asof_join(
+        left, right, "user_id", direction="forward", tolerance="10 minutes"
+    )
+    rows2 = {(r["user_id"], r["ts"]): r for r in out2.collect()}
+    assert rows2[("u1", _ts("2024-01-01 09:00:00"))]["score_asof"] is None
+    assert rows2[("u1", _ts("2024-01-01 10:00:00"))]["score_asof"] == 2.0
+
+
+def test_asof_forward_matches_bruteforce(spark):
+    import random
+
+    rng = random.Random(13)
+    base = _ts("2024-01-01 00:00:00")
+    left = spark.createDataFrame(
+        [
+            (f"u{rng.randrange(5)}", base + datetime.timedelta(seconds=rng.randrange(86400)), float(i))
+            for i in range(200)
+        ],
+        ["k", "ts", "v"],
+    )
+    right = spark.createDataFrame(
+        [
+            (f"u{rng.randrange(5)}", base + datetime.timedelta(seconds=rng.randrange(86400)), float(1000 + i))
+            for i in range(150)
+        ],
+        ["k", "ts", "p"],
+    ).dropDuplicates(["k", "ts"])
+    got = asof_join(left, right, "k", direction="forward").select("k", "ts", "v", "p_asof")
+    l, r = left.alias("l"), right.alias("r")
+    ranked = (
+        l.join(r, (F.col("l.k") == F.col("r.k")) & (F.col("r.ts") >= F.col("l.ts")), "left")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("l.k", "l.ts", "l.v").orderBy(F.col("r.ts").asc_nulls_last())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select(F.col("l.k").alias("k"), F.col("l.ts").alias("ts"), "v", F.col("r.p").alias("p_asof"))
+    )
+    assert got.exceptAll(ranked).count() == 0
+    assert ranked.exceptAll(got).count() == 0
