@@ -139,3 +139,99 @@ def gap_fill(
         .when(prev_v.isNotNull(), F.floor(lerp * 1e6 + 0.5) / 1e6)
     )
     return out.withColumn(f"{value_col}_interp", interp)
+
+
+_STEP_UNITS_US = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _parse_step_us(step: str) -> int:
+    n, unit = step.split()
+    return int(n) * _STEP_UNITS_US[unit.rstrip("s")]
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Time-weighted average per (key, bucket) with last-observation-
+    carried-forward weighting (the hypertable `time_weight('LOCF')`
+    aggregate): each observation's value holds from its timestamp until
+    the NEXT observation of the same key, the hold segment is split
+    across every step-bucket it spans, and each bucket averages the
+    values weighted by held duration within that bucket. The trailing
+    observation (no successor) contributes a point reading to its own
+    bucket via a zero-length segment handled as a 1-µs floor.
+
+    Scale: one key-partitioned window (lead), then the same
+    sequence()-explode spine as :func:`gap_fill` bounded by segment
+    span / step, then one (key, bucket) aggregate — no range join.
+    Division result is floor-rounded to 6 dp (cross-engine round-tie
+    rule). Returns (key, bucket, twa, n_obs, covered_us).
+    """
+    step_us = _parse_step_us(step)
+    step_us_expr = F.expr(f"interval {step}")
+    w = Window.partitionBy(key).orderBy(ts_col)
+    seg = df.select(
+        F.col(key),
+        # normalize to TIMESTAMP so comparisons against the (timestamp)
+        # bucket column type-check for TIMESTAMP_NTZ inputs too
+        F.col(ts_col).cast("timestamp").alias("_s"),
+        F.coalesce(F.lead(ts_col).over(w), F.col(ts_col))
+        .cast("timestamp")
+        .alias("_e"),
+        F.col(value_col).alias("_v"),
+    )
+
+    def _bucket(c: str) -> Column:
+        # epoch-aligned floor — the same assignment window() makes, but
+        # expressible twice in one projection (Spark rejects multiple
+        # window() time expressions per select)
+        us = F.unix_micros(F.col(c).cast("timestamp"))
+        return F.timestamp_micros((us - us % step_us))
+
+    seg = seg.select(
+        key, "_s", "_e", "_v", _bucket("_s").alias("_b0"), _bucket("_e").alias("_b1")
+    )
+    spans = seg.select(
+        key,
+        "_s",
+        "_e",
+        "_v",
+        F.explode(F.sequence(F.col("_b0"), F.col("_b1"), step_us_expr)).alias(
+            "bucket"
+        ),
+    )
+
+    def _us(c):
+        return F.unix_micros(c.cast("timestamp"))
+
+    bucket_end = F.col("bucket") + step_us_expr
+    ov_start = F.greatest(F.col("_s"), F.col("bucket"))
+    ov_end = F.least(F.col("_e"), bucket_end)
+    # 1-µs floor ONLY for genuinely zero-length (trailing) segments — a
+    # normal segment ending exactly on a bucket boundary must contribute
+    # nothing to that boundary bucket, not a phantom microsecond
+    zero_len = F.col("_s") == F.col("_e")
+    weight_us = F.when(zero_len, F.lit(1)).otherwise(_us(ov_end) - _us(ov_start))
+    return (
+        spans.filter(zero_len | (_us(ov_end) > _us(ov_start)))
+        .groupBy(key, "bucket")
+        .agg(
+            (
+                F.floor(
+                    (F.sum(F.col("_v") * weight_us) / F.sum(weight_us)) * 1e6 + 0.5
+                )
+                / 1e6
+            ).alias("twa"),
+            F.count("*").alias("n_segments"),
+            F.sum(weight_us).alias("covered_us"),
+        )
+    )

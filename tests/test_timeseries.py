@@ -86,3 +86,91 @@ def test_gap_fill_no_cross_join_plan(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_time_weighted_avg_hand_computed(spark):
+    from realtime_fraud_detection_spark.operators.timeseries import time_weighted_avg
+
+    df = spark.createDataFrame(
+        [
+            ("u", _ts("2024-01-01 10:00:00"), 10.0),
+            ("u", _ts("2024-01-01 10:30:00"), 20.0),
+            ("u", _ts("2024-01-01 12:00:00"), 30.0),  # trailing observation
+            ("w", _ts("2024-01-01 00:15:00"), 5.0),   # single observation key
+        ],
+        ["k", "ts", "value"],
+    )
+    out = {
+        (r["k"], r["bucket"]): r
+        for r in time_weighted_avg(df, "k", "ts", "value", step="1 hour").collect()
+    }
+    # 10:00 bucket: 30min@10 + 30min@20 -> 15
+    b10 = out[("u", _ts("2024-01-01 10:00:00"))]
+    assert b10["twa"] == 15.0 and b10["covered_us"] == 3600 * 1_000_000
+    # 11:00 bucket: fully held at 20
+    b11 = out[("u", _ts("2024-01-01 11:00:00"))]
+    assert b11["twa"] == 20.0 and b11["covered_us"] == 3600 * 1_000_000
+    # 12:00 bucket: only the trailing point reading (no phantom overlap
+    # from the 10:30->12:00 segment that ENDS exactly at 12:00)
+    b12 = out[("u", _ts("2024-01-01 12:00:00"))]
+    assert b12["twa"] == 30.0 and b12["covered_us"] == 1 and b12["n_segments"] == 1
+    # single-observation key: one point reading in its own bucket
+    bw = out[("w", _ts("2024-01-01 00:00:00"))]
+    assert bw["twa"] == 5.0 and bw["covered_us"] == 1
+    assert len(out) == 4
+
+
+def test_time_weighted_avg_matches_duckdb(spark):
+    """Parity on the events fixture purchases (segments crossing many
+    hourly buckets) against a DuckDB formulation of the same semantics."""
+    import duckdb
+
+    from realtime_fraud_detection_spark.operators.timeseries import time_weighted_avg
+    from realtime_fraud_detection_spark.sources.testdata import load_table
+    from conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    got = (
+        time_weighted_avg(ev, "user_id", "ts", "value", step="1 hour")
+        .orderBy("user_id", "bucket")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        WITH seg AS (
+          SELECT user_id, ts AS s,
+                 COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) AS e,
+                 value AS v
+          FROM read_parquet('{SF_SMOKE}/events.parquet') WHERE event_type = 'purchase'
+        ), spans AS (
+          SELECT user_id, s, e, v,
+                 UNNEST(generate_series(date_trunc('hour', s), date_trunc('hour', e),
+                                        INTERVAL '1 hour')) AS bucket
+          FROM seg
+        ), weighted AS (
+          SELECT user_id, bucket, v, s, e,
+                 CASE WHEN s = e THEN 1
+                      ELSE epoch_us(LEAST(e, bucket + INTERVAL '1 hour'))
+                           - epoch_us(GREATEST(s, bucket)) END AS w_us
+          FROM spans
+          WHERE s = e OR epoch_us(LEAST(e, bucket + INTERVAL '1 hour'))
+                         > epoch_us(GREATEST(s, bucket))
+        )
+        SELECT user_id, bucket,
+               FLOOR((SUM(v * w_us) / SUM(w_us)) * 1e6 + 0.5) / 1e6 AS twa,
+               COUNT(*) AS n_segments, SUM(w_us) AS covered_us
+        FROM weighted GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).fetchdf()
+    assert len(got) == len(want)
+    for col in ["user_id", "n_segments", "covered_us"]:
+        assert (got[col].values == want[col].astype("int64").values).all(), col
+    import numpy as np
+
+    assert (
+        np.frombuffer(got["twa"].values.tobytes(), dtype="int64")
+        == np.frombuffer(want["twa"].values.tobytes(), dtype="int64")
+    ).all()
