@@ -92,8 +92,9 @@ def test_metrics_listener(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(60)
-        for _ in range(20):  # listener delivery is async
+        q.awaitTermination(120)
+        for _ in range(120):  # listener delivery is async (and slow on a
+            # CPU-saturated machine — observed >10 s under a parallel bench)
             if listener.snapshot():
                 break
             time.sleep(0.5)
