@@ -60,3 +60,39 @@ def test_unpivot_roundtrip(spark):
     )
     assert tall.exceptAll(direct).count() == 0
     assert direct.exceptAll(tall).count() == 0
+
+
+def test_exact_percentiles_match_duckdb(spark):
+    """Spark percentile() (exact, interpolating) == DuckDB quantile_cont
+    bit-for-bit per event_type, with approx_percentile sanity-bounded by
+    the exact values (the scale path: t-digest-style sketch, no sort)."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    got = (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("ap50"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+        .orderBy("event_type")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    want = con.execute(
+        f"""
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99
+        FROM read_parquet('{SF_SMOKE}/events.parquet')
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchdf()
+    for col in ["p50", "p90", "p99"]:
+        assert (got[col].values == want[col].values).all(), col
+    # approx within the group's range and near the exact median
+    assert ((got["ap50"] >= got["mn"]) & (got["ap50"] <= got["mx"])).all()
+    assert (abs(got["ap50"] - got["p50"]) / got["p50"] < 0.05).all()
