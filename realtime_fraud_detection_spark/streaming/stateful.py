@@ -505,3 +505,84 @@ def asof_enrich_stream(
             GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Silence (gap) detection — the dual of CountTrigger: alert when a key that
+# has been seen goes QUIET for longer than `gap` in EVENT time. Flink
+# expresses this with keyed event-time timers; Spark's equivalent is an
+# EventTimeTimeout on keyed state: every event re-arms the key's timeout at
+# last_seen + gap, and when the watermark passes that point with no new
+# events the group fires with hasTimedOut (no input rows) and emits the
+# alert. State is one timestamp per key; the watermark bounds both state
+# and alert lateness. Input MUST carry a watermark (withWatermark) —
+# EventTimeTimeout requires it.
+# ---------------------------------------------------------------------------
+SILENCE_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("last_seen", T.TimestampType()),
+        T.StructField("events_seen", T.LongType()),
+    ]
+)
+_SILENCE_STATE = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def silence_alert_fn(gap_ms: int):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:
+            last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "last_seen": pd.Timestamp(last_us, unit="us"),
+                        "events_seen": int(n),
+                    }
+                ]
+            )
+            return
+        last_us, n = (0, 0) if not state.exists else state.get
+        for pdf in pdfs:
+            if len(pdf):
+                last_us = max(last_us, int(_ts_us(pdf["ts"]).max()))
+                n += len(pdf)
+        state.update((int(last_us), int(n)))
+        # fire when the EVENT-TIME watermark passes last_seen + gap
+        state.setTimeoutTimestamp(last_us // 1000 + gap_ms)
+
+    return fn
+
+
+def silence_alert_stream(
+    events: DataFrame, gap: str = "10 minutes", watermark: str = "1 minute"
+) -> DataFrame:
+    """`events`: (user_id, ts[, ...]). Emits one row per key whose silence
+    exceeds `gap` in event time, then drops the key's state (a returning
+    key starts a fresh episode)."""
+    import re
+
+    m = re.match(r"(\d+)\s*(second|minute|hour)s?", gap)
+    gap_ms = int(m.group(1)) * {"second": 1, "minute": 60, "hour": 3600}[
+        m.group(2)
+    ] * 1000
+    return (
+        events.select("user_id", "ts")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            silence_alert_fn(gap_ms),
+            SILENCE_OUTPUT,
+            _SILENCE_STATE,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
