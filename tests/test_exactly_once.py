@@ -31,6 +31,7 @@ def test_restart_from_checkpoint_no_duplicates(spark, fraud_data, tmp_path):
         spark.readStream.schema(tx.schema).parquet(src), users, merchants, out, ckpt
     )
     q1.awaitTermination(120)
+    q1.stop()  # stateful availableNow queries may not self-terminate (pending timers)
     n1 = spark.read.parquet(os.path.join(out, "transaction_enriched")).count()
     assert n1 == first.count()
 
@@ -41,6 +42,7 @@ def test_restart_from_checkpoint_no_duplicates(spark, fraud_data, tmp_path):
         spark.readStream.schema(tx.schema).parquet(src), users, merchants, out, ckpt
     )
     q2.awaitTermination(120)
+    q2.stop()  # stateful availableNow queries may not self-terminate (pending timers)
     enriched = spark.read.parquet(os.path.join(out, "transaction_enriched"))
     assert enriched.count() == tx.count()  # no batch-0 re-delivery
     dupes = (
@@ -53,6 +55,7 @@ def test_restart_from_checkpoint_no_duplicates(spark, fraud_data, tmp_path):
         spark.readStream.schema(tx.schema).parquet(src), users, merchants, out, ckpt
     )
     q3.awaitTermination(120)
+    q3.stop()  # stateful availableNow queries may not self-terminate (pending timers)
     assert (
         spark.read.parquet(os.path.join(out, "transaction_enriched")).count()
         == tx.count()

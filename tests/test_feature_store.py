@@ -93,13 +93,15 @@ def test_metrics_listener(spark, tmp_path):
             .start()
         )
         q.awaitTermination(120)
-        for _ in range(120):  # listener delivery is async (and slow on a
-            # CPU-saturated machine — observed >10 s under a parallel bench)
-            if listener.snapshot():
+        # filter to THIS query's events: the shared session may have other
+        # (even leaked) streaming queries whose progress the listener also
+        # records, and delivery is async — poll with a generous deadline
+        mine = []
+        for _ in range(120):
+            mine = [s for s in listener.snapshot() if s["query"] == "metrics_probe"]
+            if mine:
                 break
             time.sleep(0.5)
-        snap = listener.snapshot()
-        assert snap and snap[0]["input_rows"] == 4
-        assert snap[0]["query"] == "metrics_probe"
+        assert mine and mine[0]["input_rows"] == 4
     finally:
         spark.streams.removeListener(listener)

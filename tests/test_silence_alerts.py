@@ -51,7 +51,16 @@ def test_silent_key_fires_active_key_does_not(spark, tmp_path):
         str(tmp_path / "ck"),
         "append",
     )
-    q.awaitTermination(180)
+    # stateful availableNow queries may not self-terminate (pending
+    # timers) — poll for the alert, then stop explicitly
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if spark.sql("select count(*) c from silence_test").first()["c"] >= 1:
+            break
+        time.sleep(1)
+    time.sleep(3)
+    q.stop()
+    q.awaitTermination(30)
     got = spark.sql("select * from silence_test").toPandas()
     u1 = got[got["user_id"] == "u1"]
     assert len(u1) == 1, got

@@ -39,6 +39,7 @@ def test_stream_dedup_across_batches(spark, tmp_path):
     ).parquet(src)
     q = to_memory_sink(dedup_stream(stream), "dedup_test", str(tmp_path / "ck"), "append")
     q.awaitTermination(120)
+    q.stop()  # stateful availableNow queries may not self-terminate (pending timers)
     got = spark.sql("select * from dedup_test").toPandas()
     assert sorted(got["transaction_id"]) == ["t1", "t2", "t3", "t4"]
 
@@ -64,6 +65,7 @@ def test_hourly_rollup_view(spark, fraud_data, tmp_path):
         str(tmp_path / "ck2"),
     )
     q.awaitTermination(180)
+    q.stop()  # stateful availableNow queries may not self-terminate (pending timers)
     view = hourly_rollup_view(spark, out).toPandas().set_index("hour").sort_index()
     want = (
         tx.groupBy(F.date_trunc("hour", "ts").alias("hour"))

@@ -47,6 +47,7 @@ def test_stream_stream_time_range_join(spark, tmp_path):
     joined = windowed_stream_join(left, right, "user_id").select("l.user_id", "v", "w")
     q = to_memory_sink(joined, "ssj_test", str(tmp_path / "ck"), "append")
     q.awaitTermination(120)
+    q.stop()  # stateful availableNow queries may not self-terminate (pending timers)
     got = spark.sql("select * from ssj_test order by v").toPandas()
 
     # batch equivalence on the same inputs

@@ -45,6 +45,7 @@ def test_streaming_scoring_pipeline_multi_sink(spark, fraud_data, tx_dir, tmp_pa
         stream, users, merchants, out_dir, str(tmp_path / "ckpt")
     )
     q.awaitTermination(120)
+    q.stop()  # stateful availableNow queries may not self-terminate (pending timers)
     enriched = spark.read.parquet(os.path.join(out_dir, "transaction_enriched"))
     assert enriched.count() == tx.count()
     # streaming result == batch result on the same input
@@ -70,6 +71,7 @@ def test_streaming_session_windows_match_batch(spark, fraud_data, tx_dir, tmp_pa
         SP.session_stream(stream), "sessions_test", str(tmp_path / "ck2"), "append"
     )
     q.awaitTermination(120)
+    q.stop()  # stateful availableNow queries may not self-terminate (pending timers)
     got = spark.sql("select * from sessions_test").toPandas()
     from realtime_fraud_detection_spark.operators.aggregations import session_aggregate
 
@@ -121,6 +123,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
     )
     q = SP.to_memory_sink(agg, "late_test", str(tmp_path / "ck3"), "append")
     q.awaitTermination(120)
+    q.stop()  # stateful availableNow queries may not self-terminate (pending timers)
     got = spark.sql("select * from late_test").toPandas()
     assert 99.0 not in set(got["total"])  # late row dropped, window not resurrected
     assert 30.0 in set(got["total"])  # the closed on-time window emitted intact
@@ -152,6 +155,7 @@ def test_count_trigger_early_fire(spark, tmp_path):
         ST.count_trigger_stream(stream, n=10), "ct_test", str(tmp_path / "ck4"), "append"
     )
     q.awaitTermination(120)
+    q.stop()  # stateful availableNow queries may not self-terminate (pending timers)
     got = spark.sql("select * from ct_test order by fire_count").toPandas()
     assert list(got["tx_count"]) == [10, 20]
     assert list(got["fire_count"]) == [1, 2]
@@ -166,6 +170,7 @@ def test_exact_rolling_velocity_stream_matches_batch(spark, fraud_data, tx_dir, 
         ST.rolling_velocity_stream(stream), "rv_test", str(tmp_path / "ck5"), "append"
     )
     q.awaitTermination(180)
+    q.stop()  # stateful availableNow queries may not self-terminate (pending timers)
     got = spark.sql("select * from rv_test").toPandas()
     want = ST.rolling_velocity_batch(tx).toPandas()
     assert len(got) == len(want) == tx.count()
@@ -192,6 +197,7 @@ def test_rolling_velocity_transformwithstate_matches_batch(spark, fraud_data, tx
         ST.rolling_velocity_tws(stream), "rv_tws_test", str(tmp_path / "ck5t"), "append"
     )
     q.awaitTermination(180)
+    q.stop()  # stateful availableNow queries may not self-terminate (pending timers)
     got = spark.sql("select * from rv_tws_test").toPandas()
     want = ST.rolling_velocity_batch(tx).toPandas()
     assert len(got) == len(want) == tx.count()
@@ -244,6 +250,7 @@ def test_capped_recency_list(spark, tmp_path):
         ST.capped_recency_stream(stream, cap=5), "rl_test", str(tmp_path / "ck6"), "update"
     )
     q.awaitTermination(120)
+    q.stop()  # stateful availableNow queries may not self-terminate (pending timers)
     got = spark.sql("select * from rl_test").toPandas()
     assert got["list_size"].iloc[-1] == 5
     assert got["recent_transaction_ids"].iloc[-1].tolist() == [
