@@ -191,9 +191,10 @@ def asof_join(
 
     Right rows sort with ``is_left = 0`` so a right row at exactly
     ``left_ts`` is visible to that left row. If (key, right_ts) is not
-    unique, pass ``tie_break`` columns to make the winner deterministic
-    (they extend the sort order); otherwise the last duplicate in sort
-    order wins nondeterministically.
+    unique, pass ``tie_break`` columns to make the winner deterministic:
+    the row with the SMALLEST tie-break tuple wins (min-wins — the same
+    deterministic-tie convention as the repo's tie-broken top-k);
+    otherwise the last duplicate in sort order wins nondeterministically.
     """
     r_payload = [c for c in right.columns if c != key]
     collide = {c + suffix for c in r_payload} & set(left.columns)
@@ -225,8 +226,11 @@ def asof_join(
     # frame would be O(n²) per key — Spark only evaluates unbounded-
     # PRECEDING frames incrementally.
     t_ord = F.col("_t").desc() if fwd else F.col("_t").asc()
+    # tie-break DESCENDING: last() picks the final duplicate at equal ts,
+    # so a descending sort makes the MINIMUM tie-break value the winner
+    # (min-wins, the repo-wide deterministic-tie convention)
     order = [t_ord, F.col("_is_left")] + [
-        F.col(c + suffix) for c in (tie_break or [])
+        F.col(c + suffix).desc() for c in (tie_break or [])
     ]
     w = (
         Window.partitionBy(key)

@@ -221,16 +221,16 @@ def time_weighted_avg(
     # nothing to that boundary bucket, not a phantom microsecond
     zero_len = F.col("_s") == F.col("_e")
     weight_us = F.when(zero_len, F.lit(1)).otherwise(_us(ov_end) - _us(ov_start))
+    # the weighted sum goes through DECIMAL (exact, order-insensitive —
+    # suite determinism rule, same as resample): a double SUM(v * w_us)
+    # depends on partial-agg accumulation order, which Spark does not fix.
+    # decimal(12,2) * bigint stays within decimal-38 headroom exactly.
+    wsum = F.sum(F.col("_v").cast("decimal(12,2)") * weight_us).cast("double")
     return (
         spans.filter(zero_len | (_us(ov_end) > _us(ov_start)))
         .groupBy(key, "bucket")
         .agg(
-            (
-                F.floor(
-                    (F.sum(F.col("_v") * weight_us) / F.sum(weight_us)) * 1e6 + 0.5
-                )
-                / 1e6
-            ).alias("twa"),
+            (F.floor((wsum / F.sum(weight_us)) * 1e6 + 0.5) / 1e6).alias("twa"),
             F.count("*").alias("n_segments"),
             F.sum(weight_us).alias("covered_us"),
         )

@@ -443,44 +443,70 @@ def asof_enrich_fn(retention_us: int = WINDOW_24H_US):
         if state.hasTimedOut:
             state.remove()
             return
-        buf_ts, buf_val = (
-            ([], []) if not state.exists else (list(state.get[0]), list(state.get[1]))
-        )
-        out: list[dict] = []
+        if state.exists:
+            buf_ts = np.asarray(state.get[0], dtype="int64")
+            buf_val = np.asarray(state.get[1], dtype="float64")
+        else:
+            buf_ts = np.empty(0, dtype="int64")
+            buf_val = np.empty(0, dtype="float64")
+        out: list[pd.DataFrame] = []
         for pdf in pdfs:
-            # event-time order, reference rows first at equal ts (same
-            # tie rule as the batch operator's (_t, _is_left) sort)
-            pdf = pdf.sort_values(["ts", "is_left"], kind="mergesort")
-            ts_us = _ts_us(pdf["ts"]).to_numpy()
-            for t, is_left, row_id, value, ts in zip(
-                ts_us, pdf["is_left"], pdf["row_id"], pdf["value"], pdf["ts"]
-            ):
-                if not is_left:
-                    # maintain sorted buffer under cross-batch disorder
-                    pos = int(np.searchsorted(np.array(buf_ts, dtype="int64"), t, side="right"))
-                    buf_ts.insert(pos, int(t))
-                    buf_val.insert(pos, float(value))
-                    continue
-                pos = int(np.searchsorted(np.array(buf_ts, dtype="int64"), t, side="right"))
-                out.append(
-                    {
-                        "user_id": key[0],
-                        "row_id": int(row_id),
-                        "ts": pd.Timestamp(ts),
-                        "matched_ts": pd.Timestamp(buf_ts[pos - 1], unit="us") if pos else pd.NaT,
-                        "matched_value": buf_val[pos - 1] if pos else None,
-                    }
+            if not len(pdf):
+                continue
+            # merge ALL of the batch's reference rows into the sorted
+            # buffer ONCE (stable sort: existing state sorts before batch
+            # rows at equal ts, so a later-arriving observation at the
+            # same instant wins under side='right' — the same tie rule as
+            # the batch operator's (_t, _is_left) sort). An event only
+            # matches rows at-or-BEFORE its ts, so folding same-batch
+            # refs with larger ts in first cannot change any match.
+            refs = pdf[pdf["is_left"] == 0]
+            if len(refs):
+                ref_ts = _ts_us(refs["ts"]).to_numpy().astype("int64")
+                order = np.argsort(ref_ts, kind="mergesort")
+                merged_ts = np.concatenate([buf_ts, ref_ts[order]])
+                merged_val = np.concatenate(
+                    [buf_val, refs["value"].to_numpy("float64")[order]]
                 )
-        if buf_ts:
+                order = np.argsort(merged_ts, kind="mergesort")
+                buf_ts, buf_val = merged_ts[order], merged_val[order]
+            events = pdf[pdf["is_left"] == 1]
+            if len(events):
+                ev_ts = _ts_us(events["ts"]).to_numpy().astype("int64")
+                pos = np.searchsorted(buf_ts, ev_ts, side="right")
+                hit = pos > 0
+                nat = np.int64(np.iinfo("int64").min)  # int64 min IS NaT
+                if len(buf_ts):
+                    idx = np.maximum(pos - 1, 0)
+                    m_ts = np.where(hit, buf_ts[idx], nat)
+                    m_val = np.where(hit, buf_val[idx], np.nan)
+                else:
+                    m_ts = np.full(len(events), nat)
+                    m_val = np.full(len(events), np.nan)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "user_id": np.full(len(events), key[0], dtype="int64"),
+                            "row_id": events["row_id"].to_numpy("int64"),
+                            "ts": events["ts"].to_numpy(),
+                            "matched_ts": m_ts.astype("datetime64[us]"),
+                            "matched_value": m_val,
+                        }
+                    )
+                )
+        if len(buf_ts):
             horizon = buf_ts[-1] - retention_us
             # keep the newest observation at or before the horizon too —
             # it is still the valid match for events near the cutoff
-            first_keep = max(0, int(np.searchsorted(np.array(buf_ts, dtype="int64"), horizon, side="right")) - 1)
+            first_keep = max(
+                0, int(np.searchsorted(buf_ts, horizon, side="right")) - 1
+            )
             buf_ts, buf_val = buf_ts[first_keep:], buf_val[first_keep:]
-        state.update((buf_ts, buf_val))
+        # state tuples must be pure-Python types (no numpy scalars)
+        state.update(([int(t) for t in buf_ts], [float(v) for v in buf_val]))
         state.setTimeoutDuration(24 * 3600 * 1000)
-        if out:
-            yield pd.DataFrame(out)
+        for pdf in out:
+            yield pdf
 
     return fn
 
@@ -490,10 +516,19 @@ def asof_enrich_stream(
 ) -> DataFrame:
     """`tagged`: (user_id, ts, is_left, row_id, value) — see module comment.
     Retention bounds state exactly like the batch `tolerance` bounds match
-    staleness."""
-    retention_us = {"24 hours": WINDOW_24H_US, "1 hour": WINDOW_1H_US}.get(
-        retention, WINDOW_24H_US
-    )
+    staleness. Accepts any "<n> second|minute|hour|day(s)" interval;
+    raises ValueError on anything unparseable (no silent default)."""
+    import re
+
+    m = re.fullmatch(r"(\d+)\s*(second|minute|hour|day)s?", retention.strip())
+    if not m:
+        raise ValueError(f"unrecognized retention interval: {retention!r}")
+    retention_us = int(m.group(1)) * {
+        "second": 1,
+        "minute": 60,
+        "hour": 3600,
+        "day": 86400,
+    }[m.group(2)] * 1_000_000
     return (
         tagged.select("user_id", "ts", "is_left", "row_id", "value")
         .groupBy("user_id")

@@ -174,3 +174,29 @@ def test_asof_forward_matches_bruteforce(spark):
     )
     assert got.exceptAll(ranked).count() == 0
     assert ranked.exceptAll(got).count() == 0
+
+
+def test_asof_tie_break_min_wins(spark):
+    """Duplicate right rows at the same (key, ts): the SMALLEST tie-break
+    value wins (min-wins, the repo-wide deterministic-tie convention)."""
+    left = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 10:05:00"), 1.0)], ["user_id", "ts", "amount"]
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01 10:00:00"), 9.0),
+            ("u1", _ts("2024-01-01 10:00:00"), 2.0),
+            ("u1", _ts("2024-01-01 10:00:00"), 5.0),
+        ],
+        ["user_id", "ts", "score"],
+    )
+    out = asof_join(left, right, "user_id", tie_break=["score"]).collect()
+    assert len(out) == 1 and out[0]["score_asof"] == 2.0
+    # forward direction honors the same convention
+    left_f = spark.createDataFrame(
+        [("u1", _ts("2024-01-01 09:00:00"), 1.0)], ["user_id", "ts", "amount"]
+    )
+    out_f = asof_join(
+        left_f, right, "user_id", tie_break=["score"], direction="forward"
+    ).collect()
+    assert len(out_f) == 1 and out_f[0]["score_asof"] == 2.0

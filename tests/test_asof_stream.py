@@ -110,3 +110,19 @@ def test_asof_stream_matches_batch(spark, tmp_path):
         assert (pd.isna(bm) and pd.isna(gm)) or bm == gm
         bt, gt = batch.loc[rid, "ts_asof"], got.loc[rid, "matched_ts"]
         assert (pd.isna(bt) and pd.isna(gt)) or bt == gt
+
+
+def test_asof_stream_retention_parse(spark):
+    """Any '<n> unit' retention parses; garbage raises (no silent 24h)."""
+    import pytest
+
+    from realtime_fraud_detection_spark.streaming import stateful
+
+    df = spark.createDataFrame(
+        [], "user_id long, ts timestamp, is_left int, row_id long, value double"
+    )
+    # parses without error (the bug was '6 hours' silently becoming 24h)
+    for r in ("6 hours", "90 seconds", "1 day", "15 minutes"):
+        asof_enrich_stream(df, retention=r)
+    with pytest.raises(ValueError, match="retention"):
+        asof_enrich_stream(df, retention="fortnight")

@@ -160,7 +160,8 @@ def test_time_weighted_avg_matches_duckdb(spark):
                          > epoch_us(GREATEST(s, bucket))
         )
         SELECT user_id, bucket,
-               FLOOR((SUM(v * w_us) / SUM(w_us)) * 1e6 + 0.5) / 1e6 AS twa,
+               FLOOR((CAST(SUM(CAST(v AS DECIMAL(12,2)) * w_us) AS DOUBLE)
+                      / SUM(w_us)) * 1e6 + 0.5) / 1e6 AS twa,
                COUNT(*) AS n_segments, SUM(w_us) AS covered_us
         FROM weighted GROUP BY 1, 2 ORDER BY 1, 2
         """
