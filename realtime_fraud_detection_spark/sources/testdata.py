@@ -42,7 +42,12 @@ def load_table(
     df = _load_events(spark, path) if name == "events" else spark.read.parquet(path)
     if fan_out:
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
+        # file count is a lower bound on scan partitions (each file is at
+        # least one split; big files split further by maxPartitionBytes),
+        # so >= par files means the scan is already wide — and probing it
+        # via inputFiles() costs a file listing, not the RDD conversion
+        # df.rdd.getNumPartitions() would force on the whole plan.
+        if len(df.inputFiles()) < par:
             df = df.repartition(par)
     return df
 

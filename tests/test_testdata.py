@@ -82,3 +82,25 @@ def test_micros_utc_adjusted_encoding(spark, tmp_path):
     ev = load_table(spark, sf, "events")
     assert isinstance(ev.schema["ts"].dataType, TimestampType)
     assert ev.first()["ts"] == EXPECTED
+
+def test_millis_encodings(spark, tmp_path):
+    # TIMESTAMP(MILLIS) in both isAdjustedToUTC variants — Spark reads
+    # NTZ as timestamp_ntz (cast branch) and UTC as plain timestamp
+    for name, arr in [
+        ("ntz", pa.array([EXPECTED], pa.timestamp("ms"))),
+        ("utc", pa.array([EPOCH_US // 1000], pa.timestamp("ms", tz="UTC"))),
+    ]:
+        sf = _fixture_dir(tmp_path / name, arr)
+        ev = load_table(spark, sf, "events")
+        assert isinstance(ev.schema["ts"].dataType, TimestampType), name
+        assert ev.first()["ts"] == EXPECTED, name
+
+
+def test_nanos_utc_adjusted_encoding(spark, tmp_path):
+    # TIMESTAMP(NANOS, isAdjustedToUTC=true): nanosAsLong still surfaces
+    # it as bigint; the magnitude branch rebuilds the timestamp
+    arr = pa.array([EPOCH_US * 1000], pa.timestamp("ns", tz="UTC"))
+    sf = _fixture_dir(tmp_path, arr)
+    ev = load_table(spark, sf, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    assert ev.first()["ts"] == EXPECTED
