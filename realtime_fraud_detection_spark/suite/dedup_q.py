@@ -370,7 +370,19 @@ def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     boiler = Q.boilerplate_line_stats(rich, "rich", "doc_id").withColumnRenamed(
         "doc", "doc_id"
     )
-    return rep.join(c4, "doc_id").join(pii, "doc_id").join(boiler, "doc_id")
+    # benchmark decontamination: a deterministic slice of the corpus plays
+    # the eval set (every 50th doc) — its 8-gram set broadcasts and the
+    # corpus probes it map-side (operators/quality.contamination_stats)
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    cont = Q.contamination_stats(docs, bench, n=8).withColumnRenamed(
+        "doc", "doc_id"
+    )
+    return (
+        rep.join(c4, "doc_id")
+        .join(pii, "doc_id")
+        .join(boiler, "doc_id")
+        .join(cont, "doc_id")
+    )
 
 
 def _sql_shingles_k(k: int) -> str:
@@ -475,6 +487,14 @@ WITH ws_t AS (
     CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END) AS BIGINT) AS dup_line_chars
   FROM pl GROUP BY 1
 ), {_sql_ngram_stats(2)}, {_sql_ngram_stats(3)}, {_sql_ngram_stats(5)},
+g8c AS (
+  SELECT doc_id, unnest({_sql_shingles_k(8)}) AS s FROM ws_t
+), bg8 AS (
+  SELECT DISTINCT s FROM g8c WHERE doc_id % 50 = 0
+), cont AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
+  FROM g8c WHERE s IN (SELECT s FROM bg8) GROUP BY 1
+),
 {_sql_quality_pii_ctes()}
 SELECT w.doc_id,
   COALESCE(ls.n_lines, 0) AS n_lines,
@@ -515,7 +535,9 @@ SELECT w.doc_id,
   pii.n_credit_card, pii.n_ssn, pii.n_phone, pii.n_ipv4, pii.n_email,
   pii.pii_redacted_md5,
   COALESCE(boiler.n_boiler_lines, 0) AS n_boiler_lines,
-  COALESCE(boiler.boiler_line_frac, 0.0) AS boiler_line_frac
+  COALESCE(boiler.boiler_line_frac, 0.0) AS boiler_line_frac,
+  COALESCE(cont.n_contaminated_grams, 0) AS n_contaminated_grams,
+  COALESCE(cont.n_contaminated_grams, 0) > 0 AS contaminated
 FROM ws_t w
 LEFT JOIN ls  ON w.doc_id = ls.doc_id
 LEFT JOIN ns2 ON w.doc_id = ns2.doc_id
@@ -524,6 +546,7 @@ LEFT JOIN ns5 ON w.doc_id = ns5.doc_id
 LEFT JOIN c4  ON w.doc_id = c4.doc_id
 JOIN pii ON w.doc_id = pii.doc_id
 LEFT JOIN boiler ON w.doc_id = boiler.doc_id
+LEFT JOIN cont ON w.doc_id = cont.doc_id
 """
 
 
