@@ -96,13 +96,21 @@ def main() -> None:
     n_clusters = comp.select("cluster").distinct().count()
     t_cc = time.time() - t0
 
+    t0 = time.time()
+    comp_star = C.connected_components_star(
+        pairs, vertices=docs.select("doc_id"), vertex_col="doc_id"
+    )
+    n_clusters_star = comp_star.select("cluster").distinct().count()
+    t_star = time.time() - t0
+
     print(
         f"docs={n} lsh_candidates={n_cands} simhash_pairs={n_pairs} "
-        f"clusters={n_clusters}"
+        f"clusters={n_clusters} clusters_star={n_clusters_star}"
     )
     print(
         f"minhash={t_minhash:.1f}s lsh_candidates={t_lsh:.1f}s "
-        f"simhash_pairs={t_simhash_pairs:.1f}s connected_components={t_cc:.1f}s"
+        f"simhash_pairs={t_simhash_pairs:.1f}s connected_components={t_cc:.1f}s "
+        f"connected_components_star={t_star:.1f}s"
     )
     spark.stop()
 
