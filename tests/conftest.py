@@ -44,3 +44,21 @@ def duck():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_CORRECTNESS}/{t}.parquet')"
         )
     return con
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    """Surface the transformWithStateInPandas env-skip in the summary line:
+    a green run here does NOT cover the TWS variant (its driver-worker
+    protocol needs google.protobuf, broken in this container) — the test
+    activates automatically wherever protobuf imports."""
+    skipped = terminalreporter.stats.get("skipped", [])
+    tws = [r for r in skipped if "protobuf" in str(getattr(r, "longrepr", ""))]
+    if tws:
+        terminalreporter.write_sep(
+            "-",
+            "NOTE: transformWithStateInPandas variant NOT exercised "
+            "(google.protobuf unavailable) — implemented in "
+            "streaming/stateful.py, test auto-activates where protobuf "
+            "imports",
+            yellow=True,
+        )
