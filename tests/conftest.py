@@ -33,6 +33,29 @@ def fraud_data(spark):
 
 
 @pytest.fixture(scope="session")
+def drain_stream(spark):
+    """Poll a memory-sink table until it holds >= `expect` rows, let a short
+    settle window pass so any (erroneous) extra rows land, then stop the
+    query. applyInPandasWithState queries with pending processing-time
+    timers never self-terminate under Trigger.AvailableNow — waiting on
+    awaitTermination(N) burns the full N seconds and leaks a running query
+    that pollutes listener-based tests downstream (CLAUDE.md)."""
+    import time
+
+    def _drain(q, table, expect, timeout=120.0, settle=2.0, poll=0.25):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if spark.sql(f"select count(*) c from {table}").first()["c"] >= expect:
+                break
+            time.sleep(poll)
+        time.sleep(settle)
+        q.stop()
+        q.awaitTermination(30)
+
+    return _drain
+
+
+@pytest.fixture(scope="session")
 def duck():
     import duckdb
 

@@ -49,7 +49,7 @@ def _tagged_frames():
     return b1, b2
 
 
-def test_asof_stream_matches_batch(spark, tmp_path):
+def test_asof_stream_matches_batch(spark, tmp_path, drain_stream):
     b1, b2 = _tagged_frames()
     src = str(tmp_path / "src")
     spark.createDataFrame(b1).coalesce(1).write.mode("append").parquet(src)
@@ -66,18 +66,7 @@ def test_asof_stream_matches_batch(spark, tmp_path):
     q = to_memory_sink(
         asof_enrich_stream(stream), "asof_stream_test", str(tmp_path / "ck"), "append"
     )
-    # applyInPandasWithState queries do not self-terminate under
-    # availableNow (pending processing-time timers keep the query alive
-    # with empty batches) — poll for the expected output, then stop, or
-    # the leaked query pollutes listener-based tests downstream
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        if spark.sql("select count(*) c from asof_stream_test").first()["c"] >= 4:
-            break
-        time.sleep(1)
-    time.sleep(3)  # let any (erroneous) extra rows land before asserting
-    q.stop()
-    q.awaitTermination(30)
+    drain_stream(q, "asof_stream_test", expect=4)
     got = (
         spark.sql("select * from asof_stream_test")
         .toPandas()

@@ -14,7 +14,7 @@ from realtime_fraud_detection_spark.streaming.stateful import silence_alert_stre
 BASE = pd.Timestamp("2024-01-01 10:00:00")
 
 
-def test_silent_key_fires_active_key_does_not(spark, tmp_path):
+def test_silent_key_fires_active_key_does_not(spark, tmp_path, drain_stream):
     # u1: two events then silence. u2: keeps emitting, advancing the
     # watermark past u1's last_seen + gap.
     batches = [
@@ -51,16 +51,7 @@ def test_silent_key_fires_active_key_does_not(spark, tmp_path):
         str(tmp_path / "ck"),
         "append",
     )
-    # stateful availableNow queries may not self-terminate (pending
-    # timers) — poll for the alert, then stop explicitly
-    deadline = time.time() + 180
-    while time.time() < deadline:
-        if spark.sql("select count(*) c from silence_test").first()["c"] >= 1:
-            break
-        time.sleep(1)
-    time.sleep(3)
-    q.stop()
-    q.awaitTermination(30)
+    drain_stream(q, "silence_test", expect=1, timeout=180)
     got = spark.sql("select * from silence_test").toPandas()
     u1 = got[got["user_id"] == "u1"]
     assert len(u1) == 1, got

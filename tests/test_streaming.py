@@ -135,7 +135,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert sum(dropped) == 1
 
 
-def test_count_trigger_early_fire(spark, tmp_path):
+def test_count_trigger_early_fire(spark, tmp_path, drain_stream):
     """25 events for one user inside one 5-min window, n=10 → fires at 10
     and 20 (hand-computed expected sequence, WindowProcessor.java:132-147)."""
     base = pd.Timestamp("2024-01-01 10:00:00")
@@ -154,14 +154,15 @@ def test_count_trigger_early_fire(spark, tmp_path):
     q = SP.to_memory_sink(
         ST.count_trigger_stream(stream, n=10), "ct_test", str(tmp_path / "ck4"), "append"
     )
-    q.awaitTermination(120)
-    q.stop()  # stateful availableNow queries may not self-terminate (pending timers)
+    drain_stream(q, "ct_test", expect=2)
     got = spark.sql("select * from ct_test order by fire_count").toPandas()
     assert list(got["tx_count"]) == [10, 20]
     assert list(got["fire_count"]) == [1, 2]
 
 
-def test_exact_rolling_velocity_stream_matches_batch(spark, fraud_data, tx_dir, tmp_path):
+def test_exact_rolling_velocity_stream_matches_batch(
+    spark, fraud_data, tx_dir, tmp_path, drain_stream
+):
     users, merchants, tx = fraud_data
     stream = (
         spark.readStream.schema(tx.schema).option("maxFilesPerTrigger", 1).parquet(tx_dir)
@@ -169,8 +170,7 @@ def test_exact_rolling_velocity_stream_matches_batch(spark, fraud_data, tx_dir, 
     q = SP.to_memory_sink(
         ST.rolling_velocity_stream(stream), "rv_test", str(tmp_path / "ck5"), "append"
     )
-    q.awaitTermination(180)
-    q.stop()  # stateful availableNow queries may not self-terminate (pending timers)
+    drain_stream(q, "rv_test", expect=tx.count(), timeout=180)
     got = spark.sql("select * from rv_test").toPandas()
     want = ST.rolling_velocity_batch(tx).toPandas()
     assert len(got) == len(want) == tx.count()
@@ -181,7 +181,9 @@ def test_exact_rolling_velocity_stream_matches_batch(spark, fraud_data, tx_dir, 
         assert (g[c] == w[c]).all(), c
 
 
-def test_rolling_velocity_transformwithstate_matches_batch(spark, fraud_data, tx_dir, tmp_path):
+def test_rolling_velocity_transformwithstate_matches_batch(
+    spark, fraud_data, tx_dir, tmp_path, drain_stream
+):
     """The Spark-4 transformWithStateInPandas form emits the same exact
     trailing windows as the applyInPandasWithState form / the batch oracle.
 
@@ -196,8 +198,7 @@ def test_rolling_velocity_transformwithstate_matches_batch(spark, fraud_data, tx
     q = SP.to_memory_sink(
         ST.rolling_velocity_tws(stream), "rv_tws_test", str(tmp_path / "ck5t"), "append"
     )
-    q.awaitTermination(180)
-    q.stop()  # stateful availableNow queries may not self-terminate (pending timers)
+    drain_stream(q, "rv_tws_test", expect=tx.count(), timeout=180)
     got = spark.sql("select * from rv_tws_test").toPandas()
     want = ST.rolling_velocity_batch(tx).toPandas()
     assert len(got) == len(want) == tx.count()
@@ -233,7 +234,7 @@ def test_rolling_velocity_batch_matches_sql_window(spark, fraud_data, tx_dir):
     assert bad.count() == 0
 
 
-def test_capped_recency_list(spark, tmp_path):
+def test_capped_recency_list(spark, tmp_path, drain_stream):
     base = pd.Timestamp("2024-01-01 10:00:00")
     pdf = pd.DataFrame(
         {
@@ -249,8 +250,8 @@ def test_capped_recency_list(spark, tmp_path):
     q = SP.to_memory_sink(
         ST.capped_recency_stream(stream, cap=5), "rl_test", str(tmp_path / "ck6"), "update"
     )
-    q.awaitTermination(120)
-    q.stop()  # stateful availableNow queries may not self-terminate (pending timers)
+    # one input file -> one micro-batch -> one emission for the single key
+    drain_stream(q, "rl_test", expect=1)
     got = spark.sql("select * from rl_test").toPandas()
     assert got["list_size"].iloc[-1] == 5
     assert got["recent_transaction_ids"].iloc[-1].tolist() == [
