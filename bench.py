@@ -46,6 +46,7 @@ HEADLINE = [
     "quality_filters",
     "sample_pack",
     "doc_chunks",
+    "duplicate_spans",
     "embedding_near_dups",
     "ann_topk",
 ]

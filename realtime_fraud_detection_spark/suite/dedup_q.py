@@ -777,6 +777,18 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, "text", "doc_id", chunk_tokens=128, stride=96)
 
 
+# ---------------------------------------------------------------------------
+# Exact duplicate-span detection (Lee et al. ACL'22 substring dedup).
+# Rows-only here (the 50-entry oracle window is full); bit-exact DuckDB
+# parity is pinned by tests/test_duplicate_spans.py.
+# ---------------------------------------------------------------------------
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spans import duplicate_spans
+
+    docs = _docs(spark, sf_dir)
+    return duplicate_spans(docs, "text", "doc_id", k=8).orderBy("doc", "span_start")
+
+
 # Every oracle-backed query must sit within the driver's 50-entry check
 # window (dict insertion order across suite modules) — the two
 # approximate-by-construction ANN queries are rows-only and go LAST.
@@ -798,6 +810,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "semantic_dedup": q_semantic_dedup,
     "doc_chunks": q_doc_chunks,
+    "duplicate_spans": q_duplicate_spans,
 }
 
 ORACLES = {

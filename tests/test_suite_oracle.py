@@ -44,7 +44,9 @@ def test_entry_contract(spark):
 
 
 def test_every_query_has_oracle_or_is_declared_approximate():
-    approximate = {"ann_lsh", "ann_ivf", "semantic_dedup", "doc_chunks"}
+    # duplicate_spans is exact but outside the full 50-entry window —
+    # bit-exact DuckDB parity lives in tests/test_duplicate_spans.py
+    approximate = {"ann_lsh", "ann_ivf", "semantic_dedup", "doc_chunks", "duplicate_spans"}
     missing = set(QUERIES) - set(ORACLES) - approximate
     assert not missing, f"queries without oracle: {missing}"
 
