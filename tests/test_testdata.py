@@ -104,3 +104,56 @@ def test_nanos_utc_adjusted_encoding(spark, tmp_path):
     ev = load_table(spark, sf, "events")
     assert isinstance(ev.schema["ts"].dataType, TimestampType)
     assert ev.first()["ts"] == EXPECTED
+
+
+# ---------------------------------------------------------------------------
+# orders.o_orderdate / lineitem.l_shipdate carry the same drift exposure as
+# events.ts (currently TIMESTAMP(us)/NTZ fixtures) — the normalization must
+# cover them table-generically.
+# ---------------------------------------------------------------------------
+
+def _orders_dir(tmp_path, date_array):
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([1], pa.int64()),
+            "o_custkey": pa.array([7], pa.int64()),
+            "o_orderstatus": pa.array(["O"]),
+            "o_totalprice": pa.array([10.5], pa.float64()),
+            "o_orderdate": date_array,
+            "o_orderpriority": pa.array(["1-URGENT"]),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir(parents=True)
+    pq.write_table(table, os.path.join(str(d), "orders.parquet"))
+    return str(d)
+
+
+def test_real_fixture_order_and_ship_dates_are_timestamps(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    assert isinstance(orders.schema["o_orderdate"].dataType, TimestampType)
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    assert isinstance(li.schema["l_shipdate"].dataType, TimestampType)
+
+
+def test_orders_date_encodings_normalize(spark, tmp_path):
+    cases = [
+        ("nanos", pa.array([EPOCH_US * 1000], pa.timestamp("ns"))),
+        ("ntz_us", pa.array([EXPECTED], pa.timestamp("us"))),
+        ("int64_ms", pa.array([EPOCH_US // 1000], pa.int64())),
+        ("utc_us", pa.array([EPOCH_US], pa.timestamp("us", tz="UTC"))),
+    ]
+    for name, arr in cases:
+        sf = _orders_dir(tmp_path / name, arr)
+        orders = load_table(spark, sf, "orders")
+        assert isinstance(orders.schema["o_orderdate"].dataType, TimestampType), name
+        assert orders.first()["o_orderdate"] == EXPECTED, name
+
+
+def test_orders_date32_encoding_normalizes_to_midnight(spark, tmp_path):
+    # DATE is the most plausible regeneration for an orderdate column
+    arr = pa.array([EXPECTED.date()], pa.date32())
+    sf = _orders_dir(tmp_path, arr)
+    orders = load_table(spark, sf, "orders")
+    assert isinstance(orders.schema["o_orderdate"].dataType, TimestampType)
+    assert orders.first()["o_orderdate"] == datetime.datetime(2024, 3, 1)
