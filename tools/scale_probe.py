@@ -97,6 +97,13 @@ def main() -> None:
     t_cc = time.time() - t0
 
     t0 = time.time()
+    from realtime_fraud_detection_spark.operators import spans as SP
+
+    sp = SP.duplicate_spans(docs, "text", "doc_id", k=8)
+    n_spans = sp.count()
+    t_spans = time.time() - t0
+
+    t0 = time.time()
     comp_star = C.connected_components_star(
         pairs, vertices=docs.select("doc_id"), vertex_col="doc_id"
     )
@@ -105,11 +112,12 @@ def main() -> None:
 
     print(
         f"docs={n} lsh_candidates={n_cands} simhash_pairs={n_pairs} "
-        f"clusters={n_clusters} clusters_star={n_clusters_star}"
+        f"dup_spans={n_spans} clusters={n_clusters} clusters_star={n_clusters_star}"
     )
     print(
         f"minhash={t_minhash:.1f}s lsh_candidates={t_lsh:.1f}s "
-        f"simhash_pairs={t_simhash_pairs:.1f}s connected_components={t_cc:.1f}s "
+        f"simhash_pairs={t_simhash_pairs:.1f}s duplicate_spans={t_spans:.1f}s "
+        f"connected_components={t_cc:.1f}s "
         f"connected_components_star={t_star:.1f}s"
     )
     spark.stop()
