@@ -276,6 +276,107 @@ def contamination_stats(
     )
 
 
+def _round6(x: Column) -> Column:
+    """6-dp rounding as floor(x*1e6 + 0.5)/1e6 — bit-deterministic given
+    identical input on both engines (Spark's decimal HALF_UP `round` and
+    DuckDB's binary rounding diverge on exact .xxxxxx5 ties, which integer
+    ratios CAN hit; CLAUDE.md tie rule)."""
+    return F.floor(x * 1e6 + 0.5) / 1e6
+
+
+def token_frequency_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_tf: int = 2,
+) -> DataFrame:
+    """Corpus-relative token-frequency quality signals — the exact-integer
+    core of CCNet's LM filtering (Wenzek et al., "CCNet: Extracting High
+    Quality Monolingual Datasets from Web Crawl Data", LREC'20): pages
+    dominated by corpus-rare tokens are noise (OCR junk, gibberish,
+    boilerplate IDs). Per document:
+
+    - ``n_tokens`` / ``n_distinct_tokens``
+    - ``mean_token_tf`` — mean corpus frequency of the doc's token
+      occurrences (high = stopword-heavy, very low = gibberish)
+    - ``hapax_frac`` — fraction of occurrences whose term appears exactly
+      once corpus-wide
+    - ``rare_frac`` — fraction with term tf <= ``rare_max_tf``
+
+    Everything is integer counting + one final exact-ratio division, so
+    the DuckDB oracle matches bit-for-bit (the true log-probability score
+    is :func:`unigram_logprob` — transcendental, tolerance-tested).
+
+    Scale shape: token text shuffles ONCE (doc-term counts); the term
+    table aggregate and the doc-terms x tf join shuffle on the term with
+    map-side combine; the final aggregate shuffles (doc, 5 numbers).
+    """
+    toks = shingle_table(df, text_col, id_col, k=1, exploded=True)
+    dt = toks.groupBy("doc", "s").agg(F.count("*").alias("_c"))
+    tf = dt.groupBy("s").agg(F.sum("_c").alias("_tf"))
+    per_doc = (
+        dt.join(tf, "s")
+        .groupBy("doc")
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count("*").alias("n_distinct_tokens"),
+            # decimal: exact and association-order-insensitive (suite rule)
+            F.sum(F.col("_c").cast("decimal(19,0)") * F.col("_tf")).alias("_sum_ct"),
+            F.sum(F.when(F.col("_tf") == 1, F.col("_c")).otherwise(0)).alias("_hapax"),
+            F.sum(
+                F.when(F.col("_tf") <= rare_max_tf, F.col("_c")).otherwise(0)
+            ).alias("_rare"),
+        )
+    )
+    n = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc",
+        "n_tokens",
+        "n_distinct_tokens",
+        _round6(F.col("_sum_ct").cast("double") / n).alias("mean_token_tf"),
+        _round6(F.col("_hapax").cast("double") / n).alias("hapax_frac"),
+        _round6(F.col("_rare").cast("double") / n).alias("rare_frac"),
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Mean unigram log10-probability per document — the corpus itself as
+    the language model (CCNet scores against a Wikipedia LM; the
+    self-corpus form needs no external model and ranks documents the same
+    way: low mean logprob = rare-token-dominated = likely junk).
+
+        logprob(doc) = mean over occurrences of log10(tf(w)) - log10(N)
+
+    log10 is transcendental, so this is NOT in the bit-exact oracle
+    surface (engines' libm may differ in the last ulp) — verified against
+    DuckDB with tolerance in tests/test_quality.py. Same shuffle shape as
+    :func:`token_frequency_stats`; the corpus total N joins in as a
+    broadcast scalar (no driver action).
+    """
+    toks = shingle_table(df, text_col, id_col, k=1, exploded=True)
+    dt = toks.groupBy("doc", "s").agg(F.count("*").alias("_c"))
+    tf = dt.groupBy("s").agg(F.sum("_c").alias("_tf"))
+    total = tf.agg(F.sum("_tf").alias("_n"))
+    per_doc = (
+        dt.join(tf, "s")
+        .groupBy("doc")
+        .agg(
+            F.sum("_c").alias("_toks"),
+            F.sum(F.col("_c") * F.log10(F.col("_tf"))).alias("_sum_log"),
+        )
+    )
+    return per_doc.join(F.broadcast(total)).select(
+        "doc",
+        (
+            F.col("_sum_log") / F.col("_toks") - F.log10(F.col("_n"))
+        ).alias("mean_unigram_logprob"),
+    )
+
+
 def gopher_repetition_pass(
     stats: DataFrame,
     top_ns: tuple[int, ...] = (2, 3),

@@ -377,11 +377,18 @@ def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cont = Q.contamination_stats(docs, bench, n=8).withColumnRenamed(
         "doc", "doc_id"
     )
+    # CCNet-style corpus-relative token-frequency signals (exact-integer
+    # arithmetic — the transcendental log-prob form is tolerance-tested in
+    # tests/test_quality.py, outside the bit-exact oracle surface)
+    tfs = Q.token_frequency_stats(docs, "text", "doc_id").withColumnRenamed(
+        "doc", "doc_id"
+    )
     return (
         rep.join(c4, "doc_id")
         .join(pii, "doc_id")
         .join(boiler, "doc_id")
         .join(cont, "doc_id")
+        .join(tfs, "doc_id")
     )
 
 
@@ -494,6 +501,20 @@ g8c AS (
 ), cont AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams
   FROM g8c WHERE s IN (SELECT s FROM bg8) GROUP BY 1
+), tok AS (
+  SELECT doc_id, unnest(ws) AS w FROM ws_t
+), dtq AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), tfq AS (
+  SELECT w, CAST(SUM(c) AS BIGINT) AS tf FROM dtq GROUP BY 1
+), tfs AS (
+  SELECT doc_id,
+    CAST(SUM(c) AS BIGINT) AS n_tokens,
+    COUNT(*) AS n_distinct_tokens,
+    SUM(c * tf) AS sum_ct,
+    CAST(SUM(CASE WHEN tf = 1 THEN c ELSE 0 END) AS BIGINT) AS hapax_ct,
+    CAST(SUM(CASE WHEN tf <= 2 THEN c ELSE 0 END) AS BIGINT) AS rare_ct
+  FROM dtq JOIN tfq USING (w) GROUP BY 1
 ),
 {_sql_quality_pii_ctes()}
 SELECT w.doc_id,
@@ -537,7 +558,11 @@ SELECT w.doc_id,
   COALESCE(boiler.n_boiler_lines, 0) AS n_boiler_lines,
   COALESCE(boiler.boiler_line_frac, 0.0) AS boiler_line_frac,
   COALESCE(cont.n_contaminated_grams, 0) AS n_contaminated_grams,
-  COALESCE(cont.n_contaminated_grams, 0) > 0 AS contaminated
+  COALESCE(cont.n_contaminated_grams, 0) > 0 AS contaminated,
+  tfs.n_tokens, tfs.n_distinct_tokens,
+  floor(tfs.sum_ct::DOUBLE / tfs.n_tokens::DOUBLE * 1e6 + 0.5) / 1e6 AS mean_token_tf,
+  floor(tfs.hapax_ct::DOUBLE / tfs.n_tokens::DOUBLE * 1e6 + 0.5) / 1e6 AS hapax_frac,
+  floor(tfs.rare_ct::DOUBLE / tfs.n_tokens::DOUBLE * 1e6 + 0.5) / 1e6 AS rare_frac
 FROM ws_t w
 LEFT JOIN ls  ON w.doc_id = ls.doc_id
 LEFT JOIN ns2 ON w.doc_id = ns2.doc_id
@@ -547,6 +572,7 @@ LEFT JOIN c4  ON w.doc_id = c4.doc_id
 JOIN pii ON w.doc_id = pii.doc_id
 LEFT JOIN boiler ON w.doc_id = boiler.doc_id
 LEFT JOIN cont ON w.doc_id = cont.doc_id
+JOIN tfs ON w.doc_id = tfs.doc_id
 """
 
 

@@ -212,3 +212,90 @@ def test_contamination_short_doc_exact_match(spark):
         for r in Q.contamination_stats(df, bench, n=8).collect()
     }
     assert got == {10: True, 11: False}
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style corpus-relative token-frequency signals
+# ---------------------------------------------------------------------------
+
+def _tf_corpus(spark):
+    # corpus tf: the=4, cat=2, sat=2, here=1, rare=1, words=1
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat"),
+            (2, "the cat sat the"),
+            (3, "the here rare words"),
+        ],
+        "doc_id int, text string",
+    )
+
+
+def test_token_frequency_stats_hand_computed(spark):
+    out = {
+        r["doc"]: r.asDict()
+        for r in Q.token_frequency_stats(_tf_corpus(spark)).collect()
+    }
+    d1, d2, d3 = out[1], out[2], out[3]
+    assert (d1["n_tokens"], d1["n_distinct_tokens"]) == (3, 3)
+    assert (d2["n_tokens"], d2["n_distinct_tokens"]) == (4, 3)
+    # doc1 occurrence tfs: the=4, cat=2, sat=2 -> mean 8/3
+    assert d1["mean_token_tf"] == pytest.approx(2.666667)
+    # doc2: the,the(4) cat(2) sat(2) -> (4+4+2+2)/4 = 3
+    assert d2["mean_token_tf"] == pytest.approx(3.0)
+    # doc3: the(4) here(1) rare(1) words(1) -> 7/4; hapax 3/4
+    assert d3["mean_token_tf"] == pytest.approx(1.75)
+    assert d3["hapax_frac"] == pytest.approx(0.75)
+    assert d1["hapax_frac"] == 0.0
+    # rare (tf<=2): doc1 cat+sat = 2/3
+    assert d1["rare_frac"] == pytest.approx(0.666667)
+    assert d3["rare_frac"] == pytest.approx(0.75)
+
+
+def test_unigram_logprob_ranks_gibberish_below_common_text(spark):
+    rows = [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)]
+    rows.append((99, "zxqv wjkp qqrst mmnbv xxyzw"))  # corpus-unique junk
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc"]: r["mean_unigram_logprob"] for r in Q.unigram_logprob(df).collect()}
+    assert got[99] < got[0]  # rare-token doc scores strictly lower
+    # N = 95 tokens; junk doc: every token tf=1 -> logprob = -log10(95)
+    import math
+
+    assert got[99] == pytest.approx(-math.log10(95.0), abs=1e-12)
+
+
+def test_unigram_logprob_matches_duckdb_within_tolerance(spark):
+    """Transcendental — outside the bit-exact oracle surface, so verified
+    against an independent DuckDB formulation with tolerance instead."""
+    import duckdb
+
+    from realtime_fraud_detection_spark.sources.testdata import load_table
+
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents", fan_out=True)
+    got = {r["doc"]: r["mean_unigram_logprob"] for r in Q.unigram_logprob(docs).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    want = dict(
+        con.execute(
+            r"""
+WITH ws AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS w
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(w) AS t FROM ws),
+dt AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+tf AS (SELECT t, CAST(SUM(c) AS BIGINT) AS tf FROM dt GROUP BY 1),
+n AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM tf)
+SELECT doc_id,
+       SUM(c * log10(tf)) / SUM(c) - log10((SELECT n FROM n))
+FROM dt JOIN tf USING (t) GROUP BY 1
+"""
+        ).fetchall()
+    )
+    assert set(got) == set(want)
+    for doc in got:
+        assert got[doc] == pytest.approx(want[doc], abs=1e-9), doc
