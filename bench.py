@@ -47,6 +47,7 @@ HEADLINE = [
     "sample_pack",
     "doc_chunks",
     "duplicate_spans",
+    "bm25_search",
     "embedding_near_dups",
     "ann_topk",
 ]

@@ -51,6 +51,95 @@ def top_k_terms(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     )
 
 
+def bm25_rank(
+    df: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "q_id",
+    query_text_col: str = "query",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """Okapi BM25 ranking of every document against a query table —
+    full-text search over the corpus (Robertson & Zaragoza, "The
+    Probabilistic Relevance Framework: BM25 and Beyond", FnTIR 2009):
+
+        score(q,d) = Σ_{t∈q} idf(t) · tf(t,d)·(k1+1)
+                               / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+        idf(t)     = ln((N − df(t) + 0.5)/(df(t) + 0.5) + 1)   (Lucene's
+                     non-negative variant)
+
+    Returns (q_id, doc, rank, score) — top_k docs per query, score rounded
+    to 6 dp and ties broken by doc id (suite determinism rule), so the
+    result SET is stable even though idf/score are transcendental.
+
+    Scale shape: the corpus side is the same doc-term table as
+    :func:`term_table` (token text shuffles once, map-side combined);
+    the query-term table is tiny and BROADCASTS into the term join, so
+    only matching doc-terms survive to the scoring aggregate; N and avgdl
+    join as a broadcast 1-row frame (no driver action). The final top-k
+    is a per-query window over candidates that matched at least one query
+    term — never the whole corpus.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.split(F.trim(normalized_text(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.length("term") > 0)
+    # four consumers (lens, dft, stats, the candidate join) — materialize
+    # the doc-term table so the corpus tokenize+shuffle runs ONCE, not per
+    # consumer subtree (a DAG has no sharing across join inputs)
+    dt = (
+        words.groupBy("doc", "term")
+        .agg(F.count("*").alias("_tf_dt"))
+        .localCheckpoint(eager=False)
+    )
+    lens = dt.groupBy("doc").agg(F.sum("_tf_dt").alias("_dl"))
+    dft = dt.groupBy("term").agg(F.count("*").alias("_df"))
+    stats = lens.agg(
+        F.count("*").alias("_n_docs"), F.avg("_dl").alias("_avgdl")
+    )
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("q_id"),
+            F.explode(
+                F.split(
+                    F.trim(normalized_text(F.col(query_text_col))), r"\s+"
+                )
+            ).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+
+    cand = (
+        dt.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dft), "term")
+        .join(lens, "doc")
+        .join(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("_n_docs") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    denom = F.col("_tf_dt") + k1 * (
+        1.0 - b + b * F.col("_dl") / F.col("_avgdl")
+    )
+    contrib = idf * F.col("_tf_dt") * (k1 + 1.0) / denom
+    scored = cand.groupBy("q_id", "doc").agg(
+        F.round(F.sum(contrib), 6).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("q_id", "doc", "rank", "score")
+    )
+
+
 def vocab_summary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One-row corpus summary: vocabulary size, total tokens, hapax count
     (terms occurring once — the long-tail mass a tokenizer won't merge),

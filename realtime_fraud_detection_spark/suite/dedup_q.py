@@ -815,6 +815,24 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(docs, "text", "doc_id", k=8).orderBy("doc", "span_start")
 
 
+# ---------------------------------------------------------------------------
+# Okapi BM25 full-text search (operators/corpus.bm25_rank). Rows-only here
+# (the oracle window is full; idf is transcendental anyway) — DuckDB
+# tolerance parity is pinned by tests/test_corpus.py. The query set derives
+# deterministically from the corpus: first 4 tokens of every 97th document.
+# ---------------------------------------------------------------------------
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import bm25_rank
+
+    docs = _docs(spark, sf_dir)
+    queries = docs.filter("doc_id % 97 = 0").selectExpr(
+        "doc_id AS q_id",
+        "concat_ws(' ', slice(split(trim(regexp_replace(lower(text), "
+        "'[^a-z0-9]+', ' ')), ' '), 1, 4)) AS query",
+    )
+    return bm25_rank(docs, queries, top_k=5).orderBy("q_id", "rank")
+
+
 # Every oracle-backed query must sit within the driver's 50-entry check
 # window (dict insertion order across suite modules) — the two
 # approximate-by-construction ANN queries are rows-only and go LAST.
@@ -837,6 +855,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "doc_chunks": q_doc_chunks,
     "duplicate_spans": q_duplicate_spans,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLES = {
