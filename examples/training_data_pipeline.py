@@ -3,11 +3,14 @@
 the documents/embeddings fixtures:
 
   documents → text features + quality/language + Gopher repetition filters
+            → CCNet token-frequency / unigram-logprob LM quality
             → exact dedup (md5 fingerprint)
             → winnowing rolling-hash candidates (shared-substring overlap)
             → MinHash+LSH near-dup pairs (bucket-capped) → Jaccard verify
             → simhash Hamming pairs → connected components → survivors
+            → duplicate-span detection (Lee et al.) → span stripping
             → mixture sampling → token packing → context-window chunks
+            → BM25 full-text search over the cleaned corpus
   embeddings → embedding-cosine near-dups → semantic dedup (SemDeDup)
             → ANN top-k (brute force + LSH)
 
@@ -59,6 +62,14 @@ def main() -> None:
     rep = Q.repetition_stats(docs)
     n_gopher = rep.filter(Q.gopher_repetition_pass(rep)).count()
 
+    # 1c. corpus-relative LM quality (CCNet): rare-token mass + unigram
+    # log-probability with the corpus as its own language model
+    tfs = Q.token_frequency_stats(docs)
+    n_rare_heavy = tfs.filter(F.col("rare_frac") > 0.5).count()
+    lp = Q.unigram_logprob(docs)
+    lp_cut = lp.agg(F.expr("percentile(mean_unigram_logprob, 0.05)")).first()[0]
+    n_lowlp = lp.filter(F.col("mean_unigram_logprob") <= lp_cut).count()
+
     # 2. exact dedup on the content fingerprint
     exact = D.exact_dedup(docs, TX.fingerprint(F.col("text")), "doc_id")
     n_clusters = exact.count()
@@ -80,6 +91,17 @@ def main() -> None:
     )
     survivors = C.dedup_survivors(docs, clusters, "doc_id")
     n_survivors = survivors.count()
+
+    # 3d. substring-level dedup (Lee et al. ACL'22): maximal duplicated
+    # token spans, then cut them from the surviving docs
+    from realtime_fraud_detection_spark.operators import spans as SPN
+
+    dup_spans = SPN.duplicate_spans(docs, "text", "doc_id", k=8)
+    n_spans = dup_spans.count()
+    stripped = SPN.strip_duplicate_spans(survivors, dup_spans, "text", "doc_id")
+    n_stripped = stripped.filter(
+        F.col("stripped_text") != F.trim(TX.normalized_text(F.col("text")))
+    ).count()
 
     # 4. MinHash+LSH candidates (bucket-capped) verified by exact Jaccard
     cands = D.minhash_lsh_candidates(
@@ -129,13 +151,27 @@ def main() -> None:
     ann = SIM.brute_force_topk(emb, queries, k=3)
     n_ann = ann.count()
 
+    # 6. BM25 full-text search over the cleaned corpus
+    from realtime_fraud_detection_spark.operators.corpus import bm25_rank
+
+    text_queries = docs.filter("doc_id % 97 = 0").selectExpr(
+        "doc_id AS q_id",
+        "concat_ws(' ', slice(split(trim(regexp_replace(lower(text), "
+        "'[^a-z0-9]+', ' ')), ' '), 1, 4)) AS query",
+    )
+    bm25 = bm25_rank(survivors, text_queries, top_k=5)
+    n_bm25 = bm25.count()
+
     print(f"documents            {n_docs}")
     print(f"quality-gated        {n_gated}  ({n_docs - n_gated} filtered)")
     print(f"gopher-repetition    {n_gopher}  pass  ({n_docs - n_gopher} repetitious)")
+    print(f"rare-token heavy     {n_rare_heavy}  (rare_frac > 0.5, CCNet signal)")
+    print(f"low-LM-quality       {n_lowlp}  (bottom 5% mean unigram logprob)")
     print(f"exact-dup clusters   {n_clusters}  ({n_exact_dups} redundant docs)")
     print(f"winnow candidates    {n_winnow}  (>=20 shared fingerprints)")
     print(f"simhash near-dups    {n_shpairs}  (hamming <= 4)")
     print(f"cluster survivors    {n_survivors}  (one doc per component)")
+    print(f"duplicate spans      {n_spans}  (k=8 token grams; {n_stripped} survivors trimmed)")
     print(f"lsh near-dups        {n_near}  (jaccard >= 0.8)")
     print(f"pii matches          {n_pii}  (email/phone/ip/ssn/card)")
     print(f"mixture sample       {n_sampled}  docs -> {n_seqs} packed sequences")
@@ -143,6 +179,7 @@ def main() -> None:
     print(f"embedding near-dups  {n_emb}  (cosine >= 0.45)")
     print(f"semantic dups        {n_sem}  pruned (SemDeDup, within-cell cosine)")
     print(f"ann results          {n_ann}  (3 queries x top-3)")
+    print(f"bm25 hits            {n_bm25}  (corpus-derived queries, top-5)")
     print(f"wall clock           {time.time() - t0:.1f}s")
     spark.stop()
 
