@@ -254,6 +254,43 @@ def _materialize(df: DataFrame, strategy: str, path: str | None) -> DataFrame:
     raise ValueError(f"unknown materialize strategy: {strategy!r}")
 
 
+def band_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 4,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc, band, bucket) — the LSH band index of a corpus: each document
+    appears once per band, bucketed by the md5 of that band's minhash rows.
+
+    Bands come from ONE explode, not a Union of per-band selects: a Union
+    replans (and rescans) the whole signature subtree once per band —
+    observed 4× signature computation for 2 bands in the self-join plan.
+    In production this table is the thing to persist (write it once per
+    ingest via ``materialize='table'`` in the candidate functions, or
+    store it as a real table): incremental batches then probe it without
+    touching corpus text at all.
+    """
+    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    n_bands = num_perm // band_size
+    band_structs = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols])).alias(
+                    "bucket"
+                ),
+            )
+        )
+    return sig.select(
+        "doc", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -281,25 +318,7 @@ def minhash_lsh_candidates(
     :func:`_materialize`; the default executor-local form is right for
     local mode, `checkpoint`/`table` for clusters that lose executors.
     """
-    sig = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
-    n_bands = num_perm // band_size
-    # bands via one explode, not a Union of per-band selects: a Union replans
-    # (and rescans) the whole signature subtree once per band — observed 4×
-    # signature computation for 2 bands in the self-join plan
-    band_structs = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * band_size + r}") for r in range(band_size)]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", F.lit(str(b)), *[c.cast("string") for c in cols])).alias(
-                    "bucket"
-                ),
-            )
-        )
-    tagged = sig.select(
-        "doc", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    tagged = band_table(df, text_col, id_col, num_perm, band_size, shingle_k)
     tagged = _materialize(tagged, materialize, materialize_path)
     if max_bucket_size is not None:
         sizes = tagged.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
@@ -320,6 +339,64 @@ def minhash_lsh_candidates(
             & (F.col("l.doc") < F.col("r.doc")),
         )
         .select(F.col("l.doc").alias("doc_a"), F.col("r.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 4,
+    band_size: int = 2,
+    shingle_k: int = 3,
+    max_bucket_size: int | None = None,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup candidates between a NEW batch and the EXISTING corpus —
+    the incremental form a continuously-growing corpus needs: each fresh
+    crawl is checked against everything already ingested WITHOUT
+    re-pairing the corpus with itself (the self-join form is O(corpus)
+    per ingest; this is O(batch) + one corpus probe).
+
+    Returns (new_doc, corpus_doc) candidate pairs. Docs duplicated WITHIN
+    the new batch are :func:`minhash_lsh_candidates`'s job on the batch
+    alone — compose both for a full ingest check.
+
+    Scale shape: the new batch's band table is tiny next to the corpus and
+    BROADCASTS into the equi-join, so corpus band rows are probed map-side
+    and the corpus never shuffles. Pass ``corpus_bands`` (a persisted
+    :func:`band_table` — the production pattern) to skip recomputing the
+    corpus index per ingest; then the per-ingest cost is one scan of the
+    band INDEX, not the corpus text. ``max_bucket_size`` drops corpus
+    boilerplate buckets exactly like the self-join form (the cap count
+    runs over the band index, not the corpus).
+    """
+    if corpus_bands is None:
+        corpus_bands = band_table(
+            corpus_df, text_col, id_col, num_perm, band_size, shingle_k
+        )
+    if max_bucket_size is not None:
+        sizes = corpus_bands.groupBy("band", "bucket").agg(
+            F.count("*").alias("_bsz")
+        )
+        corpus_bands = corpus_bands.join(
+            F.broadcast(sizes.filter(F.col("_bsz") > max_bucket_size)),
+            ["band", "bucket"],
+            "left_anti",
+        )
+    new_bands = band_table(new_df, text_col, id_col, num_perm, band_size, shingle_k)
+    return (
+        corpus_bands.alias("c")
+        .join(
+            F.broadcast(new_bands.alias("n")),
+            (F.col("c.band") == F.col("n.band"))
+            & (F.col("c.bucket") == F.col("n.bucket")),
+        )
+        .select(
+            F.col("n.doc").alias("new_doc"), F.col("c.doc").alias("corpus_doc")
+        )
         .distinct()
     )
 

@@ -1,0 +1,99 @@
+"""Incremental (new-batch vs existing-corpus) LSH near-dup candidates:
+equivalence with the cross-pairs of the self-join form, broadcast plan
+shape, bucket caps, and prebuilt-band-index reuse."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_fraud_detection_spark.operators import dedup as D
+from realtime_fraud_detection_spark.plans.explain import formatted_plan
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "completely different content about spark shuffles and partitions"),
+    (3, "a third document discussing watermark semantics in streaming jobs"),
+]
+NEW = [
+    # near-dup of corpus doc 1 (one word changed)
+    (101, "the quick brown fox leaps over the lazy dog near the river bank"),
+    # unrelated
+    (102, "unrelated text with its own private vocabulary entirely"),
+]
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    c = spark.createDataFrame(CORPUS, "doc_id int, text string")
+    n = spark.createDataFrame(NEW, "doc_id int, text string")
+    return c, n
+
+
+def _cands(c, n, **kw):
+    # 8 bands x 2 rows: the one-word-changed pair (Jaccard ~0.57) collides
+    # with near-certainty under 2-row bands; 4-row bands are a precision
+    # config for >=0.8 Jaccard and deterministically miss it (md5 is fixed)
+    return {
+        (r["new_doc"], r["corpus_doc"])
+        for r in D.minhash_lsh_candidates_incremental(
+            n, c, "text", "doc_id", num_perm=16, band_size=2, **kw
+        ).collect()
+    }
+
+
+def test_finds_cross_near_dup_not_unrelated(spark, frames):
+    c, n = frames
+    got = _cands(c, n)
+    assert (101, 1) in got
+    assert all(nd != 102 for nd, _ in got)
+
+
+def test_matches_cross_pairs_of_self_join_on_union(spark, frames):
+    """The incremental form must produce exactly the cross (new x corpus)
+    subset of the self-join candidates on the unioned corpus."""
+    c, n = frames
+    got = _cands(c, n)
+    union = c.unionAll(n)
+    full = D.minhash_lsh_candidates(
+        union, "text", "doc_id", num_perm=16, band_size=2
+    ).collect()
+    cross = set()
+    new_ids = {r[0] for r in NEW}
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        if (a in new_ids) != (b in new_ids):
+            nd, cd = (a, b) if a in new_ids else (b, a)
+            cross.add((nd, cd))
+    assert got == cross
+
+
+def test_new_side_broadcasts(spark, frames):
+    c, n = frames
+    plan = formatted_plan(
+        D.minhash_lsh_candidates_incremental(n, c, "text", "doc_id")
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_prebuilt_corpus_band_index_reused(spark, frames):
+    c, n = frames
+    bands = D.band_table(c, "text", "doc_id", num_perm=16, band_size=2)
+    got = _cands(c, n, corpus_bands=bands)
+    assert got == _cands(c, n)
+
+
+def test_corpus_bucket_cap_drops_boilerplate(spark):
+    # 10 identical corpus docs form one hot bucket; cap 5 drops it, so the
+    # matching new doc produces NO candidates against them — exact dedup's
+    # job instead (same rule as the self-join form)
+    boiler = [(i, "identical boilerplate license header text repeated") for i in range(10)]
+    c = spark.createDataFrame(boiler, "doc_id int, text string")
+    n = spark.createDataFrame(
+        [(900, "identical boilerplate license header text repeated")],
+        "doc_id int, text string",
+    )
+    capped = _cands(c, n, max_bucket_size=5)
+    uncapped = _cands(c, n)
+    assert len(uncapped) == 10
+    assert capped == set()
