@@ -353,6 +353,7 @@ def minhash_lsh_candidates_incremental(
     shingle_k: int = 3,
     max_bucket_size: int | None = None,
     corpus_bands: DataFrame | None = None,
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup candidates between a NEW batch and the EXISTING corpus —
     the incremental form a continuously-growing corpus needs: each fresh
@@ -386,7 +387,10 @@ def minhash_lsh_candidates_incremental(
             ["band", "bucket"],
             "left_anti",
         )
-    new_bands = band_table(new_df, text_col, id_col, num_perm, band_size, shingle_k)
+    if new_bands is None:
+        new_bands = band_table(
+            new_df, text_col, id_col, num_perm, band_size, shingle_k
+        )
     return (
         corpus_bands.alias("c")
         .join(

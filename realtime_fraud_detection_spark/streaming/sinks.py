@@ -145,3 +145,83 @@ def hourly_rollup_view(spark, out_dir: str) -> DataFrame:
         F.sum("tx_count").alias("tx_count"),
         F.sum(F.col("total_amount").cast("decimal(18,2)")).cast("double").alias("total_amount"),
     )
+
+
+def incremental_dedup_writer(
+    index_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    band_size: int = 2,
+    max_bucket_size: int | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function for a streaming corpus ingest with near-dup
+    checking — the streaming twin of
+    :func:`operators.dedup.minhash_lsh_candidates_incremental`. Per
+    micro-batch: (1) probe the persisted LSH band index for candidates
+    against everything PREVIOUSLY ingested, (2) write the
+    (new_doc, corpus_doc) candidate partition, (3) append the batch's own
+    bands to the index. The batch's band table is computed ONCE
+    (localCheckpoint) for both the probe and the append.
+
+    Replay semantics match the other sinks: both writes are dynamic
+    partition overwrites keyed by batch_id, and the index probe EXCLUDES
+    the current batch_id — so a batch replayed after a mid-write crash
+    replaces exactly its own partitions and never matches itself against
+    the bands its failed attempt already appended.
+    """
+    from ..operators.dedup import band_table, minhash_lsh_candidates_incremental
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        bands = band_table(
+            batch, text_col, id_col, num_perm, band_size
+        ).localCheckpoint()
+        try:
+            idx = (
+                spark.read.parquet(index_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .select("doc", "band", "bucket")
+            )
+        except Exception:  # first batch: no index yet (PATH_NOT_FOUND)
+            idx = None
+        if idx is not None:
+            cands = minhash_lsh_candidates_incremental(
+                None,
+                None,
+                text_col,
+                id_col,
+                num_perm,
+                band_size,
+                max_bucket_size=max_bucket_size,
+                corpus_bands=idx,
+                new_bands=bands,
+            )
+        else:
+            t = bands.schema["doc"].dataType.simpleString()
+            cands = spark.createDataFrame([], f"new_doc {t}, corpus_doc {t}")
+        _write_batch_partition(cands, batch_id, out_dir)
+        _write_batch_partition(bands, batch_id, index_dir)
+
+    return write
+
+
+def run_incremental_dedup_stream(
+    stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Assemble the ingest: stream of documents → per-batch near-dup probe
+    + band-index append (see :func:`incremental_dedup_writer`).
+    foreachBatch is stateless, so availableNow terminates normally."""
+    return (
+        stream.writeStream.foreachBatch(
+            incremental_dedup_writer(index_dir, out_dir, **kwargs)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

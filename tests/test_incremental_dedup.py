@@ -97,3 +97,60 @@ def test_corpus_bucket_cap_drops_boilerplate(spark):
     uncapped = _cands(c, n)
     assert len(uncapped) == 10
     assert capped == set()
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest: per-batch probe + band-index append (streaming/sinks)
+# ---------------------------------------------------------------------------
+
+def test_streaming_ingest_probes_and_appends_index(spark, tmp_path):
+    import time
+
+    from realtime_fraud_detection_spark.streaming import sinks as SK
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(CORPUS, "doc_id int, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    time.sleep(1.1)  # distinct mtime -> second micro-batch
+    spark.createDataFrame(NEW, "doc_id int, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id int, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    idx, out = str(tmp_path / "bands"), str(tmp_path / "cands")
+    q = SK.run_incremental_dedup_stream(
+        stream, idx, out, str(tmp_path / "ck"), num_perm=16, band_size=2
+    )
+    q.awaitTermination(120)  # stateless foreachBatch: availableNow terminates
+    got = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert (101, 1) in got
+    assert all(nd in (101, 102) for nd, _ in got)  # probes only prior batches
+    # index holds every doc x 8 bands from both batches
+    assert spark.read.parquet(idx).count() == 5 * 8
+
+
+def test_replayed_batch_does_not_self_match(spark, tmp_path):
+    from realtime_fraud_detection_spark.streaming import sinks as SK
+
+    idx, out = str(tmp_path / "bands"), str(tmp_path / "cands")
+    w = SK.incremental_dedup_writer(idx, out, num_perm=16, band_size=2)
+    w(spark.createDataFrame(CORPUS, "doc_id int, text string"), 0)
+    b2 = spark.createDataFrame(NEW, "doc_id int, text string")
+    w(b2, 1)
+    first = sorted(
+        (r["new_doc"], r["corpus_doc"]) for r in spark.read.parquet(out).collect()
+    )
+    w(b2, 1)  # replay after its bands already landed in the index
+    again = sorted(
+        (r["new_doc"], r["corpus_doc"]) for r in spark.read.parquet(out).collect()
+    )
+    assert again == first  # no duplicates, no (new, new) self-matches
+    assert all(cd <= 3 for _, cd in again)
+    assert spark.read.parquet(idx).count() == 5 * 8  # index not duplicated
