@@ -98,6 +98,12 @@ def connected_components(
         jump = cand.select(
             F.col("doc").alias("cluster"), F.col("cluster").alias("_c2")
         )
+        # LAZY checkpoint + a full-scan aggregate for the convergence bit:
+        # one job per round materializes every checkpoint block AND returns
+        # the changed flag (an eager checkpoint + a separate count is two
+        # jobs per round — measured ~20% of dedup_clusters at sf0.1). The
+        # aggregate must touch all partitions (no limit short-circuit) or
+        # unmaterialized blocks would recompute in the next round.
         updated = (
             cand.join(jump, "cluster")
             .select(
@@ -105,8 +111,11 @@ def connected_components(
                 F.col("_c2").alias("cluster"),
                 (F.col("_c2") < F.col("_old")).alias("_chg"),
             )
-        ).localCheckpoint()
-        changed = updated.filter(F.col("_chg")).limit(1).count()
+        ).localCheckpoint(eager=False)
+        changed = (
+            updated.agg(F.sum(F.col("_chg").cast("int")).alias("n")).first()["n"]
+            or 0  # sum over an empty label table is NULL
+        )
         labels = updated.drop("_chg")
         if changed == 0:
             return labels
