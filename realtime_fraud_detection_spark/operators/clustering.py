@@ -243,15 +243,17 @@ def connected_components_star(
         )
 
     for _ in range(max_rounds):
-        sym = _star(sym, large=True).localCheckpoint()
-        sym = _star(sym, large=False).localCheckpoint()
+        # lazy checkpoints, materialized transitively by the (full, no
+        # limit short-circuit) convergence count below — one job per round
+        # instead of three (same treatment as the propagation variant)
+        sym = _star(sym, large=True).localCheckpoint(eager=False)
+        sym = _star(sym, large=False).localCheckpoint(eager=False)
         # converged when every edge already points at its component min:
         # one more large-star pass changes nothing — detectable as "no hi
         # appears as a lo" (pure star forest)
         non_star = (
             sym.select(F.col("lo").alias("x"))
             .join(sym.select(F.col("hi").alias("x")), "x", "left_semi")
-            .limit(1)
             .count()
         )
         if non_star == 0:
