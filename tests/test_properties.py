@@ -113,3 +113,96 @@ def test_exact_dedup_identical_texts_always_group(spark, texts):
     norm = re.sub(r"[^a-z0-9]+", " ", texts[0].lower()).strip()
     joined = out[out["dup_count"] >= 2]
     assert any(joined["survivor_id"] == 0) or norm == ""
+
+
+# ---------------------------------------------------------------------------
+# Round-4 operators: duplicate spans and token-frequency stats vs brute force
+# ---------------------------------------------------------------------------
+
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc"]),  # tiny vocab -> dense collisions
+        min_size=0,
+        max_size=14,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _spans_bruteforce(docs_tokens, k, min_count=2):
+    from collections import Counter
+
+    grams, cnt = {}, Counter()
+    for d, toks in docs_tokens.items():
+        g = (
+            [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+            if len(toks) >= k
+            else []
+        )
+        grams[d] = g
+        cnt.update(g)
+    out = set()
+    for d, g in grams.items():
+        dup_pos = [i for i, s in enumerate(g) if cnt[s] >= min_count]
+        group = []
+        for p in dup_pos:
+            if group and p - group[-1] >= k:
+                out.add((d, group[0], group[-1] + k - 1, len(group)))
+                group = []
+            group.append(p)
+        if group:
+            out.add((d, group[0], group[-1] + k - 1, len(group)))
+    return out
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus_strategy)
+def test_duplicate_spans_match_bruteforce(spark, corpus):
+    """duplicate_spans (k=3) == O(n·corpus) python reference on random
+    small-vocab corpora (dense gram collisions exercise island merging;
+    md5 on 60 bits cannot collide distinct 3-grams of this vocab)."""
+    from realtime_fraud_detection_spark.operators.spans import duplicate_spans
+
+    docs_tokens = {i: toks for i, toks in enumerate(corpus)}
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs_tokens), "text": [" ".join(t) for t in docs_tokens.values()]}
+    )
+    got = {
+        (r["doc"], r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in duplicate_spans(
+            spark.createDataFrame(pdf), "text", "doc_id", k=3
+        ).collect()
+    }
+    assert got == _spans_bruteforce(docs_tokens, k=3)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(corpus_strategy)
+def test_token_frequency_stats_match_bruteforce(spark, corpus):
+    """token_frequency_stats == Counter brute force, including the exact
+    floor-based 6dp rounding (identical IEEE expression in python)."""
+    import math
+    from collections import Counter
+
+    from realtime_fraud_detection_spark.operators.quality import token_frequency_stats
+
+    # empty docs normalize to one '' token in both the operator and here
+    docs_tokens = {i: (toks if toks else [""]) for i, toks in enumerate(corpus)}
+    pdf = pd.DataFrame(
+        {"doc_id": list(docs_tokens), "text": [" ".join(t) for t in docs_tokens.values()]}
+    )
+    tf = Counter(t for toks in docs_tokens.values() for t in toks)
+    got = {
+        r["doc"]: r.asDict()
+        for r in token_frequency_stats(spark.createDataFrame(pdf)).collect()
+    }
+    assert set(got) == set(docs_tokens)
+    r6 = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    for d, toks in docs_tokens.items():
+        n = len(toks)
+        assert got[d]["n_tokens"] == n
+        assert got[d]["n_distinct_tokens"] == len(set(toks))
+        assert got[d]["mean_token_tf"] == r6(sum(tf[t] for t in toks) / n)
+        assert got[d]["hapax_frac"] == r6(sum(tf[t] == 1 for t in toks) / n)
+        assert got[d]["rare_frac"] == r6(sum(tf[t] <= 2 for t in toks) / n)
