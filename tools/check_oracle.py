@@ -107,9 +107,11 @@ def main() -> int:
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failed = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -139,7 +141,7 @@ def main() -> int:
         else:
             print(f"OK    {name}: rows={len(sdf)} [{time.time()-t0:.1f}s]")
 
-    print(f"\n{len(qs) - len(failed)}/{len(qs) if not only else len(only)} passed")
+    print(f"\n{checked - len(failed)}/{checked} passed")
     spark.stop()
     return 1 if failed else 0
 
