@@ -186,3 +186,53 @@ def chunk_documents(
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).alias("chunk_tokens"),
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    stratum_col: str | None = None,
+    seq_col: str = "seq_id",
+    order_cols: tuple[str, ...] = ("offset",),
+    seqs_per_shard: int = 64,
+    fmt: str = "parquet",
+) -> None:
+    """Export a packed corpus (:func:`pack_sequences` output) as training
+    shards with the layout guarantees a data-loader needs:
+
+    1. every row of one training sequence lands in the SAME shard file
+       (a sequence split across files cannot be assembled by a
+       sequential reader);
+    2. rows within a shard are contiguous and ordered by
+       (seq, *order_cols);
+    3. strata get their own directories (``partitionBy``) so a
+       mixture-aware loader samples per-language shards directly.
+
+    Shard assignment is ``floor(seq_id / seqs_per_shard)`` —
+    deterministic and hash-free, so re-runs produce byte-identical shard
+    membership on any cluster layout. One ``repartition`` on
+    (stratum, shard) puts each shard's rows in exactly one task, and the
+    directory-partitioned writer therefore emits exactly ONE data file
+    per shard directory; ``sortWithinPartitions`` gives the in-file
+    order. ``fmt``: ``parquet`` or ``json`` (JSONL — the common LLM
+    training-dump format).
+
+    Scale: the repartition is the only shuffle, keyed by (stratum,
+    shard) — thousands of shards spread evenly; pick ``seqs_per_shard``
+    so a shard (~seqs x budget tokens) lands near your target file size
+    (e.g. 256 MB).
+    """
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"unknown shard format: {fmt!r}")
+    out = df.withColumn(
+        "shard_id", F.floor(F.col(seq_col) / F.lit(seqs_per_shard)).cast("bigint")
+    )
+    keys = ([stratum_col] if stratum_col else []) + ["shard_id"]
+    sort_cols = keys + [seq_col] + list(order_cols)
+    writer = (
+        out.repartition(*[F.col(k) for k in keys])
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .partitionBy(*keys)
+    )
+    getattr(writer, fmt)(path)
