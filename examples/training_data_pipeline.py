@@ -141,6 +141,21 @@ def main() -> None:
     chunks = SA.chunk_documents(sampled, "text", "doc_id", chunk_tokens=128, stride=96)
     n_chunks = chunks.count()
 
+    # 4e. export as training shards: whole sequences per file, one file
+    # per shard dir, per-language directories (JSONL)
+    import glob
+    import tempfile
+
+    shard_dir = tempfile.mkdtemp(prefix="shards_")
+    SA.write_training_shards(
+        packed.join(sampled.select("doc_id", "text"), "doc_id"),
+        shard_dir,
+        stratum_col="lang",
+        seqs_per_shard=4,
+        fmt="json",
+    )
+    n_shard_files = len(glob.glob(f"{shard_dir}/lang=*/shard_id=*/part-*"))
+
     # 5. embedding-space: cosine near-dups + semantic dedup + ANN top-k
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     emb_pairs = D.embedding_near_dup_pairs(emb, threshold=0.45)
@@ -176,6 +191,7 @@ def main() -> None:
     print(f"pii matches          {n_pii}  (email/phone/ip/ssn/card)")
     print(f"mixture sample       {n_sampled}  docs -> {n_seqs} packed sequences")
     print(f"context chunks       {n_chunks}  (128-token windows, stride 96)")
+    print(f"training shards      {n_shard_files}  JSONL files (whole sequences per file)")
     print(f"embedding near-dups  {n_emb}  (cosine >= 0.45)")
     print(f"semantic dups        {n_sem}  pruned (SemDeDup, within-cell cosine)")
     print(f"ann results          {n_ann}  (3 queries x top-3)")
