@@ -18,9 +18,19 @@ comparison is exact, not approximate):
 
 from __future__ import annotations
 
-from . import dedup_q, eventtime_q, features_q, joins_q, relational, windows_q
+from . import (
+    dedup_q,
+    eventtime_q,
+    features_q,
+    joins_q,
+    relational,
+    textml_q,
+    windows_q,
+)
 
-_MODULES = [relational, windows_q, eventtime_q, features_q, joins_q, dedup_q]
+# textml_q is rows-only and must stay AFTER dedup_q: the driver checks the
+# first 50 queries() entries, and every oracle-backed query sits there.
+_MODULES = [relational, windows_q, eventtime_q, features_q, joins_q, dedup_q, textml_q]
 
 
 def all_queries():

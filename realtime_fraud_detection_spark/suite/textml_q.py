@@ -1,0 +1,76 @@
+"""Trainable text-model queries — the operators that LEARN filters from
+the corpus rather than evaluating hand-written ones (beyond the reference,
+which has no trainable text path: its BERT/LSTM models degrade to rule
+features, SURVEY §2.8 M6/M7).
+
+Rows-only by construction (iterative training has no single-statement SQL
+equivalent); the learning math is pinned by NumPy-replay parity and
+holdout-accuracy tests in tests/test_text_classifier.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents", fan_out=True)
+
+
+def _weak_label(col):
+    """Weak-supervision seed rule (the FineWeb-Edu / DCLM bootstrap shape:
+    an annotator labels a slice, a hashed-ngram linear model distills it):
+    a doc is 'streaming-themed' when stream+batch mentions outnumber
+    scan+sort mentions. Linearly separable in the averaged hashed
+    features, so the trainer's job is to recover it through the buckets."""
+    lo = F.lower(col)
+
+    def c(w):
+        return F.regexp_count(lo, F.lit(rf"\b{w}\b"))
+
+    return (c("stream") + c("batch") > c("scan") + c("sort")).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# fastText-style hashed n-gram classifier, trained IN Spark (broadcast
+# weights / decimal-summed gradients, ml/text_classifier.py): train on the
+# 80% id-hash split, score every doc. Output: per-doc label, probability,
+# prediction, and holdout membership — enough to recompute the confusion
+# matrix downstream.
+# ---------------------------------------------------------------------------
+def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.text_classifier import (
+        hashed_features,
+        score_logreg,
+        train_text_classifier,
+    )
+
+    docs = _docs(spark, sf_dir).withColumn("y", _weak_label(F.col("text")))
+    train = docs.filter("doc_id % 5 < 4")
+    model, _ = train_text_classifier(
+        train, "text", "doc_id", "y", n_buckets=1024, iters=20, lr=5.0
+    )
+    feats_all = hashed_features(docs, "text", "doc_id", 1024, bigrams=False)
+    scored = score_logreg(feats_all, model)
+    return (
+        docs.select(F.col("doc_id").alias("doc"), "y")
+        .join(scored, "doc", "left")
+        .select(
+            F.col("doc").alias("doc_id"),
+            "y",
+            "prob",
+            "pred",
+            (F.col("doc") % 5 == 4).cast("int").alias("holdout"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+QUERIES = {
+    "text_classifier": q_text_classifier,
+}
+
+ORACLES: dict[str, str] = {}

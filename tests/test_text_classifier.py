@@ -1,0 +1,168 @@
+"""Hashed n-gram logistic classifier (ml/text_classifier.py): feature
+extraction correctness, learnability of the weak-supervision rule on the
+documents fixture, bit-level training determinism, and a full NumPy replay
+of the distributed Adagrad loop (the no-SQL-oracle query's parity test)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_fraud_detection_spark.ml.text_classifier import (
+    hashed_features,
+    score_logreg,
+    train_logreg,
+    train_text_classifier,
+)
+from realtime_fraud_detection_spark.sources.testdata import load_table
+from tests.conftest import SF_SMOKE
+
+N_BUCKETS = 256
+
+
+def _bucket(term: str, n_buckets: int) -> int:
+    h = hashlib.md5(("feat:" + term).encode()).hexdigest()[:15]
+    return int(h, 16) % n_buckets
+
+
+def _tokens(text: str) -> list[str]:
+    return [w for w in re.sub(r"[^a-z0-9]+", " ", text.lower()).split() if w]
+
+
+def test_hashed_features_unigram_values(spark):
+    df = spark.createDataFrame(
+        [(1, "Spark, spark JOIN!"), (2, ""), (3, "x")], "id long, t string"
+    )
+    rows = {
+        (r["doc"], r["bucket"]): r["x"]
+        for r in hashed_features(df, "t", "id", N_BUCKETS, bigrams=False).collect()
+    }
+    assert rows[(1, _bucket("spark", N_BUCKETS))] == pytest.approx(2 / 3)
+    assert rows[(1, _bucket("join", N_BUCKETS))] == pytest.approx(1 / 3)
+    assert rows[(3, _bucket("x", N_BUCKETS))] == pytest.approx(1.0)
+    assert not any(d == 2 for d, _ in rows)  # empty doc has no features
+
+
+def test_hashed_features_bigrams(spark):
+    df = spark.createDataFrame([(1, "a b a")], "id long, t string")
+    rows = {
+        (r["doc"], r["bucket"]): r["x"]
+        for r in hashed_features(df, "t", "id", 1 << 20, bigrams=True).collect()
+    }
+    # grams: a b a | "a b" "b a" — 5 total, 'a' twice
+    assert rows[(1, _bucket("a", 1 << 20))] == pytest.approx(2 / 5)
+    assert rows[(1, _bucket("a b", 1 << 20))] == pytest.approx(1 / 5)
+    assert rows[(1, _bucket("b a", 1 << 20))] == pytest.approx(1 / 5)
+
+
+def _toy_corpus():
+    rng = random.Random(7)
+    pos_pool = ["stream", "state", "window", "timer", "batch", "sink"]
+    neg_pool = ["scan", "sort", "merge", "spill", "page", "disk"]
+    shared = ["the", "query", "engine", "runs", "fast", "data"]
+    rows = []
+    for i in range(80):
+        y = i % 2
+        pool = pos_pool if y else neg_pool
+        words = [rng.choice(pool if rng.random() < 0.6 else shared) for _ in range(20)]
+        rows.append((i, " ".join(words), y))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def toy_model(spark):
+    rows = _toy_corpus()
+    df = spark.createDataFrame(rows, "id long, t string, y int")
+    feats = hashed_features(df, "t", "id", N_BUCKETS, bigrams=False).localCheckpoint()
+    labels = df.select(F.col("id").alias("doc"), F.col("y").cast("double").alias("y"))
+    model = train_logreg(feats, labels, N_BUCKETS, iters=6, lr=2.0, l2=1e-4)
+    return rows, feats, labels, model
+
+
+def test_training_deterministic(spark, toy_model):
+    rows, feats, labels, model = toy_model
+    again = train_logreg(feats, labels, N_BUCKETS, iters=6, lr=2.0, l2=1e-4)
+    # decimal-summed gradients → identical floats on any partitioning
+    assert again.bias == model.bias
+    assert again.weights == model.weights
+
+
+def test_numpy_replay_matches_distributed_training(toy_model):
+    rows, _, _, model = toy_model
+    # rebuild the feature matrix exactly as hashed_features does
+    docs = [(i, _tokens(t), y) for i, t, y in rows]
+    X = np.zeros((len(docs), N_BUCKETS))
+    y = np.zeros(len(docs))
+    for r, (_, toks, lab) in enumerate(docs):
+        y[r] = lab
+        for tok in toks:
+            X[r, _bucket(tok, N_BUCKETS)] += 1.0 / len(toks)
+    w = np.zeros(N_BUCKETS)
+    g2 = np.zeros(N_BUCKETS)
+    bias, g2b, lr, l2, eps = 0.0, 0.0, 2.0, 1e-4, 1e-8
+    n = len(docs)
+    for _ in range(6):
+        z = np.clip(X @ w + bias, -36.7, 36.7)
+        p = 1.0 / (1.0 + np.exp(-z))
+        err = p - y
+        g = X.T @ err / n + l2 * w
+        # only buckets present in the feature table receive updates
+        active = (X != 0).any(axis=0)
+        g2[active] += g[active] ** 2
+        w[active] -= lr * g[active] / np.sqrt(g2[active] + eps)
+        gb = err.sum() / n
+        g2b += gb * gb
+        bias -= lr * gb / math.sqrt(g2b + eps)
+    assert bias == pytest.approx(model.bias, abs=1e-8)
+    dist = np.zeros(N_BUCKETS)
+    for b, wt in model.weights.items():
+        dist[b] = wt
+    np.testing.assert_allclose(dist, w, atol=1e-8)
+
+
+def test_scoring_matches_replay(spark, toy_model):
+    rows, feats, _, model = toy_model
+    scored = {r["doc"]: (r["prob"], r["pred"]) for r in score_logreg(feats, model).collect()}
+    for i, t, _ in rows[:10]:
+        m = sum(
+            model.weights.get(_bucket(tok, N_BUCKETS), 0.0) / len(_tokens(t))
+            for tok in _tokens(t)
+        )
+        z = max(-36.7, min(36.7, m + model.bias))
+        p = round(1.0 / (1.0 + math.exp(-z)), 6)
+        assert scored[i][0] == pytest.approx(p, abs=2e-6)
+        assert scored[i][1] == int(scored[i][0] >= 0.5)
+
+
+def test_learns_weak_rule_on_fixture(spark):
+    """The suite query's profile: distill the stream/batch-vs-scan/sort
+    seed rule from hashed unigrams; holdout accuracy must clear 0.8
+    (measured 0.89 at sf0.001; the task is linearly separable in the
+    averaged features, residual error = collision noise + margin ties)."""
+    from realtime_fraud_detection_spark.suite.textml_q import _weak_label
+
+    docs = load_table(spark, SF_SMOKE, "documents", fan_out=True).withColumn(
+        "y", _weak_label(F.col("text"))
+    )
+    train = docs.filter("doc_id % 5 < 4")
+    model, _ = train_text_classifier(
+        train, "text", "doc_id", "y", n_buckets=1024, iters=20, lr=5.0
+    )
+    feats_all = hashed_features(docs, "text", "doc_id", 1024, bigrams=False)
+    acc = {
+        r["holdout"]: r["acc"]
+        for r in score_logreg(feats_all, model)
+        .join(docs.select(F.col("doc_id").alias("doc"), "y"), "doc")
+        .withColumn("holdout", F.expr("doc % 5 = 4"))
+        .groupBy("holdout")
+        .agg(F.avg((F.col("pred") == F.col("y")).cast("double")).alias("acc"))
+        .collect()
+    }
+    assert acc[False] >= 0.85, acc
+    assert acc[True] >= 0.80, acc
