@@ -69,8 +69,33 @@ def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# BPE tokenization (ACL'16): merges trained from the distributed word-
+# frequency table (driver holds only the vocabulary — Heaps'-law-small),
+# applied via the broadcast pandas_udf. Output keeps the per-doc token
+# count, distinct-token count, and an md5 of the token stream so any
+# change in training or encoding is visible in the row values.
+# ---------------------------------------------------------------------------
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.bpe import apply_bpe, train_bpe, word_freq_table
+
+    docs = _docs(spark, sf_dir)
+    merges = train_bpe(word_freq_table(docs, "text"), n_merges=200)
+    return (
+        apply_bpe(docs, "text", "doc_id", merges)
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_tokens",
+            F.size(F.array_distinct("tokens")).alias("n_types"),
+            F.md5(F.concat_ws(" ", "tokens")).alias("token_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "text_classifier": q_text_classifier,
+    "bpe_tokens": q_bpe_tokens,
 }
 
 ORACLES: dict[str, str] = {}

@@ -57,6 +57,9 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # iterative distributed training — no SQL form; NumPy-replay
         # parity + holdout accuracy in tests/test_text_classifier.py
         "text_classifier",
+        # BPE train+apply — no SQL form; merge-sequence, roundtrip and
+        # reference-encoder parity in tests/test_bpe.py
+        "bpe_tokens",
     }
     missing = set(QUERIES) - set(ORACLES) - approximate
     assert not missing, f"queries without oracle: {missing}"
