@@ -11,6 +11,8 @@ the documents/embeddings fixtures:
             → duplicate-span detection (Lee et al.) → span stripping
             → mixture sampling → token packing → context-window chunks
             → BM25 full-text search over the cleaned corpus
+            → hashed n-gram classifier trained on a weak-supervision rule
+            → BPE tokenizer trained on the corpus word-frequency table
   embeddings → embedding-cosine near-dups → semantic dedup (SemDeDup)
             → ANN top-k (brute force + LSH)
 
@@ -177,6 +179,44 @@ def main() -> None:
     bm25 = bm25_rank(survivors, text_queries, top_k=5)
     n_bm25 = bm25.count()
 
+    # 7. distill a weak-supervision rule into a trainable filter (the
+    # FineWeb-Edu / DCLM bootstrap: seed labels → hashed-ngram linear
+    # model), trained entirely as DataFrame ops
+    from realtime_fraud_detection_spark.ml.text_classifier import (
+        hashed_features,
+        score_logreg,
+        train_text_classifier,
+    )
+    from realtime_fraud_detection_spark.suite.textml_q import _weak_label
+
+    labeled = docs.withColumn("y", _weak_label(F.col("text")))
+    clf, _ = train_text_classifier(
+        labeled.filter("doc_id % 5 < 4"), "text", "doc_id", "y",
+        n_buckets=1024, iters=20, lr=5.0,
+    )
+    holdout = (
+        score_logreg(hashed_features(labeled, "text", "doc_id", 1024, bigrams=False), clf)
+        .join(labeled.select(F.col("doc_id").alias("doc"), "y"), "doc")
+        .filter("doc % 5 = 4")
+        .agg(F.avg((F.col("pred") == F.col("y")).cast("double")))
+        .first()[0]
+    )
+
+    # 8. train a BPE tokenizer from the corpus word-frequency table and
+    # tokenize the stripped survivors with it
+    from realtime_fraud_detection_spark.functions.bpe import (
+        apply_bpe,
+        train_bpe,
+        word_freq_table,
+    )
+
+    merges = train_bpe(word_freq_table(survivors, "text"), n_merges=200)
+    bpe = apply_bpe(survivors, "text", "doc_id", merges)
+    bpe_stats = bpe.agg(
+        F.sum("n_tokens").alias("tok"),
+        F.sum(F.aggregate("tokens", F.lit(0), lambda a, t: a + F.length(t))).alias("chars"),
+    ).first()
+
     print(f"documents            {n_docs}")
     print(f"quality-gated        {n_gated}  ({n_docs - n_gated} filtered)")
     print(f"gopher-repetition    {n_gopher}  pass  ({n_docs - n_gopher} repetitious)")
@@ -196,6 +236,8 @@ def main() -> None:
     print(f"semantic dups        {n_sem}  pruned (SemDeDup, within-cell cosine)")
     print(f"ann results          {n_ann}  (3 queries x top-3)")
     print(f"bm25 hits            {n_bm25}  (corpus-derived queries, top-5)")
+    print(f"classifier holdout   {holdout:.3f}  accuracy (weak-rule distillation, {len(clf.weights)} active buckets)")
+    print(f"bpe tokens           {bpe_stats['tok']}  ({len(merges)} merges, {bpe_stats['chars']} chars in tokens)")
     print(f"wall clock           {time.time() - t0:.1f}s")
     spark.stop()
 
