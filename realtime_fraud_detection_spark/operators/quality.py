@@ -396,3 +396,125 @@ def gopher_repetition_pass(
             F.col(f"dup{n}gram_char_frac") <= GOPHER_DUP_NGRAM_CHAR_FRAC[n]
         )
     return cond
+
+
+def _position_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, w, w1, w2) — every token position with its 1- and 2-back
+    contexts, built from one array-staged transform (no shuffle; the
+    staged `ws` attribute keeps the HOF lambda from re-running
+    split+filter per element, CLAUDE.md rule)."""
+    words = F.split(F.trim(normalized_text(F.col(text_col))), r"\s+")
+    staged = df.select(
+        F.col(id_col).alias("doc"),
+        F.filter(words, lambda w: F.length(w) > 0).alias("ws"),
+    )
+    ws = F.col("ws")
+    pos = F.transform(
+        ws,
+        lambda w, i: F.struct(
+            w.alias("w"),
+            F.when(i >= 1, F.get(ws, i - 1)).alias("w1"),
+            F.when(i >= 2, F.get(ws, i - 2)).alias("w2"),
+        ),
+    )
+    return staged.select("doc", F.explode(pos).alias("t")).select(
+        "doc", "t.w", "t.w1", "t.w2"
+    )
+
+
+def ngram_lm_logprob(
+    df: DataFrame,
+    lm_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document mean log10 Stupid Backoff trigram score (Brants et
+    al., "Large Language Models in Machine Translation", EMNLP 2007) —
+    the n-gram upgrade of :func:`unigram_logprob`. This is CCNet's
+    filtering setup: `lm_df` is the reference corpus the model is counted
+    from (CCNet uses a Wikipedia KenLM); `df` is the corpus being scored.
+    `lm_df=None` scores the corpus against itself (ranking junk without
+    an external model — note the backoff branches can then never fire,
+    since every observed n-gram is in its own table). Per token position,
+    scored at the highest order its context allows:
+
+        S(w | w2 w1) = c3/c2(w2,w1)            if the LM saw the trigram
+                     = α · c2(w1,w)/c1(w1)     else if it saw the bigram
+                     = α² · c1(w)/N            else  (OOV words score as
+                                                      count-1 singletons)
+    (positions 0/1 start at the order their context allows, unpenalized.)
+
+    Scale shape: the position table comes from one array-staged transform
+    (no shuffle); the per-doc distinct-triple table then LEFT-joins the
+    LM trigram/bigram/unigram count tables — all map-side-combined
+    aggregates of the LM's position table. This join fan is the honest
+    cost of corpus-sized LMs; a FIXED external n-gram model would
+    broadcast and scoring becomes map-side.
+
+    Scores are ≤ 1 by construction (each numerator counts a refinement of
+    its denominator, and OOV singletons are ≤ N), so the mean log10 is
+    ≤ 0. Transcendental → not in the bit-exact oracle surface;
+    brute-force reference parity in tests/test_ngram_lm.py.
+    """
+    toks = _position_table(df, text_col, id_col)
+    if lm_df is None:
+        toks = toks.localCheckpoint(eager=False)  # five consumers below
+        lm_toks = toks
+    else:
+        lm_toks = _position_table(lm_df, text_col, id_col).localCheckpoint(
+            eager=False
+        )
+
+    uni = lm_toks.groupBy("w").agg(F.count("*").alias("c1w"))
+    bi = (
+        lm_toks.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w")
+        .agg(F.count("*").alias("c2"))
+    )
+    tri = (
+        lm_toks.filter(F.col("w2").isNotNull())
+        .groupBy("w2", "w1", "w")
+        .agg(F.count("*").alias("c3"))
+    )
+    total = uni.agg(F.sum("c1w").cast("double").alias("n_corpus"))
+
+    dt = toks.groupBy("doc", "w", "w1", "w2").agg(F.count("*").alias("_c"))
+    scored = (
+        dt.join(tri, ["w2", "w1", "w"], "left")
+        .join(bi, ["w1", "w"], "left")
+        .join(
+            bi.select(
+                F.col("w1").alias("w2"),
+                F.col("w").alias("w1"),
+                F.col("c2").alias("c2ctx"),
+            ),
+            ["w2", "w1"],
+            "left",
+        )
+        .join(uni.select(F.col("w").alias("w1"), F.col("c1w").alias("c1ctx")), ["w1"], "left")
+        .join(uni, ["w"], "left")
+        .join(F.broadcast(total))
+    )
+    a = F.lit(alpha)
+    c1w = F.coalesce(F.col("c1w"), F.lit(1))  # OOV → count-1 singleton
+    score = (
+        F.when(F.col("c3").isNotNull(), F.col("c3") / F.col("c2ctx"))
+        .when(
+            F.col("w2").isNotNull() & F.col("c2").isNotNull(),
+            a * F.col("c2") / F.col("c1ctx"),
+        )
+        .when(F.col("w2").isNotNull(), a * a * c1w / F.col("n_corpus"))
+        .when(
+            F.col("w1").isNotNull() & F.col("c2").isNotNull(),
+            F.col("c2") / F.col("c1ctx"),
+        )
+        .when(F.col("w1").isNotNull(), a * c1w / F.col("n_corpus"))
+        .otherwise(c1w / F.col("n_corpus"))
+    )
+    return scored.groupBy("doc").agg(
+        F.sum("_c").alias("n_scored"),
+        (F.sum(F.col("_c") * F.log10(score)) / F.sum("_c")).alias(
+            "mean_sb_logprob"
+        ),
+    )

@@ -93,9 +93,33 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Stupid Backoff trigram LM scoring (CCNet's filtering setup): the LM is
+# counted from a reference slice of the corpus (every 3rd doc — the
+# "Wikipedia" stand-in), the whole corpus is scored against it, so the
+# backoff and OOV branches actually fire. Rows-only: transcendental log10;
+# brute-force reference parity in tests/test_ngram_lm.py.
+# ---------------------------------------------------------------------------
+def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import ngram_lm_logprob
+
+    docs = _docs(spark, sf_dir)
+    lm = docs.filter("doc_id % 3 = 0")
+    return (
+        ngram_lm_logprob(docs, lm_df=lm)
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_scored",
+            F.round("mean_sb_logprob", 6).alias("mean_sb_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "text_classifier": q_text_classifier,
     "bpe_tokens": q_bpe_tokens,
+    "ngram_lm": q_ngram_lm,
 }
 
 ORACLES: dict[str, str] = {}

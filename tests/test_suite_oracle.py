@@ -60,6 +60,9 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # BPE train+apply — no SQL form; merge-sequence, roundtrip and
         # reference-encoder parity in tests/test_bpe.py
         "bpe_tokens",
+        # transcendental log10 + 6-way CASE over three count joins;
+        # hand-computed + brute-force parity in tests/test_ngram_lm.py
+        "ngram_lm",
     }
     missing = set(QUERIES) - set(ORACLES) - approximate
     assert not missing, f"queries without oracle: {missing}"
