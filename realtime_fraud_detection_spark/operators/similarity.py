@@ -233,3 +233,108 @@ def cosine_topk_pandas(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the memory-footprint scale path: a 100 TB
+# float32 embedding store becomes ~25 TB of int8 codes (plus two
+# dim-sized parameter vectors), which is routinely the difference between
+# an ANN index fitting executor memory or not (FAISS's SQ8 quantizer;
+# Jegou et al. PAMI'11 product quantization is the next refinement).
+# ---------------------------------------------------------------------------
+def quantization_params(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> tuple[list[float], list[float]]:
+    """Per-dimension affine quantization grid (mins, scales) with
+    code = round((x - min_d)/scale_d) - 128, scale_d = range_d/255.
+
+    One posexplode → dim-keyed min/max aggregate; the collected result is
+    DIM-sized (the quantizer model), which then folds into downstream
+    plans as literals — the same "train small, apply as a scan" shape as
+    the LSH planes and KMeans centroids. Constant dimensions get scale 1
+    so they quantize to code -128 and dequantize exactly."""
+    stats = (
+        emb.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min(F.col("x").cast("double")).alias("lo"),
+             F.max(F.col("x").cast("double")).alias("hi"))
+        .orderBy("d")
+        .collect()
+    )
+    mins = [r["lo"] for r in stats]
+    scales = [(r["hi"] - r["lo"]) / 255.0 if r["hi"] > r["lo"] else 1.0 for r in stats]
+    return mins, scales
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    mins: list[float],
+    scales: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(nid, codes, dq_norm) — int8 codes plus the dequantized L2 norm,
+    precomputed once here so pair scoring never recomputes norms (the
+    hoisting rule from embedding_near_dup_pairs)."""
+    mins_arr = F.array(*[F.lit(float(m)) for m in mins])
+    scales_arr = F.array(*[F.lit(float(s)) for s in scales])
+    v = _as_double(F.col(vec_col))
+    codes = F.zip_with(
+        F.zip_with(v, mins_arr, lambda x, m: x - m),
+        scales_arr,
+        lambda x, s: F.round(x / s).cast("int") - 128,
+    )
+    staged = emb.select(F.col(id_col).alias("nid"), codes.alias("codes"))
+    dq = F.zip_with(
+        F.zip_with(
+            F.col("codes"), scales_arr, lambda c, s: (c + 128).cast("double") * s
+        ),
+        mins_arr,
+        lambda x, m: x + m,
+    )
+    return staged.select("nid", "codes", l2_norm(dq).alias("dq_norm"))
+
+
+def int8_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric top-k over the quantized corpus: queries stay float,
+    neighbors are int8 codes — FAISS's asymmetric distance computation,
+    which loses half as much precision as quantizing both sides.
+
+    dot(q, x̂) decomposes as Σ (q_d·scale_d)·code_d + Σ q_d·(min_d +
+    128·scale_d): the query side pre-scales ONCE (it is broadcast-small),
+    so the per-pair work is a single codegen'd-shape zip_with over int
+    codes — identical cost to the float baseline but reading a quarter
+    of the bytes. Exact within quantization error; recall vs the exact
+    baseline is pinned by test."""
+    mins, scales = quantization_params(emb, vec_col)
+    corpus = quantize_embeddings(emb, mins, scales, id_col, vec_col)
+    scales_arr = F.array(*[F.lit(float(s)) for s in scales])
+    offs_arr = F.array(
+        *[F.lit(float(m + 128.0 * s)) for m, s in zip(mins, scales)]
+    )
+    qv = _as_double(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.zip_with(qv, scales_arr, lambda x, s: x * s).alias("qs"),
+        dot(qv, offs_arr).alias("qbias"),
+        l2_norm(qv).alias("qnorm"),
+    )
+    sim = (
+        (dot(F.col("qs"), F.transform(F.col("codes"), lambda c: c.cast("double")))
+         + F.col("qbias"))
+        / (F.col("qnorm") * F.col("dq_norm"))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(sim, 6).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

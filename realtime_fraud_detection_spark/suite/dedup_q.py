@@ -781,6 +781,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, queries, k=3, n_cells=8, n_probe=3)
 
 
+# int8 scalar-quantized ANN (FAISS SQ8-style asymmetric distance): the
+# 4x-memory-footprint scale path. Rows-only (quantization is approximate
+# by construction); reconstruction bound + recall vs the exact baseline
+# pinned in tests/test_int8_ann.py.
+def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.int8_topk(emb, queries, k=3)
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup, arXiv:2303.09540): KMeans cells → within-cell
 # cosine groups → min-id survivors (rows-only: cell assignment depends on
@@ -852,6 +862,7 @@ QUERIES = {
     "sample_pack": q_sample_pack,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_int8": q_ann_int8,
     "semantic_dedup": q_semantic_dedup,
     "doc_chunks": q_doc_chunks,
     "duplicate_spans": q_duplicate_spans,

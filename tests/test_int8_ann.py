@@ -1,0 +1,81 @@
+"""int8 scalar-quantized ANN (operators/similarity.py): quantization grid
+correctness, reconstruction error bound, and recall against the exact
+brute-force baseline on the embeddings fixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_fraud_detection_spark.operators.similarity import (
+    brute_force_topk,
+    int8_topk,
+    quantization_params,
+    quantize_embeddings,
+)
+from realtime_fraud_detection_spark.sources.testdata import load_table
+from tests.conftest import SF_SMOKE
+
+
+def test_params_and_constant_dim(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 5.0, -2.0]), (2, [255.0, 5.0, 2.0])],
+        "vec_id long, embedding array<double>",
+    )
+    mins, scales = quantization_params(df)
+    assert mins == [0.0, 5.0, -2.0]
+    assert scales[0] == pytest.approx(1.0)  # range 255 → scale 1
+    assert scales[1] == 1.0  # constant dim guard
+    codes = {
+        r["nid"]: r["codes"]
+        for r in quantize_embeddings(df, mins, scales).collect()
+    }
+    assert codes[1] == [-128, -128, -128]  # at-min values
+    assert codes[2] == [127, -128, 127]  # at-max values
+    assert all(-128 <= c <= 127 for cs in codes.values() for c in cs)
+
+
+def test_reconstruction_error_bound(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    mins, scales = quantization_params(emb)
+    q = quantize_embeddings(emb, mins, scales)
+    joined = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).join(q, "nid")
+    mins_arr = F.array(*[F.lit(m) for m in mins])
+    scales_arr = F.array(*[F.lit(s) for s in scales])
+    dq = F.zip_with(
+        F.zip_with(F.col("codes"), scales_arr, lambda c, s: (c + 128).cast("double") * s),
+        mins_arr,
+        lambda x, m: x + m,
+    )
+    worst = joined.select(
+        F.array_max(
+            F.zip_with(
+                F.zip_with(F.col("v"), dq, lambda a, b: F.abs(a - b)),
+                scales_arr,
+                lambda e, s: e / s,  # error in units of the dim's step
+            )
+        ).alias("e")
+    ).agg(F.max("e")).first()[0]
+    assert worst <= 0.5 + 1e-9  # half a quantization step per dimension
+
+
+def test_recall_vs_exact_baseline(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings", fan_out=True)
+    queries = emb.filter(F.col("vec_id") < 10)
+    k = 5
+    exact = {
+        (r["qid"], r["nid"]) for r in brute_force_topk(emb, queries, k=k).collect()
+    }
+    quant = {
+        (r["qid"], r["nid"]) for r in int8_topk(emb, queries, k=k).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, recall
+    # scores agree to quantization error (loose bound, sanity not parity)
+    b = {(r["qid"], r["nid"]): r["cosine_sim"] for r in brute_force_topk(emb, queries, k=k).collect()}
+    i8 = {(r["qid"], r["nid"]): r["cosine_sim"] for r in int8_topk(emb, queries, k=k).collect()}
+    for key in exact & quant:
+        assert i8[key] == pytest.approx(b[key], abs=0.05)

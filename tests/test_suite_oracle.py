@@ -50,6 +50,9 @@ def test_every_query_has_oracle_or_is_declared_approximate():
     approximate = {
         "ann_lsh",
         "ann_ivf",
+        # int8 quantization is approximate by construction; recall +
+        # reconstruction bounds in tests/test_int8_ann.py
+        "ann_int8",
         "semantic_dedup",
         "doc_chunks",
         "duplicate_spans",
