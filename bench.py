@@ -48,8 +48,11 @@ HEADLINE = [
     "doc_chunks",
     "duplicate_spans",
     "bm25_search",
+    "ngram_lm",
+    "bpe_tokens",
     "embedding_near_dups",
     "ann_topk",
+    "ann_int8",
 ]
 
 

@@ -202,6 +202,12 @@ def main() -> None:
         .first()[0]
     )
 
+    # 7b. Stupid Backoff trigram LM scoring (CCNet's perplexity filter):
+    # the LM counts from the survivor slice, the whole corpus is scored
+    lm_scores = Q.ngram_lm_logprob(docs, lm_df=survivors)
+    lm_cut = lm_scores.agg(F.expr("percentile(mean_sb_logprob, 0.05)")).first()[0]
+    n_low_sb = lm_scores.filter(F.col("mean_sb_logprob") <= lm_cut).count()
+
     # 8. train a BPE tokenizer from the corpus word-frequency table and
     # tokenize the stripped survivors with it
     from realtime_fraud_detection_spark.functions.bpe import (
@@ -237,6 +243,7 @@ def main() -> None:
     print(f"ann results          {n_ann}  (3 queries x top-3)")
     print(f"bm25 hits            {n_bm25}  (corpus-derived queries, top-5)")
     print(f"classifier holdout   {holdout:.3f}  accuracy (weak-rule distillation, {len(clf.weights)} active buckets)")
+    print(f"low-trigram-LM       {n_low_sb}  (bottom 5% Stupid Backoff logprob vs survivor LM)")
     print(f"bpe tokens           {bpe_stats['tok']}  ({len(merges)} merges, {bpe_stats['chars']} chars in tokens)")
     print(f"wall clock           {time.time() - t0:.1f}s")
     spark.stop()

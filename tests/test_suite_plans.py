@@ -1,9 +1,10 @@
 """Suite-wide plan hygiene: every driver-facing query is pure JVM-side
 expression code — no row-at-a-time Python UDFs and no Arrow boundary
-anywhere in the declared suite (the three sanctioned Python crossings —
-stateful ops, model scoring, multimodal decode — are streaming/ML surfaces,
-not suite queries). This is the "stay inside whole-stage codegen" design
-position, asserted rather than assumed."""
+anywhere in the declared suite (the sanctioned Python crossings —
+stateful ops, model scoring, multimodal decode, BPE encoding — are
+Arrow-batched and documented in SCALE.md's "Python boundary"). This is
+the "stay inside whole-stage codegen" design position, asserted rather
+than assumed."""
 
 from __future__ import annotations
 
@@ -18,8 +19,23 @@ SF_SMOKE = "/root/testdata/sf0.001"
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
 
 # ann_ivf trains an MLlib KMeans eagerly (seconds) — covered by its own
-# recall test; excluded here to keep this sweep fast.
-EXCLUDE = {"ann_ivf"}
+# recall test; excluded here to keep this sweep fast. bpe_tokens IS a
+# sanctioned Arrow boundary (the tokenizer-apply pandas_udf — real
+# pipelines tokenize in Python workers); its plan is pinned separately
+# below. text_classifier trains eagerly (20 Adagrad iterations).
+EXCLUDE = {"ann_ivf", "bpe_tokens", "text_classifier"}
+
+
+def test_bpe_tokens_is_single_arrow_boundary(spark):
+    """bpe_tokens crosses into Python exactly once, Arrow-batched — one
+    ArrowEvalPython for the encoder, nothing row-at-a-time."""
+    import re
+
+    df = all_queries()["bpe_tokens"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    # formatted mode lists each node twice (tree + detail) — count node ids
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan  # no pickled row-at-a-time UDF
 
 
 @pytest.mark.parametrize("name", [n for n in all_queries() if n not in EXCLUDE])
