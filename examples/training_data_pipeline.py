@@ -207,6 +207,15 @@ def main() -> None:
     lm_scores = Q.ngram_lm_logprob(docs, lm_df=survivors)
     lm_cut = lm_scores.agg(F.expr("percentile(mean_sb_logprob, 0.05)")).first()[0]
     n_low_sb = lm_scores.filter(F.col("mean_sb_logprob") <= lm_cut).count()
+    # …and CCNet's head/middle/tail split over the same scores (head =
+    # most reference-like; mixtures sample the buckets at different rates)
+    buckets = {
+        r["bucket"]: r["n"]
+        for r in Q.perplexity_buckets(lm_scores)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
 
     # 8. train a BPE tokenizer from the corpus word-frequency table and
     # tokenize the stripped survivors with it
@@ -244,6 +253,7 @@ def main() -> None:
     print(f"bm25 hits            {n_bm25}  (corpus-derived queries, top-5)")
     print(f"classifier holdout   {holdout:.3f}  accuracy (weak-rule distillation, {len(clf.weights)} active buckets)")
     print(f"low-trigram-LM       {n_low_sb}  (bottom 5% Stupid Backoff logprob vs survivor LM)")
+    print(f"ccnet buckets        head {buckets.get('head', 0)} / middle {buckets.get('middle', 0)} / tail {buckets.get('tail', 0)}")
     print(f"bpe tokens           {bpe_stats['tok']}  ({len(merges)} merges, {bpe_stats['chars']} chars in tokens)")
     print(f"wall clock           {time.time() - t0:.1f}s")
     spark.stop()

@@ -518,3 +518,34 @@ def ngram_lm_logprob(
             "mean_sb_logprob"
         ),
     )
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    score_col: str = "mean_sb_logprob",
+    doc_col: str = "doc",
+    fractions: tuple[float, float] = (1 / 3.0, 2 / 3.0),
+) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. LREC'20 §4.3): rank
+    documents by LM score and cut the corpus at the given quantiles —
+    head = best-scoring (most reference-like), tail = worst. Downstream,
+    mixtures sample the buckets at different rates (CCNet keeps head+
+    middle; `sampling.stratified_sample` takes `bucket` as the stratum).
+
+    The two cut points come from one exact-percentile aggregate (a single
+    skinny row) broadcast back over the scores — no sort of the corpus,
+    no driver round-trip. Ties sit in the lower bucket on both engines
+    (percentile is interpolated; comparison is strict >)."""
+    lo, hi = fractions
+    cuts = scores.agg(
+        F.expr(f"percentile({score_col}, {1.0 - lo})").alias("_head_cut"),
+        F.expr(f"percentile({score_col}, {1.0 - hi})").alias("_mid_cut"),
+    )
+    return scores.join(F.broadcast(cuts)).select(
+        F.col(doc_col),
+        F.col(score_col),
+        F.when(F.col(score_col) > F.col("_head_cut"), "head")
+        .when(F.col(score_col) > F.col("_mid_cut"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

@@ -166,3 +166,37 @@ def test_learns_weak_rule_on_fixture(spark):
     }
     assert acc[False] >= 0.85, acc
     assert acc[True] >= 0.80, acc
+
+
+def test_streaming_scoring_matches_batch(spark, toy_model, tmp_path):
+    """Train offline, score a document STREAM: per-microbatch foreachBatch
+    application of the batch scorer (stateless — the model is fixed), so
+    stream scores must equal batch scores exactly."""
+    rows, _, _, model = toy_model
+    src = str(tmp_path / "docs_in")
+    df = spark.createDataFrame(rows, "id long, t string, y int")
+    df.write.parquet(src)
+
+    batch = {
+        r["doc"]: (r["prob"], r["pred"])
+        for r in score_logreg(
+            hashed_features(df, "t", "id", N_BUCKETS, bigrams=False), model
+        ).collect()
+    }
+
+    got: dict[int, tuple[float, int]] = {}
+
+    def score_batch(bdf, _epoch):
+        feats = hashed_features(bdf, "t", "id", N_BUCKETS, bigrams=False)
+        for r in score_logreg(feats, model).collect():
+            got[r["doc"]] = (r["prob"], r["pred"])
+
+    stream = spark.readStream.schema("id long, t string, y int").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got == batch
