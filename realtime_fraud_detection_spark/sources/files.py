@@ -1,0 +1,60 @@
+"""Batch file ingest for corpus pipelines: JSONL with corrupt-record
+quarantine — the batch twin of the streaming JSON-ERROR fallback
+(sources/kafka.parse_transactions re-expresses the reference's
+TransactionDeserializationSchema.java:28-49 "never fail on a bad record"
+rule; this module applies the same policy to file-based corpus drops).
+
+Malformed lines are not dropped and not fatal: they land in a quarantine
+frame carrying the raw line, so ingest is lossless and auditable (the
+ratio of quarantined lines is itself a data-quality signal).
+
+Scale notes: JSON line parsing is JVM-side (Jackson) and splittable —
+each task parses its own byte range, so ingest parallelism is file-size
+bound, not file-count bound. The corrupt-record column is PERMISSIVE
+mode's standard mechanism; Spark refuses queries that select ONLY the
+corrupt column from the raw parse (it would have to re-parse — see
+SPARK-21610), which `read_jsonl` sidesteps by materializing the split
+eagerly when asked to quarantine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+) -> tuple[DataFrame, DataFrame]:
+    """(good, quarantine) from a JSONL drop.
+
+    `good` has exactly the caller's schema; `quarantine` is (raw_line)
+    for every line Jackson could not bind to it. PERMISSIVE mode parses
+    what it can and fills the corrupt column for the rest; rows where the
+    corrupt column is set are routed to quarantine with their raw text
+    intact."""
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    # fresh StructType: .add() would MUTATE a caller-owned schema object
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+    # SPARK-21610: filtering/selecting only the corrupt column straight
+    # off the scan is disallowed — stage the parsed frame first so both
+    # splits read the same materialized parse
+    df = df.localCheckpoint(eager=True)
+    bad = F.col(CORRUPT_COL).isNotNull()
+    good = df.filter(~bad).drop(CORRUPT_COL)
+    quarantine = df.filter(bad).select(F.col(CORRUPT_COL).alias("raw_line"))
+    return good, quarantine
