@@ -525,6 +525,7 @@ def perplexity_buckets(
     score_col: str = "mean_sb_logprob",
     doc_col: str = "doc",
     fractions: tuple[float, float] = (1 / 3.0, 2 / 3.0),
+    exact: bool = True,
 ) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. LREC'20 §4.3): rank
     documents by LM score and cut the corpus at the given quantiles —
@@ -532,14 +533,24 @@ def perplexity_buckets(
     mixtures sample the buckets at different rates (CCNet keeps head+
     middle; `sampling.stratified_sample` takes `bucket` as the stratum).
 
-    The two cut points come from one exact-percentile aggregate (a single
+    The two cut points come from one percentile aggregate (a single
     skinny row) broadcast back over the scores — no sort of the corpus,
     no driver round-trip. Ties sit in the lower bucket on both engines
-    (percentile is interpolated; comparison is strict >)."""
+    (percentile is interpolated; comparison is strict >).
+
+    `exact=True` (default, deterministic) buffers every score in ONE
+    aggregation buffer — correct up to ~10^8 docs, wrong at corpus scale.
+    Past that, `exact=False` switches to percentile_approx (a mergeable
+    KLL-style sketch, constant memory per task, map-side combined): cuts
+    move by at most the sketch error, which only reassigns docs whose
+    score sits within that band of a boundary — the CCNet mixture is
+    insensitive to that (the same velocity_sliding exact→approx flip
+    documented in SCALE.md)."""
     lo, hi = fractions
+    fn = "percentile" if exact else "percentile_approx"
     cuts = scores.agg(
-        F.expr(f"percentile({score_col}, {1.0 - lo})").alias("_head_cut"),
-        F.expr(f"percentile({score_col}, {1.0 - hi})").alias("_mid_cut"),
+        F.expr(f"{fn}({score_col}, {1.0 - lo})").alias("_head_cut"),
+        F.expr(f"{fn}({score_col}, {1.0 - hi})").alias("_mid_cut"),
     )
     return scores.join(F.broadcast(cuts)).select(
         F.col(doc_col),

@@ -57,3 +57,17 @@ def test_composes_with_stratified_sampling(spark, bucketed):
     )
     got = {r["bucket"] for r in kept.select("bucket").distinct().collect()}
     assert "tail" not in got and "head" in got
+
+
+def test_approx_variant_keeps_ordering_invariant(spark):
+    """The scale path (percentile_approx cuts) must preserve the bucket
+    ORDER invariant exactly; only boundary membership may shift."""
+    docs = load_table(spark, SF_SMOKE, "documents", fan_out=True)
+    scores = ngram_lm_logprob(docs, lm_df=docs.filter("doc_id % 3 = 0"))
+    rows = perplexity_buckets(scores, exact=False).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["bucket"], []).append(r["mean_sb_logprob"])
+    assert set(by) == {"head", "middle", "tail"}
+    assert min(by["head"]) > max(by["middle"]) - 1e-12
+    assert min(by["middle"]) > max(by["tail"]) - 1e-12
