@@ -338,3 +338,79 @@ def int8_topk(
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_int8_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """The full coarse+fine ANN stack: IVF cell pruning (KMeans coarse
+    quantizer) over an int8-quantized corpus with asymmetric fine
+    scoring — FAISS's IVF,SQ8 index as DataFrame ops. The probed-cell
+    equi join bounds how many pairs are scored; the int8 codes bound the
+    bytes each scored pair reads. Both approximations compose: recall vs
+    the exact baseline is pinned by test."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = emb.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv"))
+    with_vec = c.withColumn("fv", array_to_vector(F.col("nv")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
+    model = km.fit(with_vec)
+    cells_df = model.transform(with_vec).select("nid", "cell")
+
+    mins, scales = quantization_params(emb, vec_col)
+    corpus = quantize_embeddings(emb, mins, scales, id_col, vec_col).join(
+        cells_df, "nid"
+    )
+
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+
+    def dist_to(center: list[float]) -> Column:
+        arr = F.array(*[F.lit(x) for x in center])
+        return F.aggregate(
+            F.zip_with(F.col("qv"), arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+
+    scales_arr = F.array(*[F.lit(float(s)) for s in scales])
+    offs_arr = F.array(
+        *[F.lit(float(m + 128.0 * s)) for m, s in zip(mins, scales)]
+    )
+    qv = _as_double(F.col(vec_col))
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        qv.alias("qv"),
+        F.zip_with(qv, scales_arr, lambda x, s: x * s).alias("qs"),
+        dot(qv, offs_arr).alias("qbias"),
+        l2_norm(qv).alias("qnorm"),
+    )
+    cells = F.array(
+        *[
+            F.struct(dist_to(ctr).alias("d"), F.lit(i).alias("cell"))
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+    q_probed = q.withColumn(
+        "cell", F.explode(F.slice(F.array_sort(cells), 1, n_probe)["cell"])
+    ).drop("qv")
+    sim = (
+        (dot(F.col("qs"), F.transform(F.col("codes"), lambda c_: c_.cast("double")))
+         + F.col("qbias"))
+        / (F.col("qnorm") * F.col("dq_norm"))
+    )
+    scored = (
+        F.broadcast(q_probed)
+        .join(corpus, "cell")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(sim, 6).alias("cosine_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -79,3 +79,37 @@ def test_recall_vs_exact_baseline(spark):
     i8 = {(r["qid"], r["nid"]): r["cosine_sim"] for r in int8_topk(emb, queries, k=k).collect()}
     for key in exact & quant:
         assert i8[key] == pytest.approx(b[key], abs=0.05)
+
+
+def test_ivf_int8_composition_recall(spark):
+    """Coarse (IVF cells) + fine (int8 asymmetric) approximations
+    compose: recall vs the exact baseline stays high, and every returned
+    neighbor must come from a probed cell (subset of the float IVF
+    candidate space under identical seed/cells)."""
+    from realtime_fraud_detection_spark.operators.similarity import (
+        ivf_int8_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings", fan_out=True)
+    queries = emb.filter(F.col("vec_id") < 10)
+    k = 5
+    exact = {
+        (r["qid"], r["nid"]) for r in brute_force_topk(emb, queries, k=k).collect()
+    }
+    got = {
+        (r["qid"], r["nid"])
+        for r in ivf_int8_topk(
+            emb, queries, k=k, n_cells=8, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.8, recall
+    # the float IVF with the same probing is the candidate superset;
+    # int8 may only reorder within it, so high agreement is expected
+    fl = {
+        (r["qid"], r["nid"])
+        for r in ivf_topk(emb, queries, k=k, n_cells=8, n_probe=4).collect()
+    }
+    agree = len(fl & got) / len(fl)
+    assert agree >= 0.8, agree
