@@ -560,3 +560,68 @@ def perplexity_buckets(
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """The removal transform that :func:`boilerplate_line_stats` is the
+    signal for: rebuild each document with its cross-document boilerplate
+    lines (lines occurring in >= `min_docs` DISTINCT docs) cut out.
+
+    Output: (doc, stripped_text, n_lines_removed) — empty docs survive
+    with empty text (the caller decides whether to drop them; removal
+    must never silently lose rows).
+
+    Shape: posexplode keeps line order; the corpus line table (hashed —
+    the shuffle key is a fixed-width md5, not the line text, per the
+    stats function's scale note) anti-joins the boilerplate subset;
+    reassembly is one per-doc sort-aggregate of the surviving lines —
+    array_agg over (pos, line) structs, sorted, joined. One extra
+    shuffle over the stats pass, keyed by doc.
+    """
+    lines = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("line", F.trim(F.col("line")))
+        .filter(F.length("line") > 0)
+        .withColumn("lh", F.md5(F.col("line")))
+    )
+    boiler = (
+        lines.groupBy("lh")
+        .agg(F.count_distinct("doc").alias("line_df"))
+        .filter(F.col("line_df") >= min_docs)
+        .select("lh")
+    )
+    kept = lines.join(boiler, "lh", "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("stripped_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = lines.groupBy("doc").agg(F.count("*").alias("_n_lines"))
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(totals, "doc", "left")
+        .join(rebuilt, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("stripped_text", F.lit("")).alias("stripped_text"),
+            (
+                F.coalesce("_n_lines", F.lit(0))
+                - F.coalesce("_n_kept", F.lit(0))
+            ).alias("n_lines_removed"),
+        )
+    )

@@ -236,3 +236,37 @@ def write_training_shards(
         .partitionBy(*keys)
     )
     getattr(writer, fmt)(path)
+
+
+def split_by_hash(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    seed: str = "split:",
+) -> dict[str, DataFrame]:
+    """Deterministic train/val/test split: each row lands in exactly one
+    named split by where its salted id-hash bucket falls in the
+    cumulative weight ranges. Same guarantees as :func:`hash_sample` —
+    reproducible on any partitioning, any engine, any rerun; disjoint
+    and exhaustive by construction (ranges partition the bucket space).
+    Weights must sum to 1 (within 1e-9).
+
+    Pure pushed-down filters — no shuffle, no state; each returned frame
+    re-reads the scan with its own range predicate, so downstream
+    consumers prune independently."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    bucket = md5_bigint(F.col(id_col).cast("string"), salt=seed) % SAMPLE_BUCKETS
+    out: dict[str, DataFrame] = {}
+    edge = 0
+    names = list(weights)
+    for i, name in enumerate(names):
+        lo = edge
+        # last split absorbs rounding residue so the ranges are exhaustive
+        hi = SAMPLE_BUCKETS if i == len(names) - 1 else edge + int(
+            round(weights[name] * SAMPLE_BUCKETS)
+        )
+        out[name] = df.filter((bucket >= lo) & (bucket < hi))
+        edge = hi
+    return out

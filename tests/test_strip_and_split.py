@@ -1,0 +1,78 @@
+"""strip_boilerplate_lines (cross-doc line removal) and split_by_hash
+(deterministic named splits): hand-built corpora with known answers plus
+disjoint/exhaustive/reproducible invariants on the fixture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_fraud_detection_spark.operators.quality import (
+    strip_boilerplate_lines,
+)
+from realtime_fraud_detection_spark.operators.sampling import split_by_hash
+from realtime_fraud_detection_spark.sources.testdata import load_table
+from tests.conftest import SF_SMOKE
+
+DOCS = [
+    (1, "COMPANY FOOTER\nunique first line\nshared middle\nCOMPANY FOOTER"),
+    (2, "another unique line\nshared middle\nCOMPANY FOOTER"),
+    (3, "totally original document\nwith its own lines"),
+    (4, ""),  # empty doc must survive with empty text
+]
+
+
+def test_strip_removes_cross_doc_lines_keeps_order(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    out = {r["doc"]: r for r in strip_boilerplate_lines(df, min_docs=2).collect()}
+    # FOOTER is in docs 1+2 (distinct docs >= 2); "shared middle" too.
+    # Doc 1's duplicate FOOTER counts once for df but both copies go.
+    assert out[1]["stripped_text"] == "unique first line"
+    assert out[1]["n_lines_removed"] == 3
+    assert out[2]["stripped_text"] == "another unique line"
+    assert out[2]["n_lines_removed"] == 2
+    assert out[3]["stripped_text"] == "totally original document\nwith its own lines"
+    assert out[3]["n_lines_removed"] == 0
+    assert out[4]["stripped_text"] == "" and out[4]["n_lines_removed"] == 0
+    assert set(out) == {1, 2, 3, 4}  # no rows lost
+
+
+def test_strip_consistent_with_stats_signal(spark):
+    from realtime_fraud_detection_spark.operators.quality import (
+        boilerplate_line_stats,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents", fan_out=True)
+    stats = {
+        r["doc"]: r["n_boiler_lines"]
+        for r in boilerplate_line_stats(docs, "text", "doc_id", min_docs=2).collect()
+    }
+    stripped = {
+        r["doc"]: r["n_lines_removed"]
+        for r in strip_boilerplate_lines(docs, min_docs=2).collect()
+    }
+    for d, n in stats.items():
+        # stats counts occurrences of boilerplate lines per doc — exactly
+        # what the transform removes
+        assert stripped[d] == n, d
+
+
+def test_split_disjoint_exhaustive_reproducible(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    splits = split_by_hash(docs, "doc_id", w)
+    ids = {k: {r["doc_id"] for r in v.select("doc_id").collect()} for k, v in splits.items()}
+    n = docs.count()
+    assert sum(len(v) for v in ids.values()) == n  # exhaustive
+    assert not (ids["train"] & ids["val"]) and not (ids["train"] & ids["test"])
+    assert not (ids["val"] & ids["test"])  # disjoint
+    again = split_by_hash(docs, "doc_id", w)
+    assert {r["doc_id"] for r in again["val"].collect()} == ids["val"]
+    # rough proportions (md5-uniform: binomial tolerance)
+    assert abs(len(ids["train"]) / n - 0.8) < 0.08
+
+
+def test_split_weights_must_sum_to_one(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    with pytest.raises(ValueError):
+        split_by_hash(docs, "doc_id", {"a": 0.5, "b": 0.4})
