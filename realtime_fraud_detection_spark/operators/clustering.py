@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_bigint
+
 
 def connected_components(
     edges: DataFrame,
@@ -67,12 +69,16 @@ def connected_components(
         .select("doc", F.col("doc").alias("cluster"))
     )
     if vertices is not None:
+        # UNION, not replace: the label table must keep every edge
+        # endpoint or propagation through vertices absent from `vertices`
+        # silently stops (bipartite entity-link graphs hit this — the
+        # dedup callers always passed a superset, which masked it)
         vcol = vertex_col or vertices.columns[0]
         labels = (
-            vertices.select(F.col(vcol).alias("doc"))
+            labels.select("doc")
+            .union(vertices.select(F.col(vcol).alias("doc")))
             .distinct()
-            .join(labels, "doc", "left")
-            .select("doc", F.coalesce("cluster", F.col("doc")).alias("cluster"))
+            .select("doc", F.col("doc").alias("cluster"))
         )
     labels = labels.localCheckpoint()
     sym = sym.localCheckpoint()
@@ -275,4 +281,58 @@ def connected_components_star(
             return labels.union(centers) if vertices is None else labels
     raise RuntimeError(
         f"connected_components_star did not converge in {max_rounds} rounds"
+    )
+
+
+def entity_link_rings(
+    df: DataFrame,
+    actor_col: str,
+    entity_cols: list[str],
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Fraud-ring detection by shared-entity linking: actors (users,
+    accounts) that transact through the same devices / IPs / cards form
+    one ring. The reference gestures at this with its "graph neural
+    network" features (graph_neural_network.py builds the same
+    user—device—merchant adjacency before reducing to counts); here it is
+    the real thing — connected components over the bipartite
+    actor↔entity graph, the standard entity-resolution construction.
+
+    Vertex ids: actors and each entity column hash into disjoint int64
+    spaces via distinctly-salted md5 (collision odds ~n²/2⁶⁰ — nil at any
+    real actor count), so the bipartite graph reuses the corpus CC
+    machinery (one shuffle per round, log-bounded rounds, driver sees
+    only a scalar per round). Null entity values link nothing.
+
+    Returns (actor, ring_id, ring_actors): ring_id is the component's
+    minimum vertex id (deterministic), ring_actors the DISTINCT actor
+    count of the ring — the "how coordinated is this" fraud signal.
+    """
+    actor = md5_bigint(F.col(actor_col).cast("string"), salt="actor:")
+    edge_frames = [
+        df.filter(F.col(c).isNotNull())
+        .select(
+            actor.alias("src"),
+            md5_bigint(F.col(c).cast("string"), salt=f"ent:{c}:").alias("dst"),
+        )
+        .distinct()
+        for c in entity_cols
+    ]
+    edges = edge_frames[0]
+    for f in edge_frames[1:]:
+        edges = edges.unionByName(f)
+    actors = df.select(
+        F.col(actor_col).alias("actor"), actor.alias("doc")
+    ).distinct()
+    cc = connected_components(
+        edges, "src", "dst", vertices=actors.select("doc"), max_rounds=max_rounds
+    )
+    labeled = actors.join(cc, "doc")
+    sizes = labeled.groupBy("cluster").agg(
+        F.count_distinct("actor").alias("ring_actors")
+    )
+    return labeled.join(sizes, "cluster").select(
+        F.col("actor").alias(actor_col),
+        F.col("cluster").alias("ring_id"),
+        "ring_actors",
     )
