@@ -264,21 +264,24 @@ def connected_components_star(
         )
         if non_star == 0:
             labels = sym.select(F.col("hi").alias("doc"), F.col("lo").alias("cluster"))
-            if vertices is not None:
-                vcol = vertex_col or vertices.columns[0]
-                labels = (
-                    vertices.select(F.col(vcol).alias("doc"))
-                    .distinct()
-                    .join(labels, "doc", "left")
-                    .select(
-                        "doc", F.coalesce("cluster", F.col("doc")).alias("cluster")
-                    )
-                )
             # centers label themselves
             centers = labels.select(F.col("cluster").alias("doc")).distinct().join(
                 labels.select(F.col("doc")), "doc", "left_anti"
             ).select("doc", F.col("doc").alias("cluster"))
-            return labels.union(centers) if vertices is None else labels
+            out = labels.union(centers)
+            if vertices is not None:
+                # same semantics as connected_components: `vertices` ADDS
+                # isolated vertices (self-labelled); edge endpoints always
+                # stay in the output
+                vcol = vertex_col or vertices.columns[0]
+                isolated = (
+                    vertices.select(F.col(vcol).alias("doc"))
+                    .distinct()
+                    .join(out.select("doc"), "doc", "left_anti")
+                    .select("doc", F.col("doc").alias("cluster"))
+                )
+                out = out.union(isolated)
+            return out
     raise RuntimeError(
         f"connected_components_star did not converge in {max_rounds} rounds"
     )

@@ -74,3 +74,31 @@ def test_generator_fixture_smoke(spark, fraud_data):
         .count()
     )
     assert bad == 0  # ring_actors is exactly the ring's member count
+
+
+def test_variants_agree_on_bipartite_graph(spark):
+    """Both CC variants must produce identical components for the
+    entity-link graph — the vertices semantics (ADD isolated, keep edge
+    endpoints) is now shared (the propagation variant's old
+    vertices-REPLACE behavior silently stopped bipartite propagation)."""
+    from realtime_fraud_detection_spark.functions.hashing import md5_bigint
+    from realtime_fraud_detection_spark.operators.clustering import (
+        connected_components,
+        connected_components_star,
+    )
+
+    df = spark.createDataFrame(TX, "user string, device string, ip string")
+    actor = md5_bigint(F.col("user").cast("string"), salt="actor:")
+    edges = df.filter(F.col("device").isNotNull()).select(
+        actor.alias("src"),
+        md5_bigint(F.col("device").cast("string"), salt="ent:device:").alias("dst"),
+    ).unionByName(
+        df.select(
+            actor.alias("src"),
+            md5_bigint(F.col("ip").cast("string"), salt="ent:ip:").alias("dst"),
+        )
+    ).distinct()
+    verts = df.select(actor.alias("doc")).distinct()
+    a = {(r["doc"], r["cluster"]) for r in connected_components(edges, "src", "dst", vertices=verts).collect()}
+    b = {(r["doc"], r["cluster"]) for r in connected_components_star(edges, "src", "dst", vertices=verts).collect()}
+    assert a == b
