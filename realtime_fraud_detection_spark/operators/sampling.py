@@ -17,7 +17,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_bigint
@@ -100,31 +100,46 @@ def stratified_sample_sql(
     return f"({h} % {SAMPLE_BUCKETS}) < ({thr})"
 
 
+def shuffle_rank(id_col: str, epoch: int = 0, seed: str = "shuffle:") -> Column:
+    """Deterministic pseudo-random training order: the salted md5 of
+    (epoch, id). Sorting by it is a reproducible global shuffle — same
+    order on any cluster layout, any rerun — and changing `epoch` redraws
+    the permutation, which is exactly per-epoch corpus reshuffling.
+    Ties (2^-60 odds) fall back to the id via the caller's sort."""
+    return md5_bigint(
+        F.concat(F.lit(f"{seed}{epoch}:"), F.col(id_col).cast("string"))
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
     token_col: str,
     budget: int,
     stratum_col: str | None = None,
+    order_col: str | Column | None = None,
 ) -> DataFrame:
     """Assign each document a training-sequence id under a token budget.
 
-    Documents are ordered by id (deterministic); `offset` is the cumulative
+    Documents are ordered by id (deterministic) — or by `order_col`
+    (e.g. :func:`shuffle_rank` for a reproducible shuffled training
+    order; the id is always the tie-break); `offset` is the cumulative
     token count before the document, and `seq_id = floor(offset / budget)`
     — the sequence in which the document's first token lands under
     concat-and-chunk packing. Documents longer than the budget still get
     exactly one seq_id (where they start); a downstream chunker splits
     them. Adds (offset, seq_id) columns.
 
-    Scale: the window is a global sort on (stratum, id) — a range-
+    Scale: the window is a global sort on (stratum, order) — a range-
     partitioned sort-shuffle, the unavoidable cost of a globally ordered
-    layout. With `stratum_col` the sort key is (stratum, id) and each
+    layout. With `stratum_col` the sort key is (stratum, order) and each
     stratum packs its own sequence space, so skewed strata parallelize
     across their range partitions.
     """
     part = [stratum_col] if stratum_col else []
+    order = [order_col, id_col] if order_col is not None else [id_col]
     w = (
-        Window.partitionBy(*part).orderBy(id_col)
+        Window.partitionBy(*part).orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offset = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("bigint")

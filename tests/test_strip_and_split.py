@@ -76,3 +76,45 @@ def test_split_weights_must_sum_to_one(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     with pytest.raises(ValueError):
         split_by_hash(docs, "doc_id", {"a": 0.5, "b": 0.4})
+
+
+def test_shuffled_packing_reproducible_and_epoch_varying(spark):
+    """shuffle_rank gives pack_sequences a reproducible pseudo-random
+    training order: identical across reruns, different across epochs,
+    token-budget invariants intact."""
+    from realtime_fraud_detection_spark.operators.sampling import (
+        pack_sequences,
+        shuffle_rank,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").selectExpr(
+        "doc_id", "greatest(1, n_chars) AS toks"
+    )
+
+    def run(epoch):
+        return {
+            r["doc_id"]: (r["seq_id"], r["offset"])
+            for r in pack_sequences(
+                docs, "doc_id", "toks", budget=2000,
+                order_col=shuffle_rank("doc_id", epoch=epoch),
+            ).collect()
+        }
+
+    e0, e0b, e1 = run(0), run(0), run(1)
+    assert e0 == e0b  # reproducible
+    assert e0 != e1  # epoch redraws the permutation
+    # shuffled order really differs from id order
+    plain = {
+        r["doc_id"]: r["offset"]
+        for r in pack_sequences(docs, "doc_id", "toks", budget=2000).collect()
+    }
+    assert any(plain[d] != e0[d][1] for d in plain)
+    # offsets are a valid packing: sorted by offset, each doc's offset is
+    # the sum of preceding token counts
+    toks = {r["doc_id"]: r["toks"] for r in docs.collect()}
+    order = sorted(e0, key=lambda d: e0[d][1])
+    run_total = 0
+    for d in order:
+        assert e0[d][1] == run_total
+        assert e0[d][0] == run_total // 2000
+        run_total += toks[d]
