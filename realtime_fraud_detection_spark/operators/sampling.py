@@ -285,3 +285,37 @@ def split_by_hash(
         out[name] = df.filter((bucket >= lo) & (bucket < hi))
         edge = hi
     return out
+
+
+def temperature_fractions(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.3,
+    target_rows: int | None = None,
+) -> dict[str, float]:
+    """Temperature-based mixture weights (the multilingual α-sampling of
+    mBERT/XLM-R, Conneau et al. ACL'20 §3): sampling probability per
+    stratum ∝ p_s^α, flattening the natural distribution so small strata
+    (low-resource languages, rare domains) are upweighted. Returns
+    per-stratum KEEP FRACTIONS for :func:`stratified_sample`, scaled so
+    the expected output is `target_rows` (default: the input size — pure
+    rebalancing) and capped at 1.0 (sampling cannot invent rows; if the
+    cap binds, the realized mixture is as close to the α-mixture as
+    keep-only sampling allows).
+
+    One count aggregate (stratum-sized result) drives a driver-side
+    closed form — the model-sized-state rule again."""
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in df.groupBy(stratum_col).agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    if total == 0:
+        return {}
+    if target_rows is None:
+        target_rows = total
+    probs = {s: (n / total) ** alpha for s, n in counts.items()}
+    z = sum(probs.values())
+    return {
+        s: min(1.0, (probs[s] / z) * target_rows / counts[s]) for s in counts
+    }

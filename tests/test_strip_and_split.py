@@ -118,3 +118,38 @@ def test_shuffled_packing_reproducible_and_epoch_varying(spark):
         assert e0[d][1] == run_total
         assert e0[d][0] == run_total // 2000
         run_total += toks[d]
+
+
+def test_temperature_fractions_flatten_distribution(spark):
+    """α<1 upweights rare strata: the sampled mixture must sit between
+    the natural distribution and uniform, totals near target."""
+    from realtime_fraud_detection_spark.operators.sampling import (
+        stratified_sample,
+        temperature_fractions,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    natural = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(natural.values())
+    fr = temperature_fractions(docs, "lang", alpha=0.3, target_rows=total // 2)
+    assert set(fr) == set(natural) and all(0 < f <= 1.0 for f in fr.values())
+    kept = {
+        r["lang"]: r["n"]
+        for r in stratified_sample(docs, "doc_id", "lang", fr)
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    kept_total = sum(kept.values())
+    assert abs(kept_total - total // 2) < 0.15 * total  # hash-sampling noise
+    # flattening: rare strata keep a LARGER share than natural, dominant
+    # strata a smaller one
+    rare = min(natural, key=natural.get)
+    dom = max(natural, key=natural.get)
+    assert kept[rare] / kept_total > natural[rare] / total
+    assert kept[dom] / kept_total < natural[dom] / total
+    # α=1 must reproduce the natural mixture exactly (fraction constant)
+    fr1 = temperature_fractions(docs, "lang", alpha=1.0, target_rows=total // 2)
+    vals = list(fr1.values())
+    assert all(abs(v - vals[0]) < 1e-12 for v in vals)
