@@ -103,6 +103,39 @@ def main() -> None:
     n_spans = sp.count()
     t_spans = time.time() - t0
 
+    # round-4 operators: trigram LM (count tables scale with the corpus —
+    # replica-unique vocab makes them 10x too), BPE train+apply, classifier
+    # feature extraction + scoring (training excluded: its wall clock is
+    # the iteration job floor, measured flat elsewhere), BM25
+    from realtime_fraud_detection_spark.operators import quality as Q
+
+    t0 = time.time()
+    lm = Q.ngram_lm_logprob(docs, text_col="text", id_col="doc_id")
+    lm.write.format("noop").mode("overwrite").save()
+    t_ngram = time.time() - t0
+
+    t0 = time.time()
+    from realtime_fraud_detection_spark.functions import bpe as B
+
+    merges = B.train_bpe(B.word_freq_table(docs, "text"), n_merges=200)
+    B.apply_bpe(docs, "text", "doc_id", merges).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t_bpe = time.time() - t0
+
+    t0 = time.time()
+    from realtime_fraud_detection_spark.ml import text_classifier as TC
+
+    feats = TC.hashed_features(docs, "text", "doc_id", 1024, bigrams=False)
+    model = TC.LogRegModel(n_buckets=1024, bias=0.1, weights={1: 0.5, 2: -0.5})
+    TC.score_logreg(feats, model).write.format("noop").mode("overwrite").save()
+    t_clf = time.time() - t0
+
+    print(
+        f"ngram_lm={t_ngram:.1f}s bpe_train_apply={t_bpe:.1f}s "
+        f"classifier_feats_score={t_clf:.1f}s (merges={len(merges)})"
+    )
+
     t0 = time.time()
     comp_star = C.connected_components_star(
         pairs, vertices=docs.select("doc_id"), vertex_col="doc_id"
