@@ -24,13 +24,24 @@ from . import (
     features_q,
     joins_q,
     relational,
+    sketches_q,
     textml_q,
     windows_q,
 )
 
-# textml_q is rows-only and must stay AFTER dedup_q: the driver checks the
-# first 50 queries() entries, and every oracle-backed query sits there.
-_MODULES = [relational, windows_q, eventtime_q, features_q, joins_q, dedup_q, textml_q]
+# textml_q/sketches_q are rows-only and must stay AFTER dedup_q: the driver
+# checks the first 50 queries() entries, and every oracle-backed query sits
+# there.
+_MODULES = [
+    relational,
+    windows_q,
+    eventtime_q,
+    features_q,
+    joins_q,
+    dedup_q,
+    textml_q,
+    sketches_q,
+]
 
 
 def all_queries():
