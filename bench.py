@@ -53,6 +53,7 @@ HEADLINE = [
     "embedding_near_dups",
     "ann_topk",
     "ann_int8",
+    "sketch_rollup",
 ]
 
 
