@@ -225,3 +225,34 @@ def run_incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sketch_partial_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink for streaming distinct-user rollups at scale:
+    each micro-batch appends its per-hour HLL partials (fixed-size
+    DataSketches blobs) under its own batch_id partition — idempotent
+    replay by dynamic partition overwrite, the same contract as
+    `multi_sink_writer`. Downstream, `sketch_rollup_view` unions the
+    stored partials; the events themselves are never rescanned, and the
+    per-batch state that crosses the sink boundary is sketch-sized, not
+    user-set-sized (the exact-set A10 rollup can't ship at 100 TB)."""
+    path = os.path.join(out_dir, "hourly_sketches")
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.sketches import hourly_distinct_sketches
+
+        partials = hourly_distinct_sketches(batch, "ts", "user_id")
+        _write_batch_partition(partials.drop("users_est"), batch_id, path)
+
+    return write
+
+
+def sketch_rollup_view(spark, out_dir: str, grain: str = "hour") -> DataFrame:
+    """Current distinct-user estimates per `grain` from the streamed
+    partials: HLL unions re-aggregate exactly (the mergeability law
+    pinned in tests/test_sketches.py), so batch boundaries and replays
+    are invisible in the estimate."""
+    from ..operators.sketches import rollup_distinct_estimate
+
+    partials = spark.read.parquet(os.path.join(out_dir, "hourly_sketches"))
+    return rollup_distinct_estimate(partials, grain)

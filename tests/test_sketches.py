@@ -92,3 +92,56 @@ def test_keyed_sketches(spark):
     for r in day.collect():
         n = exact[(r["event_type"], r["day"])]
         assert abs(r["users_est"] - n) <= max(2, 0.05 * n)
+
+
+def test_streaming_partials_match_batch_estimates(spark, tmp_path):
+    """Stream the events through the sketch sink in several micro-batches:
+    the rolled-up view must equal the batch hourly estimates exactly
+    (mergeability across batch boundaries), and replaying a batch must
+    not change anything (idempotent partition overwrite)."""
+    from realtime_fraud_detection_spark.streaming.sinks import (
+        sketch_partial_writer,
+        sketch_rollup_view,
+    )
+
+    ev = _events(spark)
+    src = str(tmp_path / "events_src")
+    ev.repartition(4).write.parquet(src)  # 4 files → several micro-batches
+    out = str(tmp_path / "out")
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sketch_partial_writer(out))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    streamed = {
+        r["hour"]: r["users_est"]
+        for r in sketch_rollup_view(spark, out, "hour").collect()
+    }
+    batch = {
+        r["hour"]: r["users_est"]
+        for r in hourly_distinct_sketches(ev, "ts", "user_id").collect()
+    }
+    assert streamed == batch
+
+    # replay batch 0 (same data, same id): the second write overwrites
+    # the partition with identical content — estimates must not move
+    writer = sketch_partial_writer(out)
+    replay = spark.read.parquet(src).limit(250)
+    writer(replay, 0)
+    after_first = {
+        r["hour"]: r["users_est"]
+        for r in sketch_rollup_view(spark, out, "hour").collect()
+    }
+    writer(replay, 0)
+    after_second = {
+        r["hour"]: r["users_est"]
+        for r in sketch_rollup_view(spark, out, "hour").collect()
+    }
+    assert after_first == after_second
