@@ -50,7 +50,12 @@ def main() -> None:
         tx.withColumn("card_type", F.lit("visa"))
         .withColumn("card_last_four", F.lit("0000"))
         .withColumn("ip_address", F.lit("198.51.100.7"))
-        .withColumn("device_id", F.lit("dev-0"))
+        # ~40 devices over ~300 users → users sharing a device form rings
+        # (the post-stream entity-link investigation below finds them)
+        .withColumn(
+            "device_id",
+            F.concat(F.lit("dev-"), (F.crc32(F.col("user_id")) % 40).cast("string")),
+        )
         .withColumn("device_fingerprint", F.concat(F.lit("fp-"), F.col("user_id")))
         .withColumn("user_agent", F.lit("Mozilla/5.0 (X11; Linux x86_64)"))
         .withColumn(
@@ -96,8 +101,37 @@ def main() -> None:
             f"{(b['rows_per_sec'] or 0):>10.0f} rows/s  {b['batch_duration_ms']} ms"
         )
     alerts = spark.read.parquet(os.path.join(out, "fraud_alerts")).count()
-    enriched = spark.read.parquet(os.path.join(out, "transaction_enriched")).count()
+    enriched_df = spark.read.parquet(os.path.join(out, "transaction_enriched"))
+    enriched = enriched_df.count()
     print(f"TOTAL processed={total}  enriched={enriched}  alerts={alerts}")
+
+    # post-hoc investigation over the streamed output: shared-entity
+    # fraud rings (users linked through devices) + sketch-based distinct
+    # users per minute from the enriched log
+    from realtime_fraud_detection_spark.operators.clustering import (
+        entity_link_rings,
+    )
+    from realtime_fraud_detection_spark.operators.sketches import (
+        hourly_distinct_sketches,
+    )
+
+    rings = entity_link_rings(enriched_df, "user_id", ["device_id"])
+    top = (
+        rings.groupBy("ring_id", "ring_actors")
+        .count()
+        .orderBy(F.desc("ring_actors"), "ring_id")
+        .first()
+    )
+    n_rings = rings.select("ring_id").distinct().count()
+    du = (
+        hourly_distinct_sketches(enriched_df, "ts", "user_id")
+        .agg(F.sum("users_est"))
+        .first()[0]
+    )
+    print(
+        f"rings={n_rings}  largest_ring={top['ring_actors']} users  "
+        f"distinct-user est (hourly sketches)={du}"
+    )
     spark.stop()
 
 
