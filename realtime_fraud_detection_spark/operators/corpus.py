@@ -151,3 +151,42 @@ def vocab_summary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).alias("hapax_terms"),
         F.round(F.count("*") / F.sum("tf"), 6).alias("type_token_ratio"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Release-to-release corpus diff: per document id, whether it was
+    added, removed, kept unchanged, or changed content — the audit table
+    behind "what moved between corpus v1 and v2" (and the input to
+    incremental re-processing: only `added`/`changed` docs need to re-run
+    the expensive pipeline stages).
+
+    Identity is the document id; change detection is the content
+    fingerprint (md5 of normalized text — functions/text.fingerprint, so
+    whitespace/punctuation-only edits count as unchanged, same identity
+    rule as exact dedup).
+
+    One full-outer join on the id, carrying (id, 32-byte fingerprint) per
+    side — never the text. Status is deterministic; the frame aggregates
+    to release-note counts with one groupBy.
+    """
+    from ..functions.text import fingerprint
+
+    o = old.select(
+        F.col(id_col).alias("doc"), fingerprint(F.col(text_col)).alias("_fp_old")
+    )
+    n = new.select(
+        F.col(id_col).alias("doc"), fingerprint(F.col(text_col)).alias("_fp_new")
+    )
+    return o.join(n, "doc", "full_outer").select(
+        "doc",
+        F.when(F.col("_fp_old").isNull(), "added")
+        .when(F.col("_fp_new").isNull(), "removed")
+        .when(F.col("_fp_old") == F.col("_fp_new"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )

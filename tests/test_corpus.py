@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from realtime_fraud_detection_spark.operators import corpus as CO
 
 ROWS = [
@@ -171,3 +173,53 @@ SELECT q_id, doc, rank, score FROM (
     assert set(got) == set(want)
     for key in got:
         assert got[key][1] == pytest.approx(want[key][1], abs=2e-6), key
+
+
+def test_corpus_diff_statuses(spark):
+    from realtime_fraud_detection_spark.operators.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "same text"), (2, "will change"), (3, "goes away"),
+         (4, "Same,   TEXT?")],  # id 4: normalization-invariant edit target
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same text"), (2, "has changed"), (5, "brand new"),
+         (4, "same text")],  # fingerprint equals its old normalized form
+        "doc_id long, text string",
+    )
+    got = {r["doc"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "unchanged",  # punctuation/case-only difference is no change
+        5: "added",
+    }
+
+
+def test_corpus_diff_fixture_self_identity(spark):
+    from realtime_fraud_detection_spark.operators.corpus import corpus_diff
+    from realtime_fraud_detection_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    against_self = corpus_diff(docs, docs)
+    counts = {
+        r["status"]: r["n"]
+        for r in against_self.groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"unchanged": docs.count()}
+    # drop 10, mutate 5 → exact release-note counts
+    new = docs.filter("doc_id >= 10").withColumn(
+        "text",
+        F.when(F.col("doc_id") < 15, F.concat(F.col("text"), F.lit(" zz9mut"))).otherwise(
+            F.col("text")
+        ),
+    )
+    counts = {
+        r["status"]: r["n"]
+        for r in corpus_diff(docs, new).groupBy("status").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["removed"] == 10 and counts["changed"] == 5
+    assert counts["unchanged"] == docs.count() - 15
