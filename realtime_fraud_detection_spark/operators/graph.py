@@ -64,14 +64,21 @@ def pagerank(
     )
     ranks = verts.join(out_deg, "v", "left").select(
         "v", F.lit(1.0 / n).alias("rank"), F.coalesce("out_deg", F.lit(0)).alias("out_deg")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
 
     for _ in range(iters):
-        # dangling mass: ranks of vertices with no out-edges (one scalar)
+        # dangling mass: ranks of vertices with no out-edges. The scalar's
+        # full-scan aggregate ALSO materializes the lazy checkpoint — one
+        # job per round instead of two (the CC convergence-probe rule;
+        # the conditional sum reads every partition, no short-circuit)
         dangling = (
-            ranks.filter(F.col("out_deg") == 0)
-            .agg(F.sum(F.col("rank").cast(_DEC)).alias("m"))
-            .first()["m"]
+            ranks.agg(
+                F.sum(
+                    F.when(F.col("out_deg") == 0, F.col("rank"))
+                    .otherwise(F.lit(0.0))
+                    .cast(_DEC)
+                ).alias("m")
+            ).first()["m"]
         )
         dangling = float(dangling or 0.0)
         contribs = (
@@ -91,6 +98,6 @@ def pagerank(
                 ),
                 "out_deg",
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return ranks.select("v", "rank")

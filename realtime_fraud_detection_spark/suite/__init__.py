@@ -22,6 +22,7 @@ from . import (
     dedup_q,
     eventtime_q,
     features_q,
+    graph_q,
     joins_q,
     relational,
     sketches_q,
@@ -41,6 +42,7 @@ _MODULES = [
     dedup_q,
     textml_q,
     sketches_q,
+    graph_q,
 ]
 
 

@@ -69,6 +69,9 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # DataSketches HLL estimates have no DuckDB twin; accuracy +
         # mergeability law pinned in tests/test_sketches.py
         "sketch_rollup",
+        # iterative power iteration — no SQL form; exact Python replay
+        # in tests/test_pagerank.py
+        "pagerank",
     }
     missing = set(QUERIES) - set(ORACLES) - approximate
     assert not missing, f"queries without oracle: {missing}"
