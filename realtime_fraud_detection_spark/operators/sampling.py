@@ -309,6 +309,17 @@ def temperature_fractions(
         r[stratum_col]: r["n"]
         for r in df.groupBy(stratum_col).agg(F.count("*").alias("n")).collect()
     }
+    return temperature_fractions_from_counts(counts, alpha, target_rows)
+
+
+def temperature_fractions_from_counts(
+    counts: dict[str, int],
+    alpha: float = 0.3,
+    target_rows: int | None = None,
+) -> dict[str, float]:
+    """The pure closed form behind :func:`temperature_fractions`
+    (property-tested in isolation): fraction_s ∝ n_s^(α−1) — for α<1
+    smaller strata always get the larger keep fraction."""
     total = sum(counts.values())
     if total == 0:
         return {}

@@ -153,3 +153,40 @@ def test_temperature_fractions_flatten_distribution(spark):
     fr1 = temperature_fractions(docs, "lang", alpha=1.0, target_rows=total // 2)
     vals = list(fr1.values())
     assert all(abs(v - vals[0]) < 1e-12 for v in vals)
+
+
+def test_temperature_fraction_properties():
+    """Pure-form properties for ANY stratum histogram (no Spark):
+    fractions in (0,1]; α<1 gives smaller strata >= fractions (f ∝
+    n^(α−1)); α=1 is a constant fraction; uncapped expected rows hit the
+    target exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from realtime_fraud_detection_spark.operators.sampling import (
+        temperature_fractions_from_counts,
+    )
+
+    hist = st.dictionaries(
+        st.text("abc", min_size=1, max_size=3),
+        st.integers(min_value=1, max_value=10_000),
+        min_size=1,
+        max_size=8,
+    )
+
+    @given(hist, st.floats(min_value=0.1, max_value=0.99))
+    @settings(max_examples=300, deadline=None)
+    def check(counts, alpha):
+        total = sum(counts.values())
+        fr = temperature_fractions_from_counts(counts, alpha, total // 2 or 1)
+        assert set(fr) == set(counts)
+        assert all(0 < f <= 1.0 for f in fr.values())
+        for a in counts:
+            for b in counts:
+                if counts[a] < counts[b]:
+                    assert fr[a] >= fr[b] - 1e-12
+        if all(f < 1.0 for f in fr.values()):  # cap not binding anywhere
+            expected = sum(fr[s] * counts[s] for s in counts)
+            assert expected == pytest.approx(total // 2 or 1, rel=1e-9)
+
+    check()
