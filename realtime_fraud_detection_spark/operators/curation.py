@@ -1,0 +1,105 @@
+"""The composed corpus-curation pipeline — the one-call form of the gate
+stack the example wires by hand, for users who want "the standard clean"
+rather than individual operators:
+
+    raw → heuristic quality gate (C4/Gopher-style score)
+        → Gopher repetition gate
+        → C4 page rules
+        → exact dedup (content-fingerprint survivors)
+        → [optional] near-dup dedup (SimHash Hamming pairs → CC survivors)
+        → [optional] cross-doc boilerplate line stripping
+
+Every stage is one of this repo's tested operators; this module only
+sequences them and counts what each gate removed (driver state = a few
+scalars — the funnel report). Stage counts force one action per stage;
+pass `report=False` to build the plan fully lazily instead (one action
+total downstream, no intermediate counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, quality_score
+from . import quality as Q
+
+
+def clean_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    gopher: bool = True,
+    c4: bool = True,
+    near_dup: bool = False,
+    max_hamming: int = 4,
+    strip_boilerplate: bool = False,
+    boilerplate_min_docs: int = 2,
+    report: bool = True,
+) -> tuple[DataFrame, dict[str, int]]:
+    """(clean_docs, funnel) — `funnel` maps stage name → surviving doc
+    count (empty when `report=False`). Survivor choice is deterministic
+    everywhere (min id per fingerprint / component)."""
+    funnel: dict[str, int] = {}
+
+    def note(stage: str, df: DataFrame) -> DataFrame:
+        if report:
+            funnel[stage] = df.count()
+        return df
+
+    out = note("input", docs)
+
+    out = note(
+        "quality_gate",
+        out.filter(quality_score(F.col(text_col)) >= min_quality),
+    )
+
+    if gopher:
+        rep = Q.repetition_stats(out, text_col, id_col)
+        keep = rep.filter(Q.gopher_repetition_pass(rep)).select(id_col)
+        out = note("gopher_gate", out.join(keep, id_col, "left_semi"))
+
+    if c4:
+        stats = Q.c4_line_stats(out, text_col, id_col)
+        keep = stats.filter(Q.c4_page_pass(stats)).select(
+            F.col("doc").alias(id_col)
+        )
+        out = note("c4_gate", out.join(keep, id_col, "left_semi"))
+
+    # exact dedup: keep the minimum id per content fingerprint
+    fp = out.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("_fp")
+    )
+    survivors = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    out = note("exact_dedup", out.join(survivors, id_col, "left_semi"))
+
+    if near_dup:
+        from . import clustering as C
+        from . import dedup as D
+
+        pairs = D.simhash_near_dup_pairs(
+            out, text_col, id_col, max_hamming=max_hamming
+        )
+        comp = C.connected_components(
+            pairs, vertices=out.select(id_col), vertex_col=id_col
+        )
+        keep = comp.groupBy("cluster").agg(F.min("doc").alias(id_col)).select(id_col)
+        out = note("near_dup", out.join(keep, id_col, "left_semi"))
+
+    if strip_boilerplate:
+        stripped = Q.strip_boilerplate_lines(
+            out, text_col, id_col, min_docs=boilerplate_min_docs
+        )
+        out = note(
+            "boilerplate_strip",
+            out.drop(text_col).join(
+                stripped.select(
+                    F.col("doc").alias(id_col),
+                    F.col("stripped_text").alias(text_col),
+                ),
+                id_col,
+            ),
+        )
+
+    return out, funnel

@@ -1,0 +1,99 @@
+"""Composed corpus curation (operators/curation.py): funnel monotonicity,
+stage flags, deterministic survivors, equivalence of each stage with its
+standalone operator, and the lazy (report=False) path."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from realtime_fraud_detection_spark.operators.curation import clean_corpus
+from realtime_fraud_detection_spark.sources.testdata import load_table
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMOKE, "documents", fan_out=True)
+
+
+def test_funnel_monotone_and_stages_present(spark):
+    docs = _docs(spark)
+    # c4 off: the synthetic fixture has no sentence-final punctuation, so
+    # the C4 page rule (correctly) removes every doc — exercised on a
+    # punctuated corpus in test_c4_gate_applies below
+    out, funnel = clean_corpus(docs, c4=False, near_dup=True)
+    stages = list(funnel)
+    assert stages == ["input", "quality_gate", "gopher_gate",
+                      "exact_dedup", "near_dup"]
+    vals = list(funnel.values())
+    assert all(a >= b for a, b in zip(vals, vals[1:]))  # gates only remove
+    assert funnel["input"] == docs.count()
+    assert funnel["near_dup"] > 0
+    assert out.count() == funnel["near_dup"]
+    assert out.columns == docs.columns
+
+
+def test_flags_disable_stages(spark):
+    docs = _docs(spark)
+    _, funnel = clean_corpus(docs, gopher=False, c4=False)
+    assert list(funnel) == ["input", "quality_gate", "exact_dedup"]
+
+
+def test_matches_standalone_operators(spark):
+    """The composition must equal applying the operators by hand."""
+    from realtime_fraud_detection_spark.functions.text import (
+        fingerprint,
+        quality_score,
+    )
+    from realtime_fraud_detection_spark.operators import quality as Q
+
+    docs = _docs(spark)
+    out, _ = clean_corpus(docs, c4=False, near_dup=False)
+
+    manual = docs.filter(quality_score(F.col("text")) >= 0.3)
+    rep = Q.repetition_stats(manual)
+    manual = manual.join(
+        rep.filter(Q.gopher_repetition_pass(rep)).select("doc_id"),
+        "doc_id", "left_semi",
+    )
+    fp = manual.select("doc_id", fingerprint(F.col("text")).alias("f"))
+    keep = fp.groupBy("f").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    manual = manual.join(keep, "doc_id", "left_semi")
+
+    assert {r["doc_id"] for r in out.select("doc_id").collect()} == {
+        r["doc_id"] for r in manual.select("doc_id").collect()
+    }
+
+
+def test_lazy_path_no_counts(spark):
+    docs = _docs(spark)
+    out, funnel = clean_corpus(docs, c4=False, report=False)
+    assert funnel == {}
+    assert out.count() > 0  # single action, plan built fully lazily
+
+
+def test_boilerplate_strip_stage(spark):
+    docs = spark.createDataFrame(
+        [(1, "COMMON FOOTER\nlong unique sentence about streams here."),
+         (2, "COMMON FOOTER\nanother long unique sentence about state."),
+         (3, "a third long unique sentence, original through and through.")],
+        "doc_id long, text string",
+    )
+    out, funnel = clean_corpus(
+        docs, min_quality=0.0, gopher=False, c4=False,
+        strip_boilerplate=True,
+    )
+    texts = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert "COMMON FOOTER" not in texts[1] and "COMMON FOOTER" not in texts[2]
+    assert "original" in texts[3]
+    assert funnel["boilerplate_strip"] == 3  # stripping never drops docs
+
+
+def test_c4_gate_applies(spark):
+    good = "this is a proper sentence with enough words in it.\n" * 4
+    docs = spark.createDataFrame(
+        [(1, good), (2, "word salad lines no punctuation at all\nmore salad")],
+        "doc_id long, text string",
+    )
+    out, funnel = clean_corpus(docs, min_quality=0.0, gopher=False)
+    assert funnel["c4_gate"] == 1
+    assert [r["doc_id"] for r in out.collect()] == [1]
