@@ -97,3 +97,61 @@ def test_c4_gate_applies(spark):
     out, funnel = clean_corpus(docs, min_quality=0.0, gopher=False)
     assert funnel["c4_gate"] == 1
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_incremental_curation_via_corpus_diff(spark):
+    """The incremental release flow: diff v2 against v1, re-curate ONLY
+    added/changed docs, and splice them with v1's still-valid survivors —
+    result must equal curating v2 from scratch (same gates, same
+    deterministic survivor rule, no cross-doc stage enabled)."""
+    from realtime_fraud_detection_spark.operators.corpus import corpus_diff
+
+    v1 = _docs(spark)
+    # v2: drop 20 docs, mutate 10, add 5 new
+    v2 = (
+        v1.filter("doc_id >= 20")
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") < 30, F.concat(F.col("text"), F.lit(" extra tail words"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            v1.limit(5).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "text", "lang", "source", "n_chars",
+            )
+        )
+    ).localCheckpoint()
+
+    full, _ = clean_corpus(v2, c4=False, report=False)
+
+    diff = corpus_diff(v1, v2)
+    dirty = v2.join(
+        diff.filter(F.col("status").isin("added", "changed")).select(
+            F.col("doc").alias("doc_id")
+        ),
+        "doc_id", "left_semi",
+    )
+    clean_v1, _ = clean_corpus(v1, c4=False, report=False)
+    keep_old = clean_v1.join(
+        diff.filter(F.col("status") == "unchanged").select(F.col("doc").alias("doc_id")),
+        "doc_id", "left_semi",
+    )
+    clean_dirty, _ = clean_corpus(dirty, c4=False, report=False)
+    # the cross-slice step that makes incremental dedup correct: a dirty
+    # doc whose fingerprint already lives in the kept corpus is a dup of
+    # a surviving doc (the added docs here are copies of unchanged ones)
+    # — same new-vs-corpus probe shape as minhash_lsh_candidates_incremental
+    from realtime_fraud_detection_spark.functions.text import fingerprint
+
+    clean_dirty = clean_dirty.join(
+        keep_old.select(fingerprint(F.col("text")).alias("_fp")).distinct(),
+        fingerprint(F.col("text")) == F.col("_fp"),
+        "left_anti",
+    )
+    incremental = keep_old.unionByName(clean_dirty)
+
+    assert {r["doc_id"] for r in incremental.select("doc_id").collect()} == {
+        r["doc_id"] for r in full.select("doc_id").collect()
+    }
