@@ -232,6 +232,17 @@ def main() -> None:
         F.sum(F.aggregate("tokens", F.lit(0), lambda a, t: a + F.length(t))).alias("chars"),
     ).first()
 
+    # 9. the productized form: one-call curation funnel + named hash
+    # splits (everything above, sequenced by operators/curation.py)
+    from realtime_fraud_detection_spark.operators.curation import clean_corpus
+    from realtime_fraud_detection_spark.operators.sampling import split_by_hash
+
+    cleaned, funnel = clean_corpus(docs, c4=False)  # word-salad corpus: no C4 punctuation
+    splits = split_by_hash(
+        cleaned, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    split_sizes = {k: v.count() for k, v in splits.items()}
+
     print(f"documents            {n_docs}")
     print(f"quality-gated        {n_gated}  ({n_docs - n_gated} filtered)")
     print(f"gopher-repetition    {n_gopher}  pass  ({n_docs - n_gopher} repetitious)")
@@ -255,6 +266,8 @@ def main() -> None:
     print(f"low-trigram-LM       {n_low_sb}  (bottom 5% Stupid Backoff logprob vs survivor LM)")
     print(f"ccnet buckets        head {buckets.get('head', 0)} / middle {buckets.get('middle', 0)} / tail {buckets.get('tail', 0)}")
     print(f"bpe tokens           {bpe_stats['tok']}  ({len(merges)} merges, {bpe_stats['chars']} chars in tokens)")
+    print(f"one-call curation    {' -> '.join(f'{k}:{v}' for k, v in funnel.items())}")
+    print(f"hash splits          {split_sizes}")
     print(f"wall clock           {time.time() - t0:.1f}s")
     spark.stop()
 
