@@ -54,7 +54,19 @@ HEADLINE = [
     "ann_topk",
     "ann_int8",
     "sketch_rollup",
+    # round-5: previously unbenched families (regressions were invisible)
+    "ann_lsh",
+    "ann_ivf",
+    "semantic_dedup",
+    "text_classifier",
+    "pagerank",
 ]
+
+# Iterative queries (CC / power-iteration loops) have documented ±2 s
+# run-to-run noise on local[32] (SCALE.md) — a single run cannot
+# distinguish noise from regression, so these record the MEDIAN of 3
+# trials within the same session.
+ITERATIVE = {"dedup_clusters", "pagerank", "semantic_dedup"}
 
 
 def _velocity_sliding_approx(spark, sf_dir):
@@ -114,10 +126,14 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs.get(name) or EXTRA[name]
-        t0 = time.time()
+        trials = 3 if name in ITERATIVE else 1
+        runs: list[float] = []
         try:
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(trials):
+                t0 = time.time()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+            timings[name] = sorted(runs)[len(runs) // 2]  # median
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 

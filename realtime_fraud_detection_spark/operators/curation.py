@@ -56,7 +56,10 @@ def clean_corpus(
     )
 
     if gopher:
-        rep = Q.repetition_stats(out, text_col, id_col)
+        # one tokenize for chars + all three gram subtrees (quality_filters
+        # one-tokenize rule; repetition_stats would otherwise normalize 4x)
+        words = Q.word_table(out, text_col, id_col).localCheckpoint(eager=False)
+        rep = Q.repetition_stats(out, text_col, id_col, words=words)
         keep = rep.filter(Q.gopher_repetition_pass(rep)).select(id_col)
         out = note("gopher_gate", out.join(keep, id_col, "left_semi"))
 

@@ -35,7 +35,66 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized_text
-from .dedup import shingle_table
+from .dedup import _shingles_from_words, shingle_table
+
+
+def word_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, chars, ws) — the corpus tokenized ONCE.
+
+    Tokenization (lowercase + strip-non-alnum + split) is the dominant
+    per-byte CPU cost of the quality-signal family; a query that derives
+    several signals from the same corpus should build this frame once,
+    `localCheckpoint(eager=False)` it, and pass it to
+    :func:`repetition_stats` / :func:`token_frequency_stats` /
+    :func:`contamination_stats` via their ``words=`` parameter instead of
+    letting each subtree re-tokenize. ``ws`` is byte-identical to the
+    staged array inside :func:`~..operators.dedup.shingle_table`
+    (same trim+normalize+split expression), so derived grams match the
+    per-operator forms exactly. ``chars`` is the normalized-text length
+    used by the Gopher char-fraction denominators.
+
+    The normalized text is staged as its own bound column with two
+    references (length + split) so CollapseProject cannot re-inline the
+    regexp into both consumers (CLAUDE.md staging rule).
+    """
+    staged = df.select(
+        F.col(id_col).alias("doc"),
+        F.trim(normalized_text(F.col(text_col))).alias("_norm"),
+    )
+    return staged.select(
+        "doc",
+        F.length("_norm").alias("chars"),
+        F.split(F.col("_norm"), r"\s+").alias("ws"),
+    )
+
+
+def grams_from_words(words: DataFrame, k: int) -> DataFrame:
+    """(doc, s) exploded word k-grams from a :func:`word_table` frame —
+    the shared-tokenization twin of ``shingle_table(..., exploded=True)``
+    (identical output; the word split is read from ``ws`` instead of
+    recomputed). The generator expression is the cheap shingle transform
+    over a bound array column, which is the tolerable Generate shape
+    (CLAUDE.md: cost = per-element-cost x array-length)."""
+    sh = _shingles_from_words(F.col("ws"), k)
+    return words.select("doc", F.explode(sh).alias("s"))
+
+
+def line_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, line) — trimmed non-empty lines, split ONCE. Pass to
+    :func:`c4_line_stats` / :func:`boilerplate_line_stats` via ``lines=``
+    when both run over the same corpus."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+        )
+        .withColumn("line", F.trim(F.col("line")))
+        .filter(F.length("line") > 0)
+    )
 
 # Gopher table A1 thresholds (duplicate-line fraction; top-n-gram and
 # duplicate-n-gram character fractions)
@@ -45,13 +104,16 @@ GOPHER_TOP_NGRAM_CHAR_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_NGRAM_CHAR_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
-def _line_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def _line_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lines: DataFrame | None = None,
+) -> DataFrame:
     """Per-doc duplicate-line stats via explode(lines) → count per distinct
     line → one aggregate. Shuffles (doc, line-hash) — never the document."""
-    lines = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.split(F.col(text_col), "\n")).alias("line"),
-    ).withColumn("line", F.trim(F.col("line"))).filter(F.length("line") > 0)
+    if lines is None:
+        lines = line_table(df, text_col, id_col)
     per_line = lines.groupBy("doc", "line").agg(F.count("*").alias("cnt"))
     return per_line.groupBy("doc").agg(
         F.sum("cnt").alias("n_lines"),
@@ -63,11 +125,20 @@ def _line_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _ngram_stats(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+def _ngram_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    words: DataFrame | None = None,
+) -> DataFrame:
     """Per-doc n-gram dominance: explode word n-grams (shingle_table — the
-    staged, codegen-friendly form) → count per distinct gram → aggregate
-    max/dup character mass."""
-    grams = shingle_table(df, text_col, id_col, k=n, exploded=True)
+    staged, codegen-friendly form, or the shared :func:`word_table` when
+    given) → count per distinct gram → aggregate max/dup character mass."""
+    if words is not None:
+        grams = grams_from_words(words, n)
+    else:
+        grams = shingle_table(df, text_col, id_col, k=n, exploded=True)
     per_gram = grams.groupBy("doc", "s").agg(F.count("*").alias("cnt"))
     return per_gram.groupBy("doc").agg(
         F.max(F.col("cnt") * F.length("s")).alias(f"top{n}_mass"),
@@ -84,19 +155,30 @@ def repetition_stats(
     id_col: str = "doc_id",
     top_ns: tuple[int, ...] = (2, 3),
     dup_ns: tuple[int, ...] = (5,),
+    words: DataFrame | None = None,
+    lines: DataFrame | None = None,
 ) -> DataFrame:
     """Gopher-style repetition signals, one row per document.
+
+    ``words`` / ``lines``: optional pre-tokenized :func:`word_table` /
+    :func:`line_table` frames shared across signal subtrees — without
+    them every n in ``top_ns + dup_ns`` re-tokenizes the corpus.
 
     Fractions are rounded to 6 dp (cross-engine transcendental rule does
     not apply — these are ratios of exact integer masses — but rounding
     pins double formatting on both engines)."""
-    chars = df.select(
-        F.col(id_col).alias("doc"),
-        F.length(F.trim(normalized_text(F.col(text_col)))).alias("chars"),
-    )
-    out = chars.join(_line_stats(df, text_col, id_col), "doc", "left")
+    if words is not None:
+        chars = words.select("doc", "chars")
+    else:
+        chars = df.select(
+            F.col(id_col).alias("doc"),
+            F.length(F.trim(normalized_text(F.col(text_col)))).alias("chars"),
+        )
+    out = chars.join(_line_stats(df, text_col, id_col, lines=lines), "doc", "left")
     for n in top_ns + tuple(d for d in dup_ns if d not in top_ns):
-        out = out.join(_ngram_stats(df, text_col, id_col, n), "doc", "left")
+        out = out.join(
+            _ngram_stats(df, text_col, id_col, n, words=words), "doc", "left"
+        )
 
     def frac(num: Column, den: Column) -> Column:
         return F.round(
@@ -134,7 +216,12 @@ C4_MIN_WORDS_PER_LINE = 5
 C4_MIN_KEPT_LINES = 3
 
 
-def c4_line_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def c4_line_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lines: DataFrame | None = None,
+) -> DataFrame:
     """Per-doc C4 cleaning signals: explode(lines) → per-line flags →
     one aggregate (same shuffle shape as :func:`_line_stats`).
 
@@ -142,16 +229,11 @@ def c4_line_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     least 5 words, and does not mention javascript; a page survives when it
     has >= 3 kept lines, no "lorem ipsum", and no '{'. The doc-level
     substring flags are pure projections computed here alongside the line
-    aggregate so the caller gets one frame.
+    aggregate so the caller gets one frame. ``lines``: optional shared
+    :func:`line_table` frame (skips the line split).
     """
-    lines = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
-        )
-        .withColumn("line", F.trim(F.col("line")))
-        .filter(F.length("line") > 0)
-    )
+    if lines is None:
+        lines = line_table(df, text_col, id_col)
     terminal = F.col("line").rlike('[.!?"]$')
     words = F.size(F.split(F.col("line"), r"\s+"))
     js = F.lower(F.col("line")).contains("javascript")
@@ -181,7 +263,11 @@ def c4_line_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def boilerplate_line_stats(
-    df: DataFrame, text_col: str, id_col: str, min_docs: int = 2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_docs: int = 2,
+    lines: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document boilerplate detection — C4's corpus-level span dedup
     at line granularity: a line occurring in >= `min_docs` DISTINCT
@@ -194,16 +280,11 @@ def boilerplate_line_stats(
     exploded table → per-doc aggregate. The corpus-wide line table is the
     only global state and it is vocabulary-sized, not corpus-sized; at
     real scale hash the line (`md5`) before the groupBy so the shuffle
-    carries a fixed-width key instead of the line text.
+    carries a fixed-width key instead of the line text. ``lines``:
+    optional shared :func:`line_table` frame (skips the line split).
     """
-    lines = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
-        )
-        .withColumn("line", F.trim(F.col("line")))
-        .filter(F.length("line") > 0)
-    )
+    if lines is None:
+        lines = line_table(df, text_col, id_col)
     line_df = lines.groupBy("line").agg(F.count_distinct("doc").alias("line_df"))
     return (
         lines.join(line_df, "line")
@@ -241,6 +322,8 @@ def contamination_stats(
     id_col: str = "doc_id",
     bench_text_col: str = "text",
     n: int = 8,
+    words: DataFrame | None = None,
+    bench_words: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark decontamination — flag training documents that contain
     word n-grams from an evaluation set (the standard n-gram overlap
@@ -251,13 +334,21 @@ def contamination_stats(
     broadcast hash set map-side; no shuffle of corpus data at all. Returns
     (doc, n_contaminated_grams, contaminated) per document — filter on
     `contaminated` (any hit) or threshold the count for fuzzy overlap.
+    ``words`` / ``bench_words``: optional shared :func:`word_table`
+    frames for the corpus / benchmark side.
     """
-    bench_grams = (
-        shingle_table(benchmark, bench_text_col, id_col, k=n, exploded=True)
-        .select("s")
-        .distinct()
-    )
-    doc_grams = shingle_table(df, text_col, id_col, k=n, exploded=True)
+    if bench_words is not None:
+        bench_grams = grams_from_words(bench_words, n).select("s").distinct()
+    else:
+        bench_grams = (
+            shingle_table(benchmark, bench_text_col, id_col, k=n, exploded=True)
+            .select("s")
+            .distinct()
+        )
+    if words is not None:
+        doc_grams = grams_from_words(words, n)
+    else:
+        doc_grams = shingle_table(df, text_col, id_col, k=n, exploded=True)
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "s", "left_semi")
         .groupBy("doc")
@@ -289,6 +380,7 @@ def token_frequency_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     rare_max_tf: int = 2,
+    words: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-relative token-frequency quality signals — the exact-integer
     core of CCNet's LM filtering (Wenzek et al., "CCNet: Extracting High
@@ -310,8 +402,12 @@ def token_frequency_stats(
     Scale shape: token text shuffles ONCE (doc-term counts); the term
     table aggregate and the doc-terms x tf join shuffle on the term with
     map-side combine; the final aggregate shuffles (doc, 5 numbers).
+    ``words``: optional shared :func:`word_table` frame.
     """
-    toks = shingle_table(df, text_col, id_col, k=1, exploded=True)
+    if words is not None:
+        toks = grams_from_words(words, 1)
+    else:
+        toks = shingle_table(df, text_col, id_col, k=1, exploded=True)
     dt = toks.groupBy("doc", "s").agg(F.count("*").alias("_c"))
     tf = dt.groupBy("s").agg(F.sum("_c").alias("_tf"))
     per_doc = (
@@ -574,54 +670,55 @@ def strip_boilerplate_lines(
 
     Output: (doc, stripped_text, n_lines_removed) — empty docs survive
     with empty text (the caller decides whether to drop them; removal
-    must never silently lose rows).
+    must never silently lose rows). Surviving lines are reassembled
+    BYTE-IDENTICAL to the original document: boilerplate identity keys
+    on md5(trim(line)) but blank lines and per-line leading/trailing
+    whitespace are preserved, so a doc with zero boilerplate round-trips
+    unchanged (no silent normalization — blank-only lines are never
+    boilerplate candidates regardless of how many docs contain them).
 
     Shape: posexplode keeps line order; the corpus line table (hashed —
     the shuffle key is a fixed-width md5, not the line text, per the
-    stats function's scale note) anti-joins the boilerplate subset;
-    reassembly is one per-doc sort-aggregate of the surviving lines —
-    array_agg over (pos, line) structs, sorted, joined. One extra
-    shuffle over the stats pass, keyed by doc.
+    stats function's scale note) LEFT-joins the boilerplate subset to
+    flag removals; reassembly is one per-doc sort-aggregate of the
+    surviving original lines — array_agg over (pos, line) structs,
+    sorted, joined. One extra shuffle over the stats pass, keyed by doc.
     """
-    lines = (
-        df.select(
-            F.col(id_col).alias("doc"),
-            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-        )
-        .withColumn("line", F.trim(F.col("line")))
-        .filter(F.length("line") > 0)
-        .withColumn("lh", F.md5(F.col("line")))
-    )
+    lines = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lh", F.md5(F.trim(F.col("line"))))
     boiler = (
-        lines.groupBy("lh")
+        lines.filter(F.length(F.trim(F.col("line"))) > 0)
+        .groupBy("lh")
         .agg(F.count_distinct("doc").alias("line_df"))
         .filter(F.col("line_df") >= min_docs)
-        .select("lh")
+        .select("lh", F.lit(True).alias("_boiler"))
     )
-    kept = lines.join(boiler, "lh", "left_anti")
-    rebuilt = kept.groupBy("doc").agg(
+    flagged = lines.join(boiler, "lh", "left")
+    rebuilt = flagged.groupBy("doc").agg(
         F.concat_ws(
             "\n",
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    F.collect_list(
+                        F.when(
+                            F.col("_boiler").isNull(),
+                            F.struct(F.col("pos"), F.col("line")),
+                        )
+                    )
                 ),
                 lambda s: s["line"],
             ),
         ).alias("stripped_text"),
-        F.count("*").alias("_n_kept"),
+        F.sum(F.when(F.col("_boiler"), 1).otherwise(0)).alias("n_lines_removed"),
     )
-    totals = lines.groupBy("doc").agg(F.count("*").alias("_n_lines"))
     return (
         df.select(F.col(id_col).alias("doc"))
-        .join(totals, "doc", "left")
         .join(rebuilt, "doc", "left")
         .select(
             "doc",
             F.coalesce("stripped_text", F.lit("")).alias("stripped_text"),
-            (
-                F.coalesce("_n_lines", F.lit(0))
-                - F.coalesce("_n_kept", F.lit(0))
-            ).alias("n_lines_removed"),
+            F.coalesce("n_lines_removed", F.lit(0)).alias("n_lines_removed"),
         )
     )

@@ -30,14 +30,23 @@ def read_jsonl(
     spark: SparkSession,
     path: str,
     schema: T.StructType | str,
-) -> tuple[DataFrame, DataFrame]:
+    quarantine: bool = True,
+) -> tuple[DataFrame, DataFrame | None]:
     """(good, quarantine) from a JSONL drop.
 
     `good` has exactly the caller's schema; `quarantine` is (raw_line)
     for every line Jackson could not bind to it. PERMISSIVE mode parses
     what it can and fills the corrupt column for the rest; rows where the
     corrupt column is set are routed to quarantine with their raw text
-    intact."""
+    intact.
+
+    ``quarantine=True`` stages the parsed frame through a LAZY
+    localCheckpoint so both splits read one materialized parse — nothing
+    runs until the caller's first action, but that action does
+    materialize the parse into the block manager. For corpus-scale
+    ingest where the bad-line audit isn't needed, ``quarantine=False``
+    skips the checkpoint entirely (returns ``(good, None)``): the filter
+    runs straight off the splittable JSON scan with zero staged state."""
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
     # fresh StructType: .add() would MUTATE a caller-owned schema object
@@ -50,11 +59,16 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
         .json(path)
     )
+    bad = F.col(CORRUPT_COL).isNotNull()
+    if not quarantine:
+        # filtering on the corrupt column while selecting OTHER columns is
+        # allowed (SPARK-21610 only bars referencing solely that column)
+        return df.filter(~bad).drop(CORRUPT_COL), None
     # SPARK-21610: filtering/selecting only the corrupt column straight
     # off the scan is disallowed — stage the parsed frame first so both
-    # splits read the same materialized parse
-    df = df.localCheckpoint(eager=True)
-    bad = F.col(CORRUPT_COL).isNotNull()
+    # splits read the same materialized parse (lazily: the checkpoint
+    # executes at the caller's first action, not at ingest-declare time)
+    df = df.localCheckpoint(eager=False)
     good = df.filter(~bad).drop(CORRUPT_COL)
-    quarantine = df.filter(bad).select(F.col(CORRUPT_COL).alias("raw_line"))
-    return good, quarantine
+    quarantined = df.filter(bad).select(F.col(CORRUPT_COL).alias("raw_line"))
+    return good, quarantined

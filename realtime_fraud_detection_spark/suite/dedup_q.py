@@ -351,13 +351,21 @@ def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lines, PII, boilerplate) each re-scan their input — materialize the
     # fanned-out docs once so the single-file scan + repartition runs once
     docs = _docs(spark, sf_dir).localCheckpoint(eager=False)
-    rep = Q.repetition_stats(docs, "text", "doc_id", top_ns=(2, 3), dup_ns=(5,))
+    # tokenize the corpus ONCE (quality.word_table) — the 1/2/3/5/8-gram
+    # subtrees all derive from this one checkpointed (doc, chars, ws)
+    # frame instead of five independent normalize+split passes
+    words = Q.word_table(docs, "text", "doc_id").localCheckpoint(eager=False)
+    rep = Q.repetition_stats(
+        docs, "text", "doc_id", top_ns=(2, 3), dup_ns=(5,), words=words
+    )
     rep = rep.withColumn("gopher_pass", Q.gopher_repetition_pass(rep))
 
     rich = docs.select("doc_id", _rich_text().alias("rich")).localCheckpoint(
         eager=False
     )
-    c4 = Q.c4_line_stats(rich, "rich", "doc_id")
+    # split rich into lines ONCE, shared by the C4 and boilerplate subtrees
+    rich_lines = Q.line_table(rich, "rich", "doc_id").localCheckpoint(eager=False)
+    c4 = Q.c4_line_stats(rich, "rich", "doc_id", lines=rich_lines)
     c4 = c4.withColumn("c4_pass", Q.c4_page_pass(c4)).withColumnRenamed(
         "doc", "doc_id"
     )
@@ -367,20 +375,24 @@ def q_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[counts[k].cast("bigint").alias(f"n_{k}") for k in P.PII_PATTERNS],
         F.md5(P.redact_pii(F.col("rich"))).alias("pii_redacted_md5"),
     )
-    boiler = Q.boilerplate_line_stats(rich, "rich", "doc_id").withColumnRenamed(
-        "doc", "doc_id"
-    )
+    boiler = Q.boilerplate_line_stats(
+        rich, "rich", "doc_id", lines=rich_lines
+    ).withColumnRenamed("doc", "doc_id")
     # benchmark decontamination: a deterministic slice of the corpus plays
     # the eval set (every 50th doc) — its 8-gram set broadcasts and the
-    # corpus probes it map-side (operators/quality.contamination_stats)
-    bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
-    cont = Q.contamination_stats(docs, bench, n=8).withColumnRenamed(
-        "doc", "doc_id"
-    )
+    # corpus probes it map-side (operators/quality.contamination_stats);
+    # BOTH sides read the shared word table (the bench slice by doc id)
+    cont = Q.contamination_stats(
+        docs,
+        docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text"),
+        n=8,
+        words=words,
+        bench_words=words.filter(F.col("doc") % 50 == 0),
+    ).withColumnRenamed("doc", "doc_id")
     # CCNet-style corpus-relative token-frequency signals (exact-integer
     # arithmetic — the transcendental log-prob form is tolerance-tested in
     # tests/test_quality.py, outside the bit-exact oracle surface)
-    tfs = Q.token_frequency_stats(docs, "text", "doc_id").withColumnRenamed(
+    tfs = Q.token_frequency_stats(docs, "text", "doc_id", words=words).withColumnRenamed(
         "doc", "doc_id"
     )
     return (
@@ -791,6 +803,19 @@ def q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.int8_topk(emb, queries, k=3)
 
 
+# IVF,PQ (Jegou et al. PAMI'11 + coarse cells + exact re-rank): the byte
+# floor of the ANN family — M=8 code bytes per 256-byte float vector for
+# the scan, floats touched only for rerank*k candidates per query.
+# Rows-only (three stacked approximations); recall >= the SQ8 path pinned
+# in tests/test_pq_ann.py.
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_pq_topk(
+        emb, queries, k=3, n_cells=8, n_probe=3, m=8, ks=16, rerank=6
+    )
+
+
 # ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup, arXiv:2303.09540): KMeans cells → within-cell
 # cosine groups → min-id survivors (rows-only: cell assignment depends on
@@ -863,6 +888,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_int8": q_ann_int8,
+    "ann_pq": q_ann_pq,
     "semantic_dedup": q_semantic_dedup,
     "doc_chunks": q_doc_chunks,
     "duplicate_spans": q_duplicate_spans,

@@ -116,10 +116,42 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece's second algorithm, Kudo ACL'18) tokenization:
+# EM+prune trains driver-side on the distributed word-frequency table
+# (vocabulary-sized, like BPE's merges), Viterbi encoding applies via the
+# broadcast pandas_udf. Same observable columns as bpe_tokens so the two
+# subword algorithms are directly comparable per document. Rows-only:
+# iterative EM training has no SQL form; lattice hand-checks + roundtrip
+# parity live in tests/test_unigram_lm.py.
+# ---------------------------------------------------------------------------
+def q_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.bpe import word_freq_table
+    from ..functions.unigram_lm import apply_unigram, train_unigram
+
+    docs = _docs(spark, sf_dir)
+    # max_terms bounds the driver-side EM input (Heaps'-law-small; the
+    # same cap discipline as BPE's merge training)
+    model = train_unigram(
+        word_freq_table(docs, "text", max_terms=20_000), vocab_size=300
+    )
+    return (
+        apply_unigram(docs, "text", "doc_id", model)
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_tokens",
+            F.size(F.array_distinct("tokens")).alias("n_types"),
+            F.md5(F.concat_ws(" ", "tokens")).alias("token_hash"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "text_classifier": q_text_classifier,
     "bpe_tokens": q_bpe_tokens,
     "ngram_lm": q_ngram_lm,
+    "unigram_tokens": q_unigram_tokens,
 }
 
 ORACLES: dict[str, str] = {}

@@ -113,3 +113,26 @@ def test_ivf_int8_composition_recall(spark):
     }
     agree = len(fl & got) / len(fl)
     assert agree >= 0.8, agree
+
+
+def test_codes_are_tinyint_and_saturate(spark):
+    """The 4x byte claim requires array<tinyint> storage, and applying a
+    persisted grid to vectors OUTSIDE the trained min/max must saturate
+    to [-128, 127] (FAISS SQ8 clamping), not wrap or overflow."""
+    train = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [10.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    mins, scales = quantization_params(train)
+    q = quantize_embeddings(train, mins, scales)
+    assert dict(q.dtypes)["codes"] == "array<tinyint>"
+    fresh = spark.createDataFrame(
+        [(3, [-50.0, 2.0]), (4, [99.0, -7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    codes = {
+        r["nid"]: r["codes"]
+        for r in quantize_embeddings(fresh, mins, scales).collect()
+    }
+    assert codes[3] == [-128, 127]
+    assert codes[4] == [127, -128]

@@ -43,3 +43,17 @@ def test_clean_file_has_empty_quarantine(spark, tmp_path):
     assert good.count() == 1
     assert quarantine.count() == 0
     assert good.columns == ["doc_id", "text"]
+
+
+def test_read_jsonl_no_quarantine_path(spark, tmp_path):
+    """quarantine=False: no staged materialization — good rows filter
+    straight off the scan, bad lines silently excluded, second element
+    None."""
+    p = tmp_path / "drop.jsonl"
+    p.write_text('{"id": 1, "v": "a"}\n{"id": "oops"}\n{"id": 2, "v": "b"}\n')
+    good, quar = read_jsonl(spark, str(p), "id bigint, v string", quarantine=False)
+    assert quar is None
+    assert sorted((r["id"], r["v"]) for r in good.collect()) == [(1, "a"), (2, "b")]
+    # no RDD-scan (checkpoint) node: the plan still reads the json source
+    plan = good._jdf.queryExecution().toString()
+    assert "Scan ExistingRDD" not in plan

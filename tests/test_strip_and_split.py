@@ -190,3 +190,26 @@ def test_temperature_fraction_properties():
             assert expected == pytest.approx(total // 2 or 1, rel=1e-9)
 
     check()
+
+
+def test_strip_preserves_clean_docs_byte_identical(spark):
+    """A doc with no boilerplate must round-trip UNCHANGED — blank lines,
+    indentation, and trailing whitespace intact (the strip keys boiler
+    identity on trim(line) but reassembles the original lines); and blank
+    lines are never boilerplate candidates even though every doc has
+    them."""
+    docs = [
+        (1, "  indented poem\n\nsecond stanza  \n\nSHARED FOOTER"),
+        (2, "other text\n\n\nmore text\nSHARED FOOTER"),
+        (3, "alone\n\ttab line\n   \nend."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc"]: r for r in strip_boilerplate_lines(df, min_docs=2).collect()}
+    # footer removed, everything else byte-identical (blanks kept)
+    assert out[1]["stripped_text"] == "  indented poem\n\nsecond stanza  \n"
+    assert out[1]["n_lines_removed"] == 1
+    assert out[2]["stripped_text"] == "other text\n\n\nmore text"
+    assert out[2]["n_lines_removed"] == 1
+    # doc 3 shares only blank-ish lines -> fully unchanged
+    assert out[3]["stripped_text"] == docs[2][1]
+    assert out[3]["n_lines_removed"] == 0

@@ -53,6 +53,9 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # int8 quantization is approximate by construction; recall +
         # reconstruction bounds in tests/test_int8_ann.py
         "ann_int8",
+        # IVF,PQ stacks three approximations; recall >= SQ8 pinned in
+        # tests/test_pq_ann.py
+        "ann_pq",
         "semantic_dedup",
         "doc_chunks",
         "duplicate_spans",
@@ -63,6 +66,9 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # BPE train+apply — no SQL form; merge-sequence, roundtrip and
         # reference-encoder parity in tests/test_bpe.py
         "bpe_tokens",
+        # unigram-LM EM train+apply — no SQL form; lattice hand-checks +
+        # hypothesis roundtrip in tests/test_unigram_lm.py
+        "unigram_tokens",
         # transcendental log10 + 6-way CASE over three count joins;
         # hand-computed + brute-force parity in tests/test_ngram_lm.py
         "ngram_lm",
