@@ -256,3 +256,115 @@ def sketch_rollup_view(spark, out_dir: str, grain: str = "hour") -> DataFrame:
 
     partials = spark.read.parquet(os.path.join(out_dir, "hourly_sketches"))
     return rollup_distinct_estimate(partials, grain)
+
+
+def quality_gated_ingest_writer(
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.3,
+    gopher: bool = True,
+    c4: bool = True,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function for a quality-gated streaming corpus ingest:
+    `operators.curation.clean_corpus`'s per-document stage stack (heuristic
+    quality score, Gopher repetition, C4 page rules, exact dedup) runs
+    inside each micro-batch, composed with a CROSS-BATCH exact-dedup probe
+    against a persisted fingerprint index — so a streamed corpus lands
+    with the same per-doc gating and content dedup a batch clean would
+    apply. Per-batch funnel counts persist alongside the documents
+    (`ingest_funnel_view` sums them), so the removal accounting survives
+    the stream.
+
+    Equivalence contract (pinned by test): because every gate is
+    per-document and the dedup survivor rule (min id per fingerprint,
+    earlier batch wins) matches batch clean_corpus's whenever ids arrive
+    in batch order, the funnel totals and the surviving doc set equal a
+    single batch `clean_corpus` over the union of all batches. The
+    cross-DOC stages (near-dup clustering, boilerplate stripping) are
+    deliberately excluded here — they are corpus-level decisions that
+    re-run over the accumulated store (the incremental LSH probe in
+    :func:`incremental_dedup_writer` is the streaming near-dup half).
+
+    Replay: all three writes are dynamic partition overwrites keyed by
+    batch_id, and the fingerprint probe excludes the current batch_id —
+    identical crash/replay semantics to the other sinks in this module.
+    """
+    from ..functions.text import fingerprint
+    from ..operators.curation import clean_corpus
+
+    clean_dir = os.path.join(out_dir, "clean")
+    fp_dir = os.path.join(out_dir, "fingerprints")
+    funnel_dir = os.path.join(out_dir, "funnel")
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        out, funnel = clean_corpus(
+            batch,
+            text_col,
+            id_col,
+            min_quality=min_quality,
+            gopher=gopher,
+            c4=c4,
+            near_dup=False,
+            strip_boilerplate=False,
+            report=True,
+        )
+        out = out.localCheckpoint()  # funnel counted it; pin for the joins
+        fps = out.select(
+            F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
+        )
+        try:
+            seen = (
+                spark.read.parquet(fp_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .select("fp")
+            )
+        except Exception:  # first batch: no index yet (PATH_NOT_FOUND)
+            seen = None
+        if seen is not None:
+            dup_ids = fps.join(seen, "fp", "left_semi").select(id_col)
+            out = out.join(dup_ids, id_col, "left_anti")
+            fps = fps.join(dup_ids, id_col, "left_anti")
+        funnel["corpus_dedup"] = out.count()
+        _write_batch_partition(out, batch_id, clean_dir)
+        _write_batch_partition(fps, batch_id, fp_dir)
+        funnel_df = spark.createDataFrame(
+            [(i, stage, n) for i, (stage, n) in enumerate(funnel.items())],
+            "stage_idx int, stage string, n long",
+        )
+        _write_batch_partition(funnel_df, batch_id, funnel_dir)
+
+    return write
+
+
+def run_quality_gated_ingest(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Assemble the gated ingest: stream of documents → per-batch quality
+    gates + cross-batch dedup + funnel accounting. Stateless foreachBatch,
+    so availableNow terminates normally."""
+    return (
+        stream.writeStream.foreachBatch(
+            quality_gated_ingest_writer(out_dir, **kwargs)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def ingest_funnel_view(spark, out_dir: str) -> DataFrame:
+    """Corpus-lifetime funnel from the streamed per-batch counts: stage →
+    total docs surviving that stage across all ingested batches (counts
+    sum exactly; ordering via stage_idx matches clean_corpus's report)."""
+    funnel = spark.read.parquet(os.path.join(out_dir, "funnel"))
+    return (
+        funnel.groupBy("stage_idx", "stage")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("stage_idx")
+        .select("stage", "n")
+    )
