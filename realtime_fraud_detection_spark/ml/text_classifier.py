@@ -112,7 +112,7 @@ class LogRegModel:
     def weights_df(self, spark: SparkSession) -> DataFrame:
         rows = [(int(b), float(w)) for b, w in sorted(self.weights.items())]
         if not rows:
-            rows = [(-1, 0.0)]  # no-match placeholder; bucket -1 never occurs
+            rows = [(-2, 0.0)]  # no-match placeholder; bucket -2 never occurs
         return spark.createDataFrame(rows, "bucket bigint, w double")
 
 
@@ -156,10 +156,24 @@ def train_logreg(
     if n_docs == 0:
         raise ValueError("empty training set")
 
+    # fold the INTERCEPT into the gradient aggregate: one synthetic
+    # (doc, bucket=-1, x=1.0) row per doc makes the per-bucket gradient
+    # sum yield the bias gradient (sum of errs) in the SAME pass — the
+    # previous union-branch form evaluated the whole margin/err subtree a
+    # second time per iteration. Bucket -1 never enters weights_df, so it
+    # contributes exactly 0 to margins (coalesce(w, 0)), and the decimal
+    # sums are order-insensitive — bit-identical weights to the old form
+    # (NumPy full-loop replay test pins this).
+    feats_aug = feats.unionByName(
+        labels.select(
+            "doc", F.lit(-1).cast("bigint").alias("bucket"), F.lit(1.0).alias("x")
+        )
+    ).localCheckpoint(eager=False)
+
     for _ in range(iters):
         wdf = model.weights_df(spark)
         margins = (
-            feats.join(F.broadcast(wdf), "bucket", "left")
+            feats_aug.join(F.broadcast(wdf), "bucket", "left")
             .groupBy("doc")
             .agg(
                 F.sum(
@@ -192,26 +206,21 @@ def train_logreg(
                 ).alias("err"),
             )
         )
-        # one collect for both the per-bucket gradient and the bias term:
-        # grouping-sets style — bucket NULL row carries the bias gradient
+        # one collect for both the per-bucket gradients and the bias term:
+        # the bucket=-1 rows (x=1.0) sum to the bias gradient
         grad_rows = (
-            feats.join(errs, "doc")
+            feats_aug.join(errs, "doc")
             .groupBy("bucket")
             .agg(F.sum((F.col("x") * F.col("err")).cast(_DEC)).alias("g"))
-            .unionByName(
-                errs.groupBy(F.lit(None).cast("bigint").alias("bucket")).agg(
-                    F.sum(F.col("err").cast(_DEC)).alias("g")
-                )
-            )
             .collect()
         )
         for row in grad_rows:
             g = float(row["g"]) / n_docs
-            if row["bucket"] is None:
+            b = int(row["bucket"])
+            if b == -1:  # intercept coordinate (no l2)
                 model.g2_bias += g * g
                 model.bias -= lr * g / math.sqrt(model.g2_bias + eps)
             else:
-                b = int(row["bucket"])
                 w = model.weights.get(b, 0.0)
                 g += l2 * w
                 acc = model.g2.get(b, 0.0) + g * g

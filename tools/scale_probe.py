@@ -14,7 +14,10 @@ runtime growth for the scan/LSH stages and pair counts (cluster structure
 is replicated, not densified); superlinear growth would indicate a
 candidate-generation blow-up. Results are recorded in SCALE.md.
 
-Usage: python3 tools/scale_probe.py [replicas]   (default 10)
+Usage: python3 tools/scale_probe.py [replicas] [stages]   (default 10, all)
+  stages: comma-separated subset of
+  minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality
+  (e.g. `100 simhash,cc,ngram,quality` for the 100x top-3-shape probe)
 """
 
 from __future__ import annotations
@@ -61,6 +64,8 @@ def main() -> None:
     from realtime_fraud_detection_spark.session import get_spark
 
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    all_stages = "minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality"
+    stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -70,89 +75,117 @@ def main() -> None:
 
     docs = spark.read.parquet(OUT)
     n = docs.count()
+    print(f"docs={n}")
 
-    t0 = time.time()
-    sigs = D.minhash_signatures(docs, "text", "doc_id", num_perm=4)
-    sigs.write.format("noop").mode("overwrite").save()
-    t_minhash = time.time() - t0
+    if "minhash" in stages:
+        t0 = time.time()
+        sigs = D.minhash_signatures(docs, "text", "doc_id", num_perm=4)
+        sigs.write.format("noop").mode("overwrite").save()
+        print(f"minhash={time.time() - t0:.1f}s")
 
-    t0 = time.time()
-    cands = D.minhash_lsh_candidates(
-        docs, "text", "doc_id", num_perm=16, band_size=4, max_bucket_size=1000
-    )
-    n_cands = cands.count()
-    t_lsh = time.time() - t0
+    if "lsh" in stages:
+        t0 = time.time()
+        cands = D.minhash_lsh_candidates(
+            docs, "text", "doc_id", num_perm=16, band_size=4, max_bucket_size=1000
+        )
+        n_cands = cands.count()
+        print(f"lsh_candidates={time.time() - t0:.1f}s n={n_cands}")
 
-    t0 = time.time()
-    pairs = D.simhash_near_dup_pairs(docs, "text", "doc_id", bits=64, max_hamming=4)
-    pairs = pairs.localCheckpoint()
-    n_pairs = pairs.count()
-    t_simhash_pairs = time.time() - t0
+    pairs = None
+    if stages & {"simhash", "cc", "star"}:
+        t0 = time.time()
+        pairs = D.simhash_near_dup_pairs(docs, "text", "doc_id", bits=64, max_hamming=4)
+        pairs = pairs.localCheckpoint()
+        n_pairs = pairs.count()
+        print(f"simhash_pairs={time.time() - t0:.1f}s n={n_pairs}")
 
-    t0 = time.time()
-    comp = C.connected_components(
-        pairs, vertices=docs.select("doc_id"), vertex_col="doc_id"
-    )
-    n_clusters = comp.select("cluster").distinct().count()
-    t_cc = time.time() - t0
+    if "cc" in stages:
+        t0 = time.time()
+        comp = C.connected_components(
+            pairs, vertices=docs.select("doc_id"), vertex_col="doc_id"
+        )
+        n_clusters = comp.select("cluster").distinct().count()
+        print(f"connected_components={time.time() - t0:.1f}s clusters={n_clusters}")
 
-    t0 = time.time()
-    from realtime_fraud_detection_spark.operators import spans as SP
+    if "star" in stages:
+        t0 = time.time()
+        comp_star = C.connected_components_star(
+            pairs, vertices=docs.select("doc_id"), vertex_col="doc_id"
+        )
+        n_clusters_star = comp_star.select("cluster").distinct().count()
+        print(
+            f"connected_components_star={time.time() - t0:.1f}s "
+            f"clusters={n_clusters_star}"
+        )
 
-    sp = SP.duplicate_spans(docs, "text", "doc_id", k=8)
-    n_spans = sp.count()
-    t_spans = time.time() - t0
+    if "spans" in stages:
+        from realtime_fraud_detection_spark.operators import spans as SP
 
-    # round-4 operators: trigram LM (count tables scale with the corpus —
-    # replica-unique vocab makes them 10x too), BPE train+apply, classifier
-    # feature extraction + scoring (training excluded: its wall clock is
-    # the iteration job floor, measured flat elsewhere), BM25
+        t0 = time.time()
+        sp = SP.duplicate_spans(docs, "text", "doc_id", k=8)
+        n_spans = sp.count()
+        print(f"duplicate_spans={time.time() - t0:.1f}s n={n_spans}")
+
     from realtime_fraud_detection_spark.operators import quality as Q
 
-    t0 = time.time()
-    lm = Q.ngram_lm_logprob(docs, text_col="text", id_col="doc_id")
-    lm.write.format("noop").mode("overwrite").save()
-    t_ngram = time.time() - t0
+    if "ngram" in stages:
+        # trigram LM: count tables scale with the corpus (replica-unique
+        # vocab makes them grow with the replicas too)
+        t0 = time.time()
+        lm = Q.ngram_lm_logprob(docs, text_col="text", id_col="doc_id")
+        lm.write.format("noop").mode("overwrite").save()
+        print(f"ngram_lm={time.time() - t0:.1f}s")
 
-    t0 = time.time()
-    from realtime_fraud_detection_spark.functions import bpe as B
+    if "quality" in stages:
+        # the post-round-5 quality_filters shape: ONE tokenize
+        # (word_table, checkpointed) feeding repetition + token-frequency
+        # + contamination; one line split feeding line/boilerplate stats
+        from pyspark.sql import functions as F
 
-    merges = B.train_bpe(B.word_freq_table(docs, "text"), n_merges=200)
-    B.apply_bpe(docs, "text", "doc_id", merges).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    t_bpe = time.time() - t0
+        t0 = time.time()
+        words = Q.word_table(docs, "text", "doc_id").localCheckpoint(eager=False)
+        lines = Q.line_table(docs, "text", "doc_id").localCheckpoint(eager=False)
+        rep = Q.repetition_stats(docs, "text", "doc_id", words=words)
+        tfs = Q.token_frequency_stats(docs, words=words).withColumnRenamed(
+            "doc", "doc_id"
+        )
+        bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+        cont = Q.contamination_stats(
+            docs, bench, n=8, words=words,
+            bench_words=words.filter(F.col("doc") % 50 == 0),
+        ).withColumnRenamed("doc", "doc_id")
+        c4 = Q.c4_line_stats(docs, "text", "doc_id", lines=lines).withColumnRenamed(
+            "doc", "doc_id"
+        )
+        boiler = Q.boilerplate_line_stats(
+            docs, "text", "doc_id", lines=lines
+        ).withColumnRenamed("doc", "doc_id")
+        out = (
+            rep.join(c4, "doc_id").join(boiler, "doc_id")
+            .join(cont, "doc_id").join(tfs, "doc_id")
+        )
+        out.write.format("noop").mode("overwrite").save()
+        print(f"quality_filters={time.time() - t0:.1f}s")
 
-    t0 = time.time()
-    from realtime_fraud_detection_spark.ml import text_classifier as TC
+    if "bpe" in stages:
+        from realtime_fraud_detection_spark.functions import bpe as B
 
-    feats = TC.hashed_features(docs, "text", "doc_id", 1024, bigrams=False)
-    model = TC.LogRegModel(n_buckets=1024, bias=0.1, weights={1: 0.5, 2: -0.5})
-    TC.score_logreg(feats, model).write.format("noop").mode("overwrite").save()
-    t_clf = time.time() - t0
+        t0 = time.time()
+        merges = B.train_bpe(B.word_freq_table(docs, "text"), n_merges=200)
+        B.apply_bpe(docs, "text", "doc_id", merges).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        print(f"bpe_train_apply={time.time() - t0:.1f}s (merges={len(merges)})")
 
-    print(
-        f"ngram_lm={t_ngram:.1f}s bpe_train_apply={t_bpe:.1f}s "
-        f"classifier_feats_score={t_clf:.1f}s (merges={len(merges)})"
-    )
+    if "clf" in stages:
+        from realtime_fraud_detection_spark.ml import text_classifier as TC
 
-    t0 = time.time()
-    comp_star = C.connected_components_star(
-        pairs, vertices=docs.select("doc_id"), vertex_col="doc_id"
-    )
-    n_clusters_star = comp_star.select("cluster").distinct().count()
-    t_star = time.time() - t0
+        t0 = time.time()
+        feats = TC.hashed_features(docs, "text", "doc_id", 1024, bigrams=False)
+        model = TC.LogRegModel(n_buckets=1024, bias=0.1, weights={1: 0.5, 2: -0.5})
+        TC.score_logreg(feats, model).write.format("noop").mode("overwrite").save()
+        print(f"classifier_feats_score={time.time() - t0:.1f}s")
 
-    print(
-        f"docs={n} lsh_candidates={n_cands} simhash_pairs={n_pairs} "
-        f"dup_spans={n_spans} clusters={n_clusters} clusters_star={n_clusters_star}"
-    )
-    print(
-        f"minhash={t_minhash:.1f}s lsh_candidates={t_lsh:.1f}s "
-        f"simhash_pairs={t_simhash_pairs:.1f}s duplicate_spans={t_spans:.1f}s "
-        f"connected_components={t_cc:.1f}s "
-        f"connected_components_star={t_star:.1f}s"
-    )
     spark.stop()
 
 
