@@ -367,6 +367,81 @@ def contamination_stats(
     )
 
 
+def contamination_stats_bloom(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    fpp: float = 0.01,
+    expected_grams: int | None = None,
+    words: DataFrame | None = None,
+    bench_words: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`contamination_stats` with the eval-gram set compressed into
+    a Bloom filter (functions/bloom.py) instead of broadcast exactly —
+    the form that survives eval sets too large for an exact broadcast
+    (the sketch is m/8 bytes chosen up front from `expected_grams` and
+    `fpp`, independent of the actual gram count).
+
+    Direction of error: a Bloom filter has NO false negatives, so every
+    truly contaminated doc is flagged; false positives (rate `fpp` per
+    distinct gram) can only over-flag — the safe direction for
+    decontamination. Output columns match :func:`contamination_stats`
+    so the two forms are drop-in interchangeable; counts here are upper
+    bounds on the exact counts (superset law pinned by test).
+
+    `expected_grams`: sizes the sketch; defaults to counting the distinct
+    bench grams first (one extra tiny job). At scale pass the known eval
+    set size to skip that job.
+
+    Choosing `fpp`: false positives compound across a document's grams —
+    a doc probing G distinct grams is over-FLAGGED with probability
+    ~1-(1-fpp)^G ≈ G·fpp. Size fpp to the acceptable per-DOC over-flag
+    rate divided by typical grams-per-doc (e.g. docs of ~1000 grams with
+    a 1% doc budget → fpp=1e-5, still only ~24 bits/key); the default
+    0.01 is a per-GRAM rate suited to counting contaminated-gram mass,
+    not to the boolean flag.
+    """
+    from ..functions.bloom import bloom_build, bloom_might_contain, bloom_parameters
+
+    if bench_words is not None:
+        bench_grams = grams_from_words(bench_words, n).select("s").distinct()
+    else:
+        bench_grams = (
+            shingle_table(benchmark, bench_text_col, id_col, k=n, exploded=True)
+            .select("s")
+            .distinct()
+        )
+    if expected_grams is None:
+        bench_grams = bench_grams.localCheckpoint(eager=False)
+        expected_grams = bench_grams.count()
+    m_bits, k = bloom_parameters(expected_grams, fpp)
+    bitmap = bloom_build(bench_grams, "s", m_bits, k)
+
+    if words is not None:
+        doc_grams = grams_from_words(words, n)
+    else:
+        doc_grams = shingle_table(df, text_col, id_col, k=n, exploded=True)
+    hits = (
+        doc_grams.filter(bloom_might_contain(bitmap, F.col("s"), k))
+        .groupBy("doc")
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("n_contaminated_grams", F.lit(0)).alias(
+                "n_contaminated_grams"
+            ),
+            (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
 def _round6(x: Column) -> Column:
     """6-dp rounding as floor(x*1e6 + 0.5)/1e6 — bit-deterministic given
     identical input on both engines (Spark's decimal HALF_UP `round` and
