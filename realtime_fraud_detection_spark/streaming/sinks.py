@@ -368,3 +368,139 @@ def ingest_funnel_view(spark, out_dir: str) -> DataFrame:
         .orderBy("stage_idx")
         .select("stage", "n")
     )
+
+
+def embedding_ingest_writer(
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    seed: int = 42,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function for streaming EMBEDDING ingest with semantic
+    near-dup checking — the vector twin of :func:`incremental_dedup_writer`
+    (which probes an LSH band index for text). Per micro-batch:
+
+    1. coarse-quantize the batch's vectors against the persisted IVF
+       centroids (trained ONCE, on the first batch, and stored — later
+       batches fold them in as literals, a pure scan-side projection);
+    2. probe the persisted vector store WITHIN the batch's cells for
+       cosine >= `threshold` — the batch side broadcasts, so the store is
+       never reshuffled (norms are precomputed at write time, the
+       norm-hoisting rule);
+    3. append the batch's (vector, cell, norm) rows to the store.
+
+    Replay semantics match the module contract: both writes are dynamic
+    partition overwrites keyed by batch_id and the probe excludes the
+    current batch_id. Like IVF ANN, recall is bounded by cell
+    assignment — two near-identical vectors land in the same cell unless
+    they straddle a cell boundary (the composition recall the ANN tests
+    pin); a corpus-wide exact pass stays available offline via
+    `operators.dedup.embedding_near_dup_pairs`.
+    """
+    from ..operators.similarity import _as_double, dot, l2_norm
+
+    store_dir = os.path.join(out_dir, "vectors")
+    cand_dir = os.path.join(out_dir, "near_dups")
+    cent_dir = os.path.join(out_dir, "centroids")
+
+    def _nearest_cell(centroids: list[list[float]]):
+        def dist_to(center: list[float]):
+            arr = F.array(*[F.lit(float(x)) for x in center])
+            return F.aggregate(
+                F.zip_with(F.col("nv"), arr, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            )
+
+        cells = F.array(
+            *[
+                F.struct(dist_to(c).alias("d"), F.lit(i).alias("cell"))
+                for i, c in enumerate(centroids)
+            ]
+        )
+        return F.array_sort(cells)[0]["cell"]
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        v = batch.select(
+            F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv")
+        ).withColumn("norm", l2_norm(F.col("nv")))
+        try:
+            cent_rows = spark.read.parquet(cent_dir).orderBy("cell_id").collect()
+            centroids = [list(r["c"]) for r in cent_rows]
+        except Exception:  # first batch trains the coarse quantizer
+            from pyspark.ml.clustering import KMeans
+            from pyspark.ml.functions import array_to_vector
+
+            # KMeans requires k <= points; a small first batch trains
+            # fewer cells (later batches still assign against them)
+            k = max(1, min(n_cells, v.count()))
+            km = KMeans(k=k, seed=seed, featuresCol="fv", predictionCol="cell")
+            model = km.fit(v.withColumn("fv", array_to_vector(F.col("nv"))))
+            centroids = [list(map(float, c)) for c in model.clusterCenters()]
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(centroids)],
+                "cell_id int, c array<double>",
+            ).coalesce(1).write.mode("overwrite").parquet(cent_dir)
+        coded = v.withColumn("cell", _nearest_cell(centroids)).localCheckpoint()
+
+        try:
+            store = (
+                spark.read.parquet(store_dir)
+                .filter(F.col("batch_id") != batch_id)
+                .select(
+                    F.col("nid").alias("corpus_vec"),
+                    F.col("nv").alias("cv"),
+                    F.col("norm").alias("cnorm"),
+                    "cell",
+                )
+            )
+        except Exception:  # first batch: no store yet
+            store = None
+        if store is not None:
+            new_side = coded.select(
+                F.col("nid").alias("new_vec"), F.col("nv").alias("qv"),
+                F.col("norm").alias("qnorm"), "cell",
+            )
+            cands = (
+                F.broadcast(new_side)
+                .join(store, "cell")
+                .select(
+                    "new_vec",
+                    "corpus_vec",
+                    F.round(
+                        dot(F.col("qv"), F.col("cv"))
+                        / (F.col("qnorm") * F.col("cnorm")),
+                        6,
+                    ).alias("cosine"),
+                )
+                .filter(F.col("cosine") >= threshold)
+            )
+        else:
+            t = coded.schema["nid"].dataType.simpleString()
+            cands = spark.createDataFrame(
+                [], f"new_vec {t}, corpus_vec {t}, cosine double"
+            )
+        _write_batch_partition(cands, batch_id, cand_dir)
+        _write_batch_partition(coded, batch_id, store_dir)
+
+    return write
+
+
+def run_embedding_ingest_stream(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Assemble the vector ingest: stream of (id, embedding) → per-batch
+    cell assignment + semantic near-dup probe + store append. Stateless
+    foreachBatch, so availableNow terminates normally."""
+    return (
+        stream.writeStream.foreachBatch(embedding_ingest_writer(out_dir, **kwargs))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
