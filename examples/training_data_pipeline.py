@@ -60,13 +60,15 @@ def main() -> None:
     ).filter(F.col("quality") >= 0.3)
     n_gated = gated.count()
 
-    # 1b. Gopher/C4 repetition gate
-    rep = Q.repetition_stats(docs)
+    # 1b. Gopher/C4 repetition gate — tokenize the corpus ONCE
+    # (quality.word_table) and share it across every word-level signal
+    words = Q.word_table(docs).localCheckpoint(eager=False)
+    rep = Q.repetition_stats(docs, words=words)
     n_gopher = rep.filter(Q.gopher_repetition_pass(rep)).count()
 
     # 1c. corpus-relative LM quality (CCNet): rare-token mass + unigram
     # log-probability with the corpus as its own language model
-    tfs = Q.token_frequency_stats(docs)
+    tfs = Q.token_frequency_stats(docs, words=words)
     n_rare_heavy = tfs.filter(F.col("rare_frac") > 0.5).count()
     lp = Q.unigram_logprob(docs)
     lp_cut = lp.agg(F.expr("percentile(mean_unigram_logprob, 0.05)")).first()[0]

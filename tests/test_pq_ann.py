@@ -93,3 +93,67 @@ def test_ivf_pq_composition(spark):
         by_q.setdefault(r["qid"], []).append(r["rank"])
     assert all(sorted(v) == list(range(1, k + 1)) for v in by_q.values())
     assert len(exact & got) / len(exact) >= 0.6  # cell pruning bounds recall
+
+
+def test_residual_encoding_reconstructs_tighter(spark):
+    """by_residual=True (FAISS's default IVF,PQ): PQ codebooks trained on
+    x - c(cell) reconstruct with LOWER mean squared error than codebooks
+    on raw vectors at equal (m, ks) — the coarse quantizer absorbs the
+    cell-level variance. NumPy replay of both encodings."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from realtime_fraud_detection_spark.operators.similarity import _as_double
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    sub = 64 // M
+    V = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in emb.collect()}
+
+    def decode(codes, books):
+        return np.concatenate([np.array(books[s][codes[s]]) for s in range(M)])
+
+    books = pq_train(emb, m=M, ks=KS)
+    codes = {r["nid"]: r["codes"] for r in pq_encode(emb, books).collect()}
+    mse_plain = np.mean([np.sum((V[i] - decode(codes[i], books)) ** 2) for i in V])
+
+    c = emb.select(F.col("vec_id").alias("nid"), _as_double(F.col("embedding")).alias("nv"))
+    wv = c.withColumn("fv", array_to_vector(F.col("nv")))
+    model = KMeans(k=8, seed=42, featuresCol="fv", predictionCol="cell").fit(wv)
+    cells = {r["nid"]: r["cell"] for r in model.transform(wv).select("nid", "cell").collect()}
+    cents = [np.array(list(map(float, x))) for x in model.clusterCenters()]
+    cents_lit = F.lit([[float(x) for x in ctr] for ctr in cents])
+    cells_df = model.transform(wv).select("nid", "cell")
+    res = c.join(cells_df, "nid").select(
+        "nid",
+        F.zip_with(
+            F.col("nv"), F.element_at(cents_lit, F.col("cell") + 1), lambda x, y: x - y
+        ).alias("embedding"),
+    )
+    rbooks = pq_train(res, m=M, ks=KS, vec_col="embedding")
+    rcodes = {r["nid"]: r["codes"] for r in pq_encode(res, rbooks, "nid", "embedding").collect()}
+    mse_res = np.mean(
+        [np.sum((V[i] - (cents[cells[i]] + decode(rcodes[i], rbooks))) ** 2) for i in V]
+    )
+    assert mse_res < mse_plain, (mse_res, mse_plain)
+
+
+def test_ivf_pq_by_residual_contract(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    k = 5
+    exact = {(r["qid"], r["nid"]) for r in brute_force_topk(emb, queries, k=k).collect()}
+    rows = ivf_pq_topk(
+        emb, queries, k=k, n_cells=8, n_probe=4, m=M, ks=KS, rerank=6, by_residual=True
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, k + 1)) for v in by_q.values())
+    got = {(r["qid"], r["nid"]) for r in rows}
+    assert len(exact & got) / len(exact) >= 0.6
+    # re-ranked sims are exact cosines (match brute force bit-for-bit)
+    bf = {(r["qid"], r["nid"]): r["cosine_sim"] for r in brute_force_topk(emb, queries, k=50).collect()}
+    for r in rows:
+        if (r["qid"], r["nid"]) in bf:
+            assert r["cosine_sim"] == bf[(r["qid"], r["nid"])]
