@@ -101,3 +101,83 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return ranks.select("v", "rank")
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(vertex, triangles) — exact per-vertex triangle counts on the
+    UNDIRECTED simple graph induced by `edges` (direction, duplicates and
+    self-loops are dropped first). Triangle density is the classic dense-
+    neighborhood fraud signal (collusive rings close triangles; organic
+    customer/merchant traffic is locally tree-like), and the global count
+    (`SUM(triangles)/3`) is the graph-health scalar.
+
+    Scale shape — degree-ordered edge orientation (Suri & Vassilvitskii,
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer"): every
+    undirected edge is oriented from its lower-(degree, id) endpoint to
+    the higher one, which makes the oriented out-degree O(sqrt(m)) even
+    when a hub's raw degree is millions. Wedges (u→v, u→w) are then a
+    self-equi-join on the oriented SOURCE — the per-key fan-out is the
+    oriented out-degree, so the "last reducer" hub key that breaks the
+    naive neighbor join cannot occur — and each wedge closes into a
+    triangle iff (v→w) is itself an oriented edge: one more equi join.
+    Three shuffles total (degree agg, wedge self-join, closing semi
+    join); no driver state, no iteration.
+    """
+    # canonical undirected simple edges: (a < b), dedup, no loops
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    # orient: lower (degree, id) -> higher (degree, id)
+    ranked = (
+        und.join(deg.select(F.col("v").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("s"), F.col("b").alias("t")),
+            )
+            .otherwise(F.struct(F.col("b").alias("s"), F.col("a").alias("t")))
+            .alias("e")
+        )
+        .select("e.s", "e.t")
+    )
+    oriented = ranked.localCheckpoint(eager=False)  # three consumers below
+    # wedges around each source u: (u -> v, u -> w), one per unordered
+    # {v, w} (t1 < t2 keeps each wedge once)
+    e1 = oriented.select(F.col("s").alias("u"), F.col("t").alias("v"))
+    e2 = oriented.select(F.col("s").alias("u"), F.col("t").alias("w"))
+    wedges = e1.join(e2, "u").filter(F.col("v") < F.col("w"))
+    # the closing edge between v and w is oriented one way or the other;
+    # normalize the probe to both and semi-join the oriented edge set
+    closing = oriented.select(
+        F.least("s", "t").alias("v"), F.greatest("s", "t").alias("w")
+    )
+    tris = wedges.join(closing, ["v", "w"], "left_semi")
+    # each triangle is found exactly once (at its unique lowest-order
+    # apex); credit all three corners for the per-vertex counts
+    corners = (
+        tris.select(F.col("u").alias("v"))
+        .unionAll(tris.select(F.col("v").alias("v")))
+        .unionAll(tris.select(F.col("w").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("triangles"))
+    )
+    return (
+        deg.select("v")
+        .join(corners, "v", "left")
+        .select("v", F.coalesce("triangles", F.lit(0)).alias("triangles"))
+    )

@@ -23,15 +23,18 @@ PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsI
 # sanctioned Arrow boundary (the tokenizer-apply pandas_udf — real
 # pipelines tokenize in Python workers); its plan is pinned separately
 # below. text_classifier trains eagerly (20 Adagrad iterations).
-EXCLUDE = {"ann_ivf", "ann_pq", "bpe_tokens", "text_classifier"}
+EXCLUDE = {"ann_ivf", "ann_pq", "bpe_tokens", "unigram_tokens", "text_classifier"}
 
 
-def test_bpe_tokens_is_single_arrow_boundary(spark):
-    """bpe_tokens crosses into Python exactly once, Arrow-batched — one
-    ArrowEvalPython for the encoder, nothing row-at-a-time."""
+@pytest.mark.parametrize("name", ["bpe_tokens", "unigram_tokens"])
+def test_tokenizer_query_is_single_arrow_boundary(spark, name):
+    """The subword tokenizer queries cross into Python exactly once,
+    Arrow-batched — one ArrowEvalPython for the encoder, nothing
+    row-at-a-time (the sanctioned boundary; training is driver-side on
+    the vocabulary-sized word table either way)."""
     import re
 
-    df = all_queries()["bpe_tokens"](spark, SF_SMOKE)
+    df = all_queries()[name](spark, SF_SMOKE)
     plan = formatted_plan(df)
     # formatted mode lists each node twice (tree + detail) — count node ids
     assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1, plan

@@ -1,0 +1,76 @@
+"""Exact triangle counting (operators/graph.triangle_count): hand graphs,
+DuckDB brute-force parity on a deterministic pseudo-random graph, and
+input normalization (direction/duplicates/self-loops)."""
+
+from __future__ import annotations
+
+import duckdb
+
+from realtime_fraud_detection_spark.operators.graph import triangle_count
+
+
+def _counts(spark, edges):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["v"]: r["triangles"] for r in triangle_count(df).collect()}
+
+
+def test_hand_graphs(spark):
+    # K3: one triangle, every vertex in it
+    assert _counts(spark, [(1, 2), (2, 3), (3, 1)]) == {1: 1, 2: 1, 3: 1}
+    # K4: 4 triangles, every vertex in 3
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _counts(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+    # path and star: triangle-free
+    assert _counts(spark, [(1, 2), (2, 3), (3, 4)]) == {1: 0, 2: 0, 3: 0, 4: 0}
+    star = [(0, i) for i in range(1, 6)]
+    assert all(v == 0 for v in _counts(spark, star).values())
+    # bipartite: triangle-free regardless of density
+    bip = [(a, 100 + b) for a in range(5) for b in range(5)]
+    assert all(v == 0 for v in _counts(spark, bip).values())
+
+
+def test_normalizes_direction_duplicates_loops(spark):
+    messy = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (3, 1), (2, 3)]
+    assert _counts(spark, messy) == {1: 1, 2: 1, 3: 1}
+
+
+def test_matches_duckdb_bruteforce(spark):
+    # deterministic pseudo-random graph: 120 vertices, ~700 edges
+    edges = []
+    state = 7
+    for _ in range(700):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = (state >> 16) % 120  # high bits: LCG low bits lattice badly
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        b = (state >> 16) % 120
+        if a != b:
+            edges.append((a, b))
+    got = _counts(spark, edges)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE raw(src BIGINT, dst BIGINT);"
+    )
+    con.executemany("INSERT INTO raw VALUES (?, ?)", edges)
+    rows = con.execute("""
+        WITH e AS (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM raw WHERE src <> dst
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e2.a = e1.b
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corners AS (
+          SELECT x AS v FROM tri UNION ALL
+          SELECT y FROM tri UNION ALL
+          SELECT z FROM tri
+        ),
+        verts AS (SELECT a AS v FROM e UNION SELECT b FROM e)
+        SELECT verts.v, COUNT(corners.v) AS t
+        FROM verts LEFT JOIN corners ON corners.v = verts.v
+        GROUP BY 1
+    """).fetchall()
+    want = {v: t for v, t in rows}
+    assert got == want
+    assert sum(got.values()) % 3 == 0 and sum(got.values()) > 0
