@@ -16,8 +16,7 @@ the training run that consumes the tokens).
 
 from __future__ import annotations
 
-import json
-import os
+from .artifacts import atomic_write, read_artifact
 
 
 def save_bpe(merges: list[tuple[str, str]], path: str) -> None:
@@ -29,11 +28,11 @@ def save_bpe(merges: list[tuple[str, str]], path: str) -> None:
         "algorithm": "bpe",
         "merges": [[a, b] for a, b in merges],
     }
-    _atomic_write(path, art)
+    atomic_write(path, art)
 
 
 def load_bpe(path: str) -> list[tuple[str, str]]:
-    art = _read(path, expect_algorithm="bpe")
+    art = read_artifact(path, "bpe", _FORMATS)
     return [(a, b) for a, b in art["merges"]]
 
 
@@ -47,31 +46,14 @@ def save_unigram(logp: dict[str, float], path: str) -> None:
         "algorithm": "unigram",
         "pieces": [[p, logp[p]] for p in sorted(logp)],
     }
-    _atomic_write(path, art)
+    atomic_write(path, art)
 
 
 def load_unigram(path: str) -> dict[str, float]:
-    art = _read(path, expect_algorithm="unigram")
+    art = read_artifact(path, "unigram", _FORMATS)
     return {p: float(lp) for p, lp in art["pieces"]}
 
 
-def _atomic_write(path: str, art: dict) -> None:
-    """Write-then-rename so a crashed save never leaves a half-written
-    artifact where a loader might find it."""
-    tmp = f"{path}.tmp"
-    with open(tmp, "w", encoding="utf-8") as f:
-        json.dump(art, f, ensure_ascii=False, separators=(",", ":"))
-    os.replace(tmp, path)
 
-
-def _read(path: str, expect_algorithm: str) -> dict:
-    with open(path, encoding="utf-8") as f:
-        art = json.load(f)
-    if art.get("format") != "spark-graft-tokenizer":
-        raise ValueError(f"{path}: not a tokenizer artifact")
-    if art.get("algorithm") != expect_algorithm:
-        raise ValueError(
-            f"{path}: artifact holds a {art.get('algorithm')!r} tokenizer, "
-            f"expected {expect_algorithm!r}"
-        )
-    return art
+# both the original tokenizer format tag and the shared artifact tag load
+_FORMATS = ("spark-graft-tokenizer", "spark-graft-artifact")

@@ -330,3 +330,52 @@ def temperature_fractions_from_counts(
     return {
         s: min(1.0, (probs[s] / z) * target_rows / counts[s]) for s in counts
     }
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    seed: str = "wsample:",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Distributed weighted sampling WITHOUT replacement — Efraimidis &
+    Spirakis (IPL 2006) A-ES: give every row the key u^(1/w) with
+    u ~ Uniform(0,1) and keep the n largest keys. The result is exactly a
+    weighted sample without replacement (inclusion intuition: heavier w
+    pulls u^(1/w) toward 1), computed as a plain top-n — per-partition
+    partial top-n then a single merge, the same shuffle-free-until-the-
+    tiny-final-step shape as every top-k in this repo. With `group_col`,
+    the top-n is per group (one window, n rows out per group) — the
+    mixture-sampling form ("n docs from every domain, weighted by
+    quality").
+
+    u derives from the salted md5 of the id (deterministic: same corpus,
+    same seed → same sample on any partitioning or engine — replayed
+    bit-for-bit in pure Python by the test). Keys compare as
+    ln(u)/w — the monotone log form of u^(1/w), which avoids underflow
+    for tiny weights; ties are impossible for distinct ids (u is a
+    60-bit hash) and broken by id anyway for total determinism.
+    Zero/negative weights never sample (filtered: their u^(1/w) → 0).
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    h = md5_bigint(F.col(id_col).cast("string"), salt=seed)
+    # u in (0, 1): (h + 1) / (2^60 + 1) — h is 60-bit non-negative
+    u = (h.cast("double") + 1.0) / float((1 << 60) + 1)
+    w = F.col(weight_col).cast("double")
+    key = F.log(u) / w  # maximize  <=>  maximize u^(1/w)
+    keyed = df.filter(w > 0).withColumn("_ws_key", key)
+    if group_col is None:
+        out = keyed.orderBy(F.desc("_ws_key"), F.asc(id_col)).limit(n)
+    else:
+        win = Window.partitionBy(group_col).orderBy(
+            F.desc("_ws_key"), F.asc(id_col)
+        )
+        out = (
+            keyed.withColumn("_ws_rank", F.row_number().over(win))
+            .filter(F.col("_ws_rank") <= n)
+            .drop("_ws_rank")
+        )
+    return out.drop("_ws_key")

@@ -66,5 +66,5 @@ def test_wrong_algorithm_guard(tmp_path):
         load_unigram(p)
     with open(p, "w") as f:
         f.write('{"hello": 1}')
-    with pytest.raises(ValueError, match="not a tokenizer artifact"):
+    with pytest.raises(ValueError, match="not a recognized artifact"):
         load_bpe(p)
