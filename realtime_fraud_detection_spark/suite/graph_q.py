@@ -42,8 +42,40 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Triangle counting over the user co-occurrence graph: an edge joins two
+# users who EACH used the same props.k entity (device-id stand-in) at
+# least 3 times — the affinity threshold keeps the graph sparse and
+# meaningful (without it every user pair shares some k and the graph is
+# complete). Per-user triangle counts are the dense-neighborhood fraud
+# signal. Rows-only (window full); exact DuckDB parity for the same
+# fixture graph is pinned in tests/test_triangles.py.
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import triangle_count
+
+    ev = load_table(spark, sf_dir, "events")
+    affin = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("user_id", "k")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 3)
+    )
+    a = affin.select(F.col("user_id").alias("src"), "k")
+    b = affin.select(F.col("user_id").alias("dst"), "k")
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return triangle_count(edges).orderBy("v")
+
+
 QUERIES = {
     "pagerank": q_pagerank,
+    "triangles": q_triangles,
 }
 
 ORACLES: dict[str, str] = {}

@@ -74,3 +74,38 @@ def test_matches_duckdb_bruteforce(spark):
     want = {v: t for v, t in rows}
     assert got == want
     assert sum(got.values()) % 3 == 0 and sum(got.values()) > 0
+
+
+def test_suite_query_matches_duckdb_on_fixture(spark):
+    """The `triangles` suite query (user co-occurrence graph from events)
+    matches a DuckDB brute force of the same graph definition."""
+    from realtime_fraud_detection_spark.suite.graph_q import q_triangles
+
+    got = {
+        (r["v"], r["triangles"])
+        for r in q_triangles(spark, "/root/testdata/sf0.001").collect()
+    }
+    con = duckdb.connect()
+    rows = con.execute("""
+        WITH affin AS (
+          SELECT user_id, json_extract(props, 'k')::INT AS k
+          FROM '/root/testdata/sf0.001/events.parquet'
+          GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        ),
+        e AS (
+          SELECT DISTINCT a.user_id AS a, b.user_id AS b
+          FROM affin a JOIN affin b ON a.k = b.k AND a.user_id < b.user_id
+        ),
+        tri AS (
+          SELECT e1.a AS x, e1.b AS y, e2.b AS z
+          FROM e e1 JOIN e e2 ON e2.a = e1.b
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corners AS (
+          SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+        ),
+        verts AS (SELECT a AS v FROM e UNION SELECT b FROM e)
+        SELECT verts.v, COUNT(corners.v) FROM verts
+        LEFT JOIN corners ON corners.v = verts.v GROUP BY 1
+    """).fetchall()
+    assert got == {(v, t) for v, t in rows}
