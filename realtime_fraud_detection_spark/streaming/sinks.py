@@ -504,3 +504,55 @@ def run_embedding_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_store(
+    spark,
+    path: str,
+    max_batch_id: int | None = None,
+    target_files: int = 8,
+    distinct: bool = False,
+) -> int:
+    """Row-preserving compaction for the batch-partitioned STORES the
+    ingest sinks append to (LSH band index, fingerprint index, vector
+    store, clean-docs store): fold the per-batch partitions into one
+    fresh negative-id partition of `target_files` files. The streaming
+    small-file problem is the operational cost of foreachBatch stores —
+    probes otherwise read O(batches) partitions of O(1) files each.
+
+    Same consume-then-delete discipline as :func:`compact_hourly_rollups`
+    (only partitions that existed at start are read; the compacted
+    result lands under a never-pre-existing negative id via rename; only
+    consumed partitions are deleted), and the same `max_batch_id` replay
+    guard: pass the checkpoint's last COMMITTED batch id so a batch the
+    stream could still replay keeps its own partition (replay overwrites
+    by partition — folding an uncommitted batch would duplicate it).
+    Unlike the rollup compactor this preserves rows verbatim
+    (`distinct=True` additionally drops exact duplicate rows — safe for
+    idempotent index tables like band and fingerprint sets, where a
+    compaction racing a writer crash can only lose the dedup, never a
+    row). Returns the compacted row count.
+    """
+    import shutil
+
+    consumed = _rollup_partitions(path)
+    if max_batch_id is not None:
+        consumed = [d for d in consumed if int(d.split("=", 1)[1]) <= max_batch_id]
+    if not consumed:
+        return 0
+    ids = [int(d.split("=", 1)[1]) for d in consumed]
+    gen = min(-1, min(ids) - 1)
+    df = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, d) for d in consumed]
+    ).drop("batch_id")
+    if distinct:
+        df = df.distinct()
+    tmp = path + ".compacting"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    os.rename(tmp, os.path.join(path, f"batch_id={gen}"))
+    for d in consumed:
+        shutil.rmtree(os.path.join(path, d))
+    return n

@@ -154,3 +154,43 @@ def test_replayed_batch_does_not_self_match(spark, tmp_path):
     assert again == first  # no duplicates, no (new, new) self-matches
     assert all(cd <= 3 for _, cd in again)
     assert spark.read.parquet(idx).count() == 5 * 8  # index not duplicated
+
+
+def test_compacted_band_index_probes_identically(spark, tmp_path, frames):
+    """compact_store folds the band-index batch partitions into one
+    negative-id partition; a later batch's probe sees exactly the same
+    candidates as against the uncompacted index."""
+    import os
+
+    from realtime_fraud_detection_spark.streaming import sinks as SK
+    from realtime_fraud_detection_spark.streaming.sinks import compact_store
+
+    corpus, new = frames
+    half1 = corpus.filter("doc_id <= 2")
+    half2 = corpus.filter("doc_id > 2")
+    idx, out = str(tmp_path / "bands"), str(tmp_path / "cands")
+    w = SK.incremental_dedup_writer(idx, out, num_perm=16, band_size=2)
+    w(half1, 0)
+    w(half2, 1)
+    before = spark.read.parquet(idx).drop("batch_id")
+    n_before = before.count()
+    n = compact_store(spark, idx, max_batch_id=1)
+    assert n == n_before
+    parts = [d for d in os.listdir(idx) if d.startswith("batch_id=")]
+    assert parts == ["batch_id=-1"]  # both consumed, one compacted gen
+    # probe with the next batch: same candidates as an uncompacted run
+    w(new, 2)
+    got = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in spark.read.parquet(out).filter("batch_id = 2").collect()
+    }
+    idx2, out2 = str(tmp_path / "bands2"), str(tmp_path / "cands2")
+    w2 = SK.incremental_dedup_writer(idx2, out2, num_perm=16, band_size=2)
+    w2(half1, 0)
+    w2(half2, 1)
+    w2(new, 2)
+    want = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in spark.read.parquet(out2).filter("batch_id = 2").collect()
+    }
+    assert got == want and got
