@@ -105,13 +105,17 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the query's LSH bucket.
 
     Recall depends on n_planes; the equi join on `bucket` replaces the cross
-    join, so cost is per-bucket not corpus-wide.
+    join, so cost is per-bucket not corpus-wide. ``planes``: persisted
+    hyperplanes (functions/ann_io) — skips the (deterministic) regeneration
+    and pins the bucketing to the artifact that encoded a stored corpus.
     """
-    planes = make_planes(dim, n_planes)
+    if planes is None:
+        planes = make_planes(dim, n_planes)
     c = emb.select(
         F.col(id_col).alias("nid"),
         _as_double(F.col(vec_col)).alias("nv"),
@@ -308,6 +312,7 @@ def int8_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    params: tuple[list[float], list[float]] | None = None,
 ) -> DataFrame:
     """Asymmetric top-k over the quantized corpus: queries stay float,
     neighbors are int8 codes — FAISS's asymmetric distance computation,
@@ -318,8 +323,10 @@ def int8_topk(
     so the per-pair work is a single codegen'd-shape zip_with over int
     codes — identical cost to the float baseline but reading a quarter
     of the bytes. Exact within quantization error; recall vs the exact
-    baseline is pinned by test."""
-    mins, scales = quantization_params(emb, vec_col)
+    baseline is pinned by test. ``params``: a persisted (mins, scales)
+    grid (functions/ann_io.load_sq8_grid) — serve from the artifact
+    instead of retraining."""
+    mins, scales = params if params is not None else quantization_params(emb, vec_col)
     corpus = quantize_embeddings(emb, mins, scales, id_col, vec_col)
     scales_arr = F.array(*[F.lit(float(s)) for s in scales])
     offs_arr = F.array(
@@ -546,6 +553,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """PQ-ADC top-k with exact re-ranking.
 
@@ -556,8 +564,13 @@ def pq_topk(
     exact cosine; with rerank*k candidates the output recall dominates
     any single-stage quantized scorer (pinned >= the SQ8 path by test).
     At 100 TB the candidate join touches q*rerank*k rows — negligible
-    against the code scan, which is 32x smaller than the float scan."""
-    codebooks = pq_train(emb, m=m, ks=ks, vec_col=vec_col, seed=seed)
+    against the code scan, which is 32x smaller than the float scan.
+    ``codebooks``: persisted codebooks (functions/ann_io) — serve from
+    the artifact instead of retraining (m and ks are then read from the
+    codebook shape)."""
+    if codebooks is None:
+        codebooks = pq_train(emb, m=m, ks=ks, vec_col=vec_col, seed=seed)
+    m, ks = len(codebooks), len(codebooks[0])
     sub = len(codebooks[0][0])
     corpus = pq_encode(emb, codebooks, id_col, vec_col)
 

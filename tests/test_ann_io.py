@@ -69,3 +69,36 @@ def test_kind_guard(tmp_path):
     save_lsh_planes([[1.0]], p)
     with pytest.raises(ValueError, match="expected 'sq8-grid'"):
         load_sq8_grid(p)
+
+
+def test_topk_serves_from_artifacts(spark, tmp_path):
+    """int8_topk/pq_topk/lsh_topk accept persisted parameters and return
+    exactly what the in-session-trained call returns (same seed)."""
+    from realtime_fraud_detection_spark.operators.similarity import (
+        int8_topk,
+        lsh_topk,
+        make_planes,
+        pq_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    mins, scales = quantization_params(emb)
+    save_sq8_grid(mins, scales, str(tmp_path / "g.json"))
+    a = int8_topk(emb, queries, k=3).collect()
+    b = int8_topk(emb, queries, k=3, params=load_sq8_grid(str(tmp_path / "g.json"))).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    books = pq_train(emb, m=8, ks=8)
+    save_pq_codebooks(books, str(tmp_path / "pq.json"))
+    a = pq_topk(emb, queries, k=3, m=8, ks=8).collect()
+    b = pq_topk(emb, queries, k=3, codebooks=load_pq_codebooks(str(tmp_path / "pq.json"))[0]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    planes = make_planes(dim=64, n_planes=4)
+    save_lsh_planes(planes, str(tmp_path / "p.json"))
+    a = lsh_topk(emb, queries, k=3, n_planes=4, dim=64).collect()
+    b = lsh_topk(emb, queries, k=3, planes=load_lsh_planes(str(tmp_path / "p.json"))).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
