@@ -60,6 +60,10 @@ HEADLINE = [
     "semantic_dedup",
     "text_classifier",
     "pagerank",
+    # round-5 new families
+    "ann_pq",
+    "triangles",
+    "unigram_tokens",
 ]
 
 # Iterative queries (CC / power-iteration loops) have documented ±2 s

@@ -256,7 +256,9 @@ def quantization_params(
     DIM-sized (the quantizer model), which then folds into downstream
     plans as literals — the same "train small, apply as a scan" shape as
     the LSH planes and KMeans centroids. Constant dimensions get scale 1
-    so they quantize to code -128 and dequantize exactly."""
+    so they quantize to code -128 and dequantize exactly. (The min/max
+    grid needs the FULL corpus — a sampled grid would clip the tails;
+    clipping is saturated-safe post-round-5 but costs accuracy.)"""
     stats = (
         emb.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
         .groupBy("d")
@@ -455,24 +457,36 @@ def pq_train(
     """Per-sub-space codebooks: codebooks[s][j] = centroid j of sub-space
     s (a list of D/M floats). M small KMeans fits; the collected model is
     M*Ks*(D/M) = Ks*D floats — model-sized, folded into downstream plans
-    as literals (the planes/centroids/SQ8-grid pattern)."""
+    as literals (the planes/centroids/SQ8-grid pattern). Codebooks are
+    DISTRIBUTIONAL, so at corpus scale train on a sample — pass
+    `sampling.hash_sample(emb, id_col, 0.01)` (FAISS trains its
+    quantizers the same way); encoding still scans everything."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    from concurrent.futures import ThreadPoolExecutor
 
     dim = len(emb.select(vec_col).first()[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
-    v = emb.select(_as_double(F.col(vec_col)).alias("nv"))
-    codebooks: list[list[list[float]]] = []
-    for s in range(m):
+    v = emb.select(_as_double(F.col(vec_col)).alias("nv")).localCheckpoint(
+        eager=True  # M concurrent consumers; slice, don't re-project
+    )
+
+    def fit_one(s: int) -> list[list[float]]:
         sliced = v.select(
             array_to_vector(F.slice(F.col("nv"), s * sub + 1, sub)).alias("fv")
         )
         km = KMeans(k=ks, seed=seed + s, featuresCol="fv", predictionCol="c")
-        model = km.fit(sliced)
-        codebooks.append([list(map(float, c)) for c in model.clusterCenters()])
-    return codebooks
+        return [list(map(float, c)) for c in km.fit(sliced).clusterCenters()]
+
+    # the M sub-space fits are independent — submit them as concurrent
+    # Spark jobs (job submission is thread-safe; each fit is seeded, so
+    # results are deterministic and order is fixed by index). Serially
+    # this loop was the wall-clock of every PQ build.
+    with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+        return list(pool.map(fit_one, range(m)))
 
 
 def _pq_flat_lits(codebooks: list[list[list[float]]], fn) -> Column:
@@ -497,51 +511,67 @@ def pq_encode(
     the argmin-distance centroid of its sub-space (ties by centroid id:
     the (dist, id) struct sort is total). dq_norm = |reconstruction| =
     sqrt(sum of chosen-centroid squared norms) — precomputed once here so
-    ADC scoring never touches float vectors (the norm-hoisting rule)."""
+    ADC scoring never touches float vectors (the norm-hoisting rule).
+
+    The per-centroid distances are CHAINED SCALAR multiply-adds over
+    unpacked vector elements, not zip_with/aggregate lambdas: HOFs are
+    interpreted per element (CLAUDE.md), and this expression evaluates
+    M*Ks*sub_dim terms per row — the unpacked form stays inside
+    whole-stage codegen with identical summation order (so identical
+    codes, ulp-for-ulp), the same rewrite embedding_near_dup_pairs
+    measured at 2.4x."""
     m = len(codebooks)
     ks = len(codebooks[0])
     sub = len(codebooks[0][0])
-    nv = _as_double(F.col(vec_col))
-    staged = emb.select(F.col(id_col).alias("nid"), nv.alias("nv"))
+    dim = m * sub
+    staged = emb.select(
+        F.col(id_col).alias("nid"),
+        *[
+            F.element_at(F.col(vec_col), i + 1).cast("double").alias(f"e{i}")
+            for i in range(dim)
+        ],
+    )
 
     def code_for(s: int) -> Column:
-        sv = F.slice(F.col("nv"), s * sub + 1, sub)
-        cands = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            sv,
-                            F.array(*[F.lit(x) for x in codebooks[s][j]]),
-                            lambda a, b: (a - b) * (a - b),
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    ).alias("d"),
-                    F.lit(j).alias("j"),
+        cands = []
+        for j in range(ks):
+            d = None
+            for t, c in enumerate(codebooks[s][j]):
+                term = (F.col(f"e{s * sub + t}") - F.lit(c)) * (
+                    F.col(f"e{s * sub + t}") - F.lit(c)
                 )
-                for j in range(ks)
-            ]
-        )
-        return F.array_sort(cands)[0]["j"].cast("tinyint")
+                # left-fold from 0.0 matches the old aggregate's order
+                d = (F.lit(0.0) + term) if d is None else (d + term)
+            cands.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
+        return F.array_sort(F.array(*cands))[0]["j"].cast("tinyint")
 
     coded = staged.select(
         "nid", F.array(*[code_for(s) for s in range(m)]).alias("codes")
     )
     n2 = _pq_flat_lits(codebooks, _sqnorm)
-    dq_norm = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda c, s: F.element_at(n2, (s * ks + c + 1).cast("int")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    dq2 = None
+    for s in range(m):
+        term = F.element_at(
+            n2, F.lit(s * ks + 1) + F.element_at(F.col("codes"), s + 1).cast("int")
         )
-    )
-    return coded.select("nid", "codes", dq_norm.alias("dq_norm"))
+        dq2 = (F.lit(0.0) + term) if dq2 is None else (dq2 + term)
+    return coded.select("nid", "codes", F.sqrt(dq2).alias("dq_norm"))
 
+
+
+def _adc_sum(m: int, ks: int) -> Column:
+    """Chained-scalar ADC lookup sum over the code bytes: Σ_s
+    lut[s*Ks + code_s] — same left-fold order as the aggregate() form it
+    replaces (HOFs are interpreted; this chain codegens), reading `codes`
+    and `lut` columns."""
+    tot = None
+    for s in range(m):
+        term = F.element_at(
+            F.col("lut"),
+            F.lit(s * ks + 1) + F.element_at(F.col("codes"), s + 1).cast("int"),
+        )
+        tot = (F.lit(0.0) + term) if tot is None else tot + term
+    return tot
 
 def pq_topk(
     emb: DataFrame,
@@ -591,20 +621,7 @@ def pq_topk(
         .withColumn("qnorm", l2_norm(F.col("qv")))
         .withColumn("lut", lut)
     )
-    adc = (
-        F.aggregate(
-            F.zip_with(
-                F.col("codes"),
-                F.sequence(F.lit(0), F.lit(len(codebooks) - 1)),
-                lambda c, s: F.element_at(
-                    F.col("lut"), (s * ks + c + 1).cast("int")
-                ),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        / (F.col("qnorm") * F.col("dq_norm"))
-    )
+    adc = _adc_sum(len(codebooks), ks) / (F.col("qnorm") * F.col("dq_norm"))
     w = Window.partitionBy("qid").orderBy(F.desc("adc_sim"), F.asc("nid"))
     cands = (
         F.broadcast(q)
@@ -663,13 +680,31 @@ def ivf_pq_topk(
     (cell, sub-space, code)-indexed literals (n_cells*m*ks floats —
     still model-sized) and each probed (query, cell) pair adds one
     query·centroid dot product on the broadcast side."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     c = emb.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv"))
     with_vec = c.withColumn("fv", array_to_vector(F.col("nv")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
-    model = km.fit(with_vec)
+
+    def fit_coarse():
+        km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
+        return km.fit(with_vec)
+
+    if by_residual:
+        model = fit_coarse()  # residual codebooks need the cells first
+    else:
+        # coarse quantizer and PQ codebooks train on independent views —
+        # run both fits as concurrent Spark jobs (thread-safe submission,
+        # both seeded, results deterministic)
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            coarse_f = pool.submit(fit_coarse)
+            books_f = pool.submit(
+                pq_train, emb, m, ks, vec_col, seed
+            )
+            model = coarse_f.result()
+            trained_books = books_f.result()
     cells_df = model.transform(with_vec).select("nid", "cell")
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
 
@@ -726,7 +761,7 @@ def ivf_pq_topk(
         )
         corpus = coded.withColumn("dq_norm", dq_norm)
     else:
-        codebooks = pq_train(emb, m=m, ks=ks, vec_col=vec_col, seed=seed)
+        codebooks = trained_books  # trained concurrently with the coarse fit
         sub = len(codebooks[0][0])
         corpus = pq_encode(emb, codebooks, id_col, vec_col).join(cells_df, "nid")
 
@@ -774,17 +809,7 @@ def ivf_pq_topk(
                 ),
             ),
         )
-    adc_dot = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c_, s_: F.element_at(
-                F.col("lut"), (s_ * ks + c_ + 1).cast("int")
-            ),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    adc_dot = _adc_sum(m, ks)
     if by_residual:
         adc_dot = adc_dot + F.col("qcbias")
     adc = adc_dot / (F.col("qnorm") * F.col("dq_norm"))
