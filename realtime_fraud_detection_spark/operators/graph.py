@@ -181,3 +181,65 @@ def triangle_count(
         .join(corners, "v", "left")
         .select("v", F.coalesce("triangles", F.lit(0)).alias("triangles"))
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(vertex) — members of the k-core of the undirected simple graph:
+    the maximal subgraph where every vertex keeps degree >= k after
+    everything below is recursively peeled away (Seidman 1983 "Network
+    structure and minimum degree"). The densest-region filter that
+    triangles alone can't give: a fraud ring whose members each touch
+    >= k shared entities survives the peel; organic tree-like traffic
+    (degree piles with no mutual reinforcement) dissolves.
+
+    Iterative peeling with the engine's loop discipline: per round ONE
+    map-side-combined degree aggregate over the surviving edge table,
+    one semi-join to drop light vertices, lazy localCheckpoint
+    materialized by the convergence count (one job per round). Rounds
+    are data-dependent — typically O(log n) for real graphs but a chain
+    peels one layer per round (adversarial O(n); `max_iter` caps it and
+    raises, the same guard as the CC loops).
+    """
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cur = und
+    n_edges = cur.count()
+    for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        deg = (
+            cur.select(F.col("a").alias("v"))
+            .unionAll(cur.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v")
+        nxt = (
+            cur.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        n_next = nxt.count()  # materializes the checkpoint (one job/round)
+        if n_next in (0, n_edges):  # emptied or stable — converged
+            cur, n_edges = nxt, n_next
+            break
+        cur, n_edges = nxt, n_next
+    else:
+        raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+    return (
+        cur.select(F.col("a").alias("v"))
+        .unionAll(cur.select(F.col("b").alias("v")))
+        .distinct()
+    )

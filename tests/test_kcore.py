@@ -1,0 +1,69 @@
+"""k-core peeling (operators/graph.k_core): hand graphs, brute-force
+replay parity on a pseudo-random graph, and edge cases."""
+
+from __future__ import annotations
+
+import pytest
+
+from realtime_fraud_detection_spark.operators.graph import k_core
+
+
+def _members(spark, edges, k):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {r["v"] for r in k_core(df, k).collect()}
+
+
+def _brute(edges, k):
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for u in adj.pop(v):
+                    adj[u].discard(v)
+                changed = True
+    return {v for v in adj if adj[v]}
+
+
+def test_hand_graphs(spark):
+    # triangle with a pendant: 2-core is the triangle, pendant peels
+    g = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    assert _members(spark, g, 2) == {1, 2, 3}
+    assert _members(spark, g, 1) == {1, 2, 3, 4}
+    assert _members(spark, g, 3) == set()
+    # K4 survives 3-core
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _members(spark, k4, 3) == {0, 1, 2, 3}
+    # chain peels completely at k=2 (the round-per-layer shape)
+    chain = [(i, i + 1) for i in range(10)]
+    assert _members(spark, chain, 2) == set()
+    # cascade: removing the hub's fringe drops the hub below k
+    star_plus = [(0, i) for i in range(1, 5)] + [(1, 2), (2, 3), (3, 1)]
+    assert _members(spark, star_plus, 3) == {0, 1, 2, 3}
+
+
+def test_matches_bruteforce(spark):
+    edges = []
+    state = 11
+    for _ in range(400):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        a = (state >> 16) % 80
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        b = (state >> 16) % 80
+        if a != b:
+            edges.append((a, b))
+    for k in (2, 3, 4):
+        assert _members(spark, edges, k) == _brute(edges, k), k
+
+
+def test_max_iter_guard(spark):
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(df, 2, max_iter=3)
