@@ -288,3 +288,101 @@ def train_text_classifier(
         feats, labels, n_buckets=n_buckets, iters=iters, lr=lr, l2=l2
     )
     return model, feats
+
+
+def train_one_vs_rest(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label_col: str,
+    n_buckets: int = 1024,
+    iters: int = 20,
+    lr: float = 5.0,
+    l2: float = 0.0,
+    bigrams: bool = False,
+) -> tuple[dict[str, LogRegModel], DataFrame]:
+    """Multiclass classifier as one-vs-rest binary heads — fastText's
+    own reduction for small class counts. `label_col` is a string class
+    column; returns {class: LogRegModel} plus the shared feature frame.
+
+    The corpus is featurized ONCE (the shared `feats` frame — the
+    tokenize-once rule); the K binary trainings read it concurrently
+    (thread-safe job submission, each head fully seeded/deterministic,
+    same as pq_train's parallel codebook fits). Driver state is K
+    model-sized dicts. Per head the cost is the usual iteration job
+    floor, but the heads overlap, so wall clock is ~one head."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    feats = hashed_features(
+        df, text_col, id_col, n_buckets=n_buckets, bigrams=bigrams
+    ).localCheckpoint(eager=True)
+    classes = sorted(
+        r[0] for r in df.select(label_col).distinct().collect()
+    )  # class-count-sized collect
+    if len(classes) < 2:
+        raise ValueError(f"need >= 2 classes, got {classes}")
+
+    def train_head(cls: str) -> LogRegModel:
+        labels = df.select(
+            F.col(id_col).alias("doc"),
+            (F.col(label_col) == cls).cast("double").alias("y"),
+        )
+        return train_logreg(
+            feats, labels, n_buckets=n_buckets, iters=iters, lr=lr, l2=l2
+        )
+
+    with ThreadPoolExecutor(max_workers=min(len(classes), 8)) as pool:
+        models = dict(zip(classes, pool.map(train_head, classes)))
+    return models, feats
+
+
+def score_one_vs_rest(
+    feats: DataFrame, models: dict[str, LogRegModel]
+) -> DataFrame:
+    """(doc, pred_label, pred_prob) — all K heads score in ONE pass: the
+    per-class weight tables stack into a single broadcast (bucket, cls,
+    w) table, one join + one (doc, cls) aggregate computes every margin,
+    and the argmax is a deterministic max over (prob, cls) structs
+    (ties take the lexicographically largest class; probs are rounded to
+    6 dp first, the suite transcendental rule). Scoring cost is
+    independent of K on the corpus side — K scales only the broadcast."""
+    spark = feats.sparkSession
+    classes = sorted(models)
+    rows = []
+    biases = {}
+    for cls in classes:
+        biases[cls] = models[cls].bias
+        for b, w in sorted(models[cls].weights.items()):
+            rows.append((cls, int(b), float(w)))
+    if not rows:
+        rows = [(classes[0], -2, 0.0)]  # placeholder bucket, never occurs
+    wdf = spark.createDataFrame(rows, "cls string, bucket bigint, w double")
+    bias_df = spark.createDataFrame(
+        [(c, float(b)) for c, b in sorted(biases.items())], "cls string, bias double"
+    )
+    margins = (
+        feats.join(F.broadcast(wdf), "bucket")
+        .groupBy("doc", "cls")
+        .agg(F.sum((F.col("x") * F.col("w")).cast(_DEC)).alias("m"))
+    )
+    # docs with no active bucket in ANY head still need K bias-only rows
+    all_pairs = feats.select("doc").distinct().crossJoin(F.broadcast(bias_df))
+    z = F.greatest(
+        F.lit(-36.7),
+        F.least(
+            F.lit(36.7),
+            F.coalesce(F.col("m").cast("double"), F.lit(0.0)) + F.col("bias"),
+        ),
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    scored = all_pairs.join(margins, ["doc", "cls"], "left").select(
+        "doc", "cls", prob.alias("prob")
+    )
+    best = scored.groupBy("doc").agg(
+        F.max(F.struct(F.col("prob"), F.col("cls"))).alias("_b")
+    )
+    return best.select(
+        "doc",
+        F.col("_b.cls").alias("pred_label"),
+        F.col("_b.prob").alias("pred_prob"),
+    )
