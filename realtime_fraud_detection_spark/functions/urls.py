@@ -1,0 +1,96 @@
+"""URL canonicalization — the key-normalization step that runs BEFORE
+content dedup in web-corpus pipelines: the same page is crawled under
+scheme/case/port/fragment/tracking-parameter variants, and deduping on
+the raw URL string misses all of them.
+
+Pure JVM expressions end to end: Spark's `try_parse_url` (null on invalid input)
+splits the URL; query-parameter filtering and re-ordering are array
+operations over a split of the query string (cheap HOFs — per-element
+cost is a comparison, the tolerable class). No Python, no UDF.
+
+Canonical form:
+  * scheme and host lowercased; a leading `www.` dropped
+  * default ports stripped (:80 http, :443 https)
+  * fragment dropped
+  * tracking parameters dropped (utm_*, gclid, fbclid, msclkid, ref) —
+    the standard analytics noise set; extend via `drop_params`
+  * surviving query params SORTED (param order is not content identity)
+  * trailing slash on a non-root path dropped
+
+`registrable_domain` is the grouping key for per-site caps and
+domain-level splits: last-two-labels with an embedded list of common
+multi-part public suffixes (co.uk, com.au, ...). The full Public Suffix
+List is a data file, not an algorithm — swap it in at deployment; the
+heuristic is documented and pinned so behavior is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "ref")
+# common multi-part public suffixes; the PSL replaces this in production
+_MULTI_TLD = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "co.nz", "co.in", "com.br", "com.cn", "com.mx", "co.za",
+)
+
+
+def _lower_host(url: Column) -> Column:
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def canonical_url(url: Column, drop_params: tuple[str, ...] = TRACKING_PARAMS) -> Column:
+    """Canonical form of an http(s) URL as described in the module doc.
+    Null-safe: null or unparseable (no host) input yields null."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
+    host = _lower_host(url)
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    # strip default ports (parse_url keeps the port inside HOST? no —
+    # HOST excludes the port; rebuild with the port only when non-default)
+    port = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:(\d+)", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == "http") & (port == "80"))
+        & ~((scheme == "https") & (port == "443"))
+    )
+    query = F.try_parse_url(url, F.lit("QUERY"))
+    pairs = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda p: (F.length(p) > 0)
+        & ~F.lower(F.regexp_extract(p, r"^([^=]*)", 1)).startswith("utm_")
+        & ~F.lower(F.regexp_extract(p, r"^([^=]*)", 1)).isin(
+            *[x.lower() for x in drop_params]
+        ),
+    )
+    sorted_q = F.concat_ws("&", F.array_sort(pairs))
+    clean_path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    out = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        clean_path,
+        F.when(F.length(sorted_q) > 0, F.concat(F.lit("?"), sorted_q)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(host.isNotNull() & (scheme != ""), out)
+
+
+
+def registrable_domain(url: Column) -> Column:
+    """Heuristic eTLD+1 from the URL's host (see module doc on the PSL)."""
+    host = _lower_host(url)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.slice(parts, F.greatest(n - 1, F.lit(1)), 2))
+    last3 = F.concat_ws(".", F.slice(parts, F.greatest(n - 2, F.lit(1)), 3))
+    return F.when(
+        last2.isin(*_MULTI_TLD) & (n >= 3), last3
+    ).otherwise(last2)

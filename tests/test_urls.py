@@ -1,0 +1,95 @@
+"""URL canonicalization (functions/urls.py): variant collapsing, tracking
+params, port/fragment/slash rules, registrable domains, null safety —
+replayed against urllib.parse for a generated URL set."""
+
+from __future__ import annotations
+
+from urllib.parse import parse_qsl, urlsplit
+
+from pyspark.sql import functions as F
+
+from realtime_fraud_detection_spark.functions.urls import (
+    TRACKING_PARAMS,
+    canonical_url,
+    registrable_domain,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+
+
+def test_variants_collapse(spark):
+    variants = [
+        "https://www.Example.com/path/?utm_source=x&b=2&a=1",
+        "HTTPS://example.com:443/path?a=1&b=2&gclid=zzz",
+        "https://example.com/path/?b=2&a=1#frag",
+    ]
+    out = _canon(spark, variants)
+    assert len(set(out)) == 1
+    assert out[0] == "https://example.com/path?a=1&b=2"
+
+
+def test_port_and_root_rules(spark):
+    assert _canon(spark, ["http://a.com:80/x"]) == ["http://a.com/x"]
+    assert _canon(spark, ["http://a.com:8080/x"]) == ["http://a.com:8080/x"]
+    assert _canon(spark, ["https://a.com/"]) == ["https://a.com/"]  # root keeps /
+    assert _canon(spark, ["https://a.com/x/"]) == ["https://a.com/x"]
+
+
+def test_null_and_garbage(spark):
+    df = spark.createDataFrame([(None,), ("not a url",)], "url string")
+    out = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert out == [None, None]
+
+
+def test_registrable_domain(spark):
+    cases = {
+        "https://www.news.bbc.co.uk/x": "bbc.co.uk",
+        "https://blog.example.com/y": "example.com",
+        "http://example.com": "example.com",
+        "https://a.b.c.com.au/z": "c.com.au",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = [r["d"] for r in df.select(registrable_domain(F.col("url")).alias("d")).collect()]
+    assert got == list(cases.values())
+
+
+def test_python_replay_on_generated_urls(spark):
+    """Structural replay with urllib: same host/path, same surviving
+    query params (sorted), for a deterministic generated URL set."""
+    urls = []
+    for i in range(60):
+        params = [f"p{j}={i * j}" for j in range(i % 4)]
+        if i % 3 == 0:
+            params.append("utm_campaign=x")
+        if i % 5 == 0:
+            params.append("fbclid=abc")
+        q = "&".join(reversed(params))
+        urls.append(
+            f"http{'s' if i % 2 else ''}://WWW.site{i % 7}.com"
+            f"{':8443' if i % 11 == 0 else ''}/a{i}/{'' if i % 4 else 'b/'}"
+            + (f"?{q}" if q else "")
+            + ("#sec" if i % 6 == 0 else "")
+        )
+    got = _canon(spark, urls)
+    for u, g in zip(urls, got):
+        sp = urlsplit(u)
+        host = sp.hostname.lower().removeprefix("www.")
+        keep = sorted(
+            f"{k}={v}"
+            for k, v in parse_qsl(sp.query, keep_blank_values=True)
+            if not k.lower().startswith("utm_") and k.lower() not in
+            tuple(t.lower() for t in TRACKING_PARAMS)
+        )
+        path = sp.path
+        if len(path) > 1 and path.endswith("/"):
+            path = path[:-1]
+        want = f"{sp.scheme.lower()}://{host}"
+        if sp.port and not (sp.scheme, sp.port) in (("http", 80), ("https", 443)):
+            want += f":{sp.port}"
+        want += path
+        if keep:
+            want += "?" + "&".join(keep)
+        assert g == want, (u, g, want)
