@@ -379,3 +379,34 @@ def weighted_sample(
             .drop("_ws_rank")
         )
     return out.drop("_ws_key")
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    id_col: str = "doc_id",
+    order_col: Column | None = None,
+) -> DataFrame:
+    """Keep at most `n` rows per group — the per-domain cap every web
+    corpus applies after URL canonicalization (one template-heavy site
+    must not dominate the mixture). Deterministic survivor choice:
+    `order_col` ascending (default: the salted md5 of the id, i.e. a
+    reproducible random draw — NOT the id itself, which would bias
+    toward early crawls), ties broken by id. One window, no shuffle
+    beyond the group partitioning."""
+    if n <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    # a caller-supplied order may already be a SortOrder (e.g. .desc()) —
+    # use it verbatim; only the default hash draw gets an explicit .asc()
+    order = (
+        order_col
+        if order_col is not None
+        else md5_bigint(F.col(id_col).cast("string"), salt="cap:").asc()
+    )
+    win = Window.partitionBy(group_col).orderBy(order, F.col(id_col).asc())
+    return (
+        df.withColumn("_cap_rank", F.row_number().over(win))
+        .filter(F.col("_cap_rank") <= n)
+        .drop("_cap_rank")
+    )

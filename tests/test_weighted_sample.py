@@ -57,3 +57,29 @@ def test_group_form_and_edge_cases(spark):
     assert [r["doc_id"] for r in weighted_sample(df2, "w", 10).collect()] == [3]
     with pytest.raises(ValueError):
         weighted_sample(df2, "w", 0)
+
+
+def test_cap_per_group(spark):
+    from pyspark.sql import functions as F
+
+    from realtime_fraud_detection_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"dom{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, dom string")
+    out = cap_per_group(df, "dom", 7).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["dom"], set()).add(r["doc_id"])
+    assert all(len(v) == 7 for v in by_g.values())
+    # deterministic across reruns
+    again = {(r["dom"], r["doc_id"]) for r in cap_per_group(df, "dom", 7).collect()}
+    assert again == {(r["dom"], r["doc_id"]) for r in out}
+    # groups smaller than the cap survive whole; explicit order honored
+    small = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")], "doc_id long, dom string")
+    assert cap_per_group(small, "dom", 5).count() == 3
+    newest = cap_per_group(small, "dom", 1, order_col=F.col("doc_id").desc())
+    assert {r["doc_id"] for r in newest.collect()} == {2, 3}
+    import pytest
+
+    with pytest.raises(ValueError):
+        cap_per_group(small, "dom", 0)
