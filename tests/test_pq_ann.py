@@ -64,7 +64,11 @@ def test_pq_recall_at_least_int8(spark):
     exact = {(r["qid"], r["nid"]) for r in brute_force_topk(emb, queries, k=k).collect()}
     # finer codebooks for the recall bar: m=16 sub-spaces x 64 centroids
     # = 16 code bytes per 256-byte float vector (16x), measured recall 1.0
-    pq = {(r["qid"], r["nid"]) for r in pq_topk(emb, queries, k=k, m=16, ks=64, rerank=6).collect()}
+    # (trained once, served to the query via codebooks= — the persisted-
+    # artifact path, and half the KMeans cost of training per call)
+    books = pq_train(emb, m=16, ks=64)
+    pq_rows = pq_topk(emb, queries, k=k, rerank=6, codebooks=books).collect()
+    pq = {(r["qid"], r["nid"]) for r in pq_rows}
     i8 = {(r["qid"], r["nid"]) for r in int8_topk(emb, queries, k=k).collect()}
     recall_pq = len(exact & pq) / len(exact)
     recall_i8 = len(exact & i8) / len(exact)
@@ -73,7 +77,7 @@ def test_pq_recall_at_least_int8(spark):
     # re-ranked similarities are EXACT — any returned pair matches the
     # brute-force cosine bit-for-bit (both round to 6 dp)
     bf = {(r["qid"], r["nid"]): r["cosine_sim"] for r in brute_force_topk(emb, queries, k=50).collect()}
-    for r in pq_topk(emb, queries, k=k, m=16, ks=64, rerank=6).collect():
+    for r in pq_rows:
         key = (r["qid"], r["nid"])
         if key in bf:
             assert r["cosine_sim"] == bf[key], key
