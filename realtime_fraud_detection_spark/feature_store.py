@@ -89,6 +89,78 @@ class FeatureStore:
             F.broadcast(pivoted), tx[entity_col] == pivoted.entity_id, "left"
         ).drop("entity_id")
 
+    def training_set(
+        self,
+        spark: SparkSession,
+        labels: DataFrame,
+        group: str,
+        features: list[str],
+        entity_col: str,
+        ts_col: str = "ts",
+    ) -> DataFrame:
+        """Point-in-time-correct training assembly — the anti-leakage
+        join: every label row gets, per requested feature, the LATEST
+        value whose event_ts <= the label's timestamp (ties at equal ts
+        include the feature; equal-event_ts duplicates resolve by latest
+        write_ts). A plain latest-value join would leak future features
+        into past labels — the classic offline/online skew bug.
+
+        ONE pass for all features (not one as-of join per feature): the
+        label probes replicate per feature name (a broadcast of the tiny
+        feature list), union with the long store, and a single
+        (entity, feature)-keyed window forward-fills the last value onto
+        each probe — one shuffle total, the asof_join union trick at
+        composite-key granularity. Output: the label rows with one
+        column per feature (null where no value existed yet).
+        """
+        store = self.read_offline(spark, group, features).select(
+            "entity_id",
+            "feature",
+            F.col("event_ts").alias("_pit_ts"),
+            "write_ts",
+            "value",
+            F.lit(0).alias("_is_probe"),
+            F.lit(None).cast("long").alias("_rid"),
+        )
+        # stable per-row id for the pivot-back (materialized so the id
+        # assignment cannot be recomputed differently downstream)
+        lab = labels.withColumn(
+            "_rid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+        fnames = spark.createDataFrame([(f,) for f in features], "feature string")
+        probes = (
+            lab.select(
+                F.col(entity_col).alias("entity_id"),
+                F.col(ts_col).alias("_pit_ts"),
+                "_rid",
+            )
+            .crossJoin(F.broadcast(fnames))
+            .select(
+                "entity_id",
+                "feature",
+                "_pit_ts",
+                F.lit(None).cast("timestamp").alias("write_ts"),
+                F.lit(None).cast("double").alias("value"),
+                F.lit(1).alias("_is_probe"),
+                "_rid",
+            )
+        )
+        # store rows sort BEFORE probes at equal ts (<= semantics);
+        # among store rows at one ts, later write_ts sorts later so
+        # last_value picks it
+        w = (
+            Window.partitionBy("entity_id", "feature")
+            .orderBy(F.col("_pit_ts").asc(), F.col("_is_probe").asc(), F.col("write_ts").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = (
+            store.unionByName(probes)
+            .withColumn("_v", F.last("value", ignorenulls=True).over(w))
+            .filter(F.col("_is_probe") == 1)
+        )
+        wide = filled.groupBy("_rid").pivot("feature", features).agg(F.first("_v"))
+        return lab.join(wide, "_rid", "left").drop("_rid")
+
     def categorical_statistics(
         self, df: DataFrame, categorical_cols: list[str], top_n: int = 20
     ) -> DataFrame:

@@ -105,3 +105,69 @@ def test_metrics_listener(spark, tmp_path):
         assert mine and mine[0]["input_rows"] == 4
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_training_set_is_point_in_time_correct(spark, tmp_path):
+    """Each label row must see the latest feature value AT OR BEFORE its
+    own timestamp — never a future write (the leakage a latest-value
+    join commits), with equal-ts inclusion and write_ts tie-break."""
+    from datetime import datetime as dt
+
+    fs = FeatureStore(str(tmp_path / "fs"))
+    feats = spark.createDataFrame(
+        [
+            (1, dt(2024, 1, 1, 10), 10.0, 1.0),
+            (1, dt(2024, 1, 1, 12), 20.0, 2.0),
+            (2, dt(2024, 1, 1, 11), 99.0, 9.0),
+        ],
+        "user long, ts timestamp, velocity double, risk double",
+    )
+    fs.write_features(feats, "g", "user", ["velocity", "risk"], ts_col="ts")
+
+    labels = spark.createDataFrame(
+        [
+            (100, 1, dt(2024, 1, 1, 9), 0),   # before any feature -> nulls
+            (101, 1, dt(2024, 1, 1, 10), 0),  # equal ts -> included
+            (102, 1, dt(2024, 1, 1, 11), 1),  # between writes -> first value
+            (103, 1, dt(2024, 1, 1, 13), 1),  # after both -> latest
+            (104, 2, dt(2024, 1, 1, 12), 0),
+            (105, 3, dt(2024, 1, 1, 12), 0),  # unseen entity -> nulls
+        ],
+        "label_id long, user long, ts timestamp, y int",
+    )
+    out = {
+        r["label_id"]: (r["velocity"], r["risk"], r["y"])
+        for r in fs.training_set(
+            spark, labels, "g", ["velocity", "risk"], "user", "ts"
+        ).collect()
+    }
+    assert out[100] == (None, None, 0)
+    assert out[101] == (10.0, 1.0, 0)
+    assert out[102] == (10.0, 1.0, 1)   # the 12:00 write must NOT leak back
+    assert out[103] == (20.0, 2.0, 1)
+    assert out[104] == (99.0, 9.0, 0)
+    assert out[105] == (None, None, 0)
+    assert len(out) == 6  # every label row survives, label columns intact
+
+
+def test_training_set_backfill_tiebreak(spark, tmp_path):
+    """Two writes with the SAME event_ts (a backfill correcting a value):
+    the later write_ts wins."""
+    import time
+    from datetime import datetime as dt
+
+    fs = FeatureStore(str(tmp_path / "fs2"))
+    first = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10), 10.0)], "user long, ts timestamp, v double"
+    )
+    fs.write_features(first, "g", "user", ["v"], ts_col="ts")
+    time.sleep(0.05)  # distinct write_ts
+    fix = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10), 11.5)], "user long, ts timestamp, v double"
+    )
+    fs.write_features(fix, "g", "user", ["v"], ts_col="ts")
+    labels = spark.createDataFrame(
+        [(1, 1, dt(2024, 1, 1, 12))], "label_id long, user long, ts timestamp"
+    )
+    row = fs.training_set(spark, labels, "g", ["v"], "user", "ts").first()
+    assert row["v"] == 11.5
