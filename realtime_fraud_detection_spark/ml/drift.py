@@ -135,3 +135,74 @@ def _psi_total(detail: DataFrame) -> DataFrame:
     return detail.agg(
         F.sum("contribution").alias("psi"), F.count("*").alias("n_buckets")
     )
+
+
+def fit_drift_baseline(
+    baseline: DataFrame, col: str, n_buckets: int = 10, exact: bool = True
+) -> dict:
+    """Train the monitoring baseline ONCE, offline: quantile cuts plus
+    the baseline's own bucket proportions. The returned dict is the
+    model a streaming monitor scores against — persist it with
+    :func:`save_drift_baseline` next to the model it guards."""
+    cuts = numeric_cuts(baseline, col, n_buckets, exact=exact)
+    props = {
+        int(r["bucket"]): float(r["p_base"])
+        for r in _proportions(
+            baseline.filter(F.col(col).isNotNull()),
+            _bucket_expr(col, cuts),
+            n_buckets,
+            "base",
+        ).collect()
+    }
+    return {
+        "col": col,
+        "cuts": cuts,
+        "p_base": [props.get(i, 0.0) for i in range(len(cuts) + 1)],
+    }
+
+
+def save_drift_baseline(baseline_model: dict, path: str) -> None:
+    from ..functions.artifacts import FORMAT, atomic_write
+
+    atomic_write(
+        path,
+        {"format": FORMAT, "version": 1, "kind": "drift-baseline", **baseline_model},
+    )
+
+
+def load_drift_baseline(path: str) -> dict:
+    from ..functions.artifacts import FORMAT, read_artifact
+
+    art = read_artifact(path, "drift-baseline", (FORMAT,))
+    return {
+        "col": art["col"],
+        "cuts": [float(x) for x in art["cuts"]],
+        "p_base": [float(x) for x in art["p_base"]],
+    }
+
+
+def psi_from_counts(counts: DataFrame, p_base: list[float], eps: float = 1e-4) -> DataFrame:
+    """(psi, n_buckets, n_rows) from a (bucket, n) count frame scored
+    against stored baseline proportions — the arithmetic tail shared by
+    the batch and streaming monitors (counts are mergeable partials, so
+    any window of batches re-aggregates exactly)."""
+    spark = counts.sparkSession
+    base = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(p_base)], "bucket int, p_base double"
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    cur = base.join(counts, "bucket", "left").crossJoin(F.broadcast(total)).select(
+        "bucket",
+        "p_base",
+        (F.coalesce("n", F.lit(0)) / F.col("t")).alias("p_cur"),
+        F.col("t"),
+    )
+    p = F.greatest(F.col("p_cur"), F.lit(eps))
+    q = F.greatest(F.col("p_base"), F.lit(eps))
+    return cur.select(
+        ((p - q) * F.log(p / q)).alias("contribution"), "t"
+    ).agg(
+        F.sum("contribution").alias("psi"),
+        F.count("*").alias("n_buckets"),
+        F.first("t").alias("n_rows"),
+    )

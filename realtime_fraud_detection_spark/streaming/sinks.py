@@ -556,3 +556,54 @@ def compact_store(
     for d in consumed:
         shutil.rmtree(os.path.join(path, d))
     return n
+
+
+def drift_monitor_writer(
+    out_dir: str,
+    baseline: dict,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function for streaming PSI drift monitoring: per
+    micro-batch, bucket the monitored column against the PERSISTED
+    baseline cuts (literals — no training in the stream) and append the
+    bucket counts under the batch's partition. Counts are mergeable
+    partials, so `drift_psi_view` can score any window of batches —
+    per-batch PSI for alerting, cumulative PSI for slow drift — and the
+    stored state per batch is n_buckets rows, not data-sized. Replay
+    overwrites the batch's own partition (module contract).
+
+    `baseline`: dict from `ml.drift.fit_drift_baseline` /
+    `load_drift_baseline` (train offline, next to the model it guards).
+    """
+    from ..ml.drift import _bucket_expr
+
+    col, cuts = baseline["col"], baseline["cuts"]
+    path = os.path.join(out_dir, "drift_counts")
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        counts = (
+            batch.filter(F.col(col).isNotNull())
+            .select(_bucket_expr(col, cuts).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+        )
+        _write_batch_partition(counts, batch_id, path)
+
+    return write
+
+
+def drift_psi_view(
+    spark,
+    out_dir: str,
+    baseline: dict,
+    batch_ids: list[int] | None = None,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """(psi, n_buckets, n_rows) over the stored counts — all batches, or
+    the `batch_ids` window (e.g. the last day's) for windowed alerting."""
+    from ..ml.drift import psi_from_counts
+
+    counts = spark.read.parquet(os.path.join(out_dir, "drift_counts"))
+    if batch_ids is not None:
+        counts = counts.filter(F.col("batch_id").isin(batch_ids))
+    merged = counts.groupBy("bucket").agg(F.sum("n").alias("n"))
+    return psi_from_counts(merged, baseline["p_base"], eps=eps)

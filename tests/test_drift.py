@@ -69,3 +69,44 @@ def test_categorical_folds_new_values(spark):
     cur = spark.createDataFrame([("a",)] * 50 + [("zzz",)] * 50, "c string")
     psi = psi_categorical(base, cur, "c").first()["psi"]
     assert math.isfinite(psi) and psi > 0.25  # new category -> big drift
+
+
+def test_stream_equals_batch_psi(spark, tmp_path):
+    """Two streamed batches' merged counts must score the EXACT same PSI
+    as the one-shot batch computation over their union, baseline loaded
+    cold from its artifact; a windowed view isolates one batch."""
+    from realtime_fraud_detection_spark.ml.drift import (
+        fit_drift_baseline,
+        load_drift_baseline,
+        save_drift_baseline,
+    )
+    from realtime_fraud_detection_spark.streaming.sinks import (
+        drift_monitor_writer,
+        drift_psi_view,
+    )
+
+    base = _vals(spark, range(1000))
+    model = fit_drift_baseline(base, "x", n_buckets=8)
+    p = str(tmp_path / "baseline.json")
+    save_drift_baseline(model, p)
+    loaded = load_drift_baseline(p)
+    assert loaded == {k: model[k] for k in ("col", "cuts", "p_base")}
+
+    b1 = _vals(spark, [v + 100 for v in range(400)])
+    b2 = _vals(spark, [v + 300 for v in range(600)])
+    out = str(tmp_path / "mon")
+    w = drift_monitor_writer(out, loaded)
+    w(b1, 0)
+    w(b2, 1)
+    streamed = drift_psi_view(spark, out, loaded).first()
+    batch = psi_numeric(base, b1.unionAll(b2), "x", n_buckets=8).first()
+    assert streamed["psi"] == pytest.approx(batch["psi"], rel=1e-12)
+    assert streamed["n_rows"] == 1000
+    # windowed view: batch 1 alone
+    only_b2 = drift_psi_view(spark, out, loaded, batch_ids=[1]).first()
+    alone = psi_numeric(base, b2, "x", n_buckets=8).first()
+    assert only_b2["psi"] == pytest.approx(alone["psi"], rel=1e-12)
+    # replay idempotency: rewriting batch 0 must not change the totals
+    w(b1, 0)
+    again = drift_psi_view(spark, out, loaded).first()
+    assert again["psi"] == streamed["psi"] and again["n_rows"] == 1000
