@@ -269,3 +269,28 @@ def velocity_flags(cnt_5min: Column, cnt_1h: Column) -> dict[str, Column]:
         "high_velocity_5min": cnt_5min > 5,
         "high_velocity_1hour": cnt_1h > 20,
     }
+
+
+def winsorize_fractions(
+    df, col: str, lower: float = 0.01, upper: float = 0.99, exact: bool = True
+) -> tuple[float, float]:
+    """Train the clip bounds: the (lower, upper) quantiles of `col` — one
+    percentile aggregate, driver state is two floats (fold them into any
+    later plan as literals via :func:`winsorize`). `exact=False` switches
+    to the mergeable percentile_approx sketch at corpus scale."""
+    from pyspark.sql import functions as F
+
+    fn = "percentile" if exact else "percentile_approx"
+    row = df.agg(
+        F.expr(f"{fn}({col}, array({lower}, {upper}))").alias("q")
+    ).first()
+    return float(row["q"][0]), float(row["q"][1])
+
+
+def winsorize(col: Column, lo: float, hi: float) -> Column:
+    """Clip to trained bounds — the standard heavy-tail guard before
+    scaling/training (amount features in fraud scoring are the textbook
+    case). Pure expression; nulls pass through."""
+    from pyspark.sql import functions as F
+
+    return F.least(F.greatest(col, F.lit(float(lo))), F.lit(float(hi)))

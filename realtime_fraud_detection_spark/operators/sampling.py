@@ -410,3 +410,20 @@ def cap_per_group(
         .filter(F.col("_cap_rank") <= n)
         .drop("_cap_rank")
     )
+
+
+def kfold_splits(
+    df: DataFrame, id_col: str, k: int = 5, seed: str = "fold:"
+) -> list[tuple[DataFrame, DataFrame]]:
+    """K (train, test) pairs for cross-validation: fold membership is the
+    salted md5 of the id mod k — deterministic, partition-independent,
+    and consistent with split_by_hash's guarantees (disjoint, exhaustive,
+    reproducible; a row's fold never changes as the corpus grows). Each
+    pair is a pure FILTER over the input (k lazy views, no
+    materialization — the optimizer pushes the predicate to the scan)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    fold = md5_bigint(F.col(id_col).cast("string"), salt=seed) % k
+    return [
+        (df.filter(fold != i), df.filter(fold == i)) for i in range(k)
+    ]

@@ -83,3 +83,50 @@ def test_cap_per_group(spark):
 
     with pytest.raises(ValueError):
         cap_per_group(small, "dom", 0)
+
+
+def test_kfold_splits(spark):
+    from realtime_fraud_detection_spark.operators.sampling import kfold_splits
+
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    folds = kfold_splits(docs, "doc_id", k=5)
+    assert len(folds) == 5
+    test_sets = [
+        {r["doc_id"] for r in te.select("doc_id").collect()} for _, te in folds
+    ]
+    # disjoint + exhaustive
+    all_ids = set()
+    for s in test_sets:
+        assert not (all_ids & s)
+        all_ids |= s
+    assert all_ids == set(range(500))
+    # train = complement of test, reproducible
+    tr0 = {r["doc_id"] for r in folds[0][0].select("doc_id").collect()}
+    assert tr0 == all_ids - test_sets[0]
+    again = kfold_splits(docs, "doc_id", k=5)
+    assert {r["doc_id"] for r in again[0][1].collect()} == test_sets[0]
+    import pytest
+
+    with pytest.raises(ValueError):
+        kfold_splits(docs, "doc_id", k=1)
+
+
+def test_winsorize(spark):
+    from pyspark.sql import functions as F
+
+    from realtime_fraud_detection_spark.functions.features import (
+        winsorize,
+        winsorize_fractions,
+    )
+
+    vals = list(range(100)) + [10_000, -10_000]  # heavy tails
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    lo, hi = winsorize_fractions(df, "x", 0.05, 0.95)
+    out = [
+        r["w"]
+        for r in df.select(winsorize(F.col("x"), lo, hi).alias("w")).collect()
+    ]
+    assert max(out) == hi and min(out) == lo
+    assert all(lo <= v <= hi for v in out)
+    # interior values untouched
+    assert 50.0 in out
