@@ -13,22 +13,39 @@ Spark-first shape (no MLlib, no Python in the distributed path):
 * Feature extraction is explode → md5-hash → hash-aggregate — identical
   machinery to the dedup family, fully codegen'd, one shuffle keyed by
   (doc, bucket).
-* Training is batch gradient descent with broadcast weights and
-  hash-aggregated gradients: per iteration the (doc, bucket, x) table
-  joins the broadcast weight table, aggregates margins per doc, joins the
-  doc-sized error frame back, and aggregates gradients per bucket. The
-  driver only ever holds the MODEL (≤ n_buckets floats — parameter-sized,
-  not data-sized); this is the same broadcast-weights /
-  treeAggregate-gradients topology MLlib's own LogisticRegression uses.
-* Determinism: every distributed sum (margins, gradients) is routed
-  through DECIMAL — order-insensitive exact arithmetic — so retraining on
-  any partitioning yields bit-identical weights (suite determinism rule;
-  double accumulation order would differ run to run).
+* Training is batch gradient descent with the features held as ONE
+  array<struct<bucket,x>> row per doc and the weights shipped as a dense
+  array LITERAL (a single Literal node — parameter-sized, same payload a
+  broadcast would carry). Margins are then a map-side `aggregate()` over
+  the array — ZERO shuffle — and the per-doc error is computed inline in
+  the same project, so each iteration is exactly ONE shuffle: the
+  bucket-keyed gradient sum (explode → groupBy bucket). The driver only
+  ever holds the MODEL (≤ n_buckets floats); this is the same
+  broadcast-weights / treeAggregate-gradients topology MLlib's own
+  LogisticRegression uses, minus MLlib's per-iteration doc-side shuffle.
+* Multiclass one-vs-rest trains ALL K heads in the same pass: the error
+  project carries K err columns and the gradient aggregate K sum columns,
+  so K heads cost one shuffle per iteration total, not per head.
+* Determinism: the per-doc margin is a sequential double fold over the
+  CANONICALLY SORTED feature array — a fixed summation order, so the
+  fold is bit-deterministic on any partitioning without decimal's
+  interpreted-mode cost; the cross-row gradient sums (whose order IS
+  partitioning-dependent) stay routed through DECIMAL — order-
+  insensitive exact arithmetic (suite determinism rule). Retraining
+  therefore yields bit-identical weights, and the NumPy full-loop
+  replay test pins the whole loop to ~1e-8 of the dense X @ w replay.
 
-At scale: the feature table is the corpus tokenized once (materialized and
-reused across iterations), each iteration is two shuffles whose reduce
-keys are doc and bucket — both well-distributed by construction (buckets
-are md5-uniform). Nothing driver-side grows with the corpus.
+At scale: the corpus is tokenized once and collapsed to doc-sized array
+rows once (materialized and reused across iterations); each iteration's
+only shuffle carries ≤ n_buckets × K rows out of the reduce — model-sized,
+not data-sized. Nothing driver-side grows with the corpus.
+
+Two plan-shape rules inherited from CLAUDE.md's empirical facts: the err
+columns are computed in a Project BELOW the gradient explode (a Generate
+re-evaluates its generator expression per OUTPUT element, but passes
+child-project columns through by value — verified per-doc, not
+per-element), and the weight array is bound via F.lit(list) which is a
+single Literal node (no 1024-child array(...) expression tree).
 """
 
 from __future__ import annotations
@@ -73,27 +90,36 @@ def hashed_features(
     )
     ws = F.col("ws")
     if bigrams:
-        n = F.size(ws)
+        nw = F.size(ws)
         bi = F.transform(
-            F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+            F.slice(ws, 1, F.greatest(nw - 1, F.lit(0))),
             lambda w, i: F.concat_ws(" ", w, F.get(ws, i + 1)),
         )
         grams = F.concat(ws, bi)
+        total = nw + F.greatest(nw - 1, F.lit(0))
     else:
         grams = ws
+        total = F.size(ws)
     # cheap generator expr (per-element concat over an attribute) — the
     # tolerable class of Generate re-evaluation, same as the shingle
-    # transforms in operators/dedup.py
-    toks = staged.select("doc", F.explode(grams).alias("term"))
-    counts = toks.groupBy("doc", "term").agg(F.count("*").alias("c"))
-    feats = counts.select(
-        "doc",
-        (md5_bigint(F.col("term"), salt="feat:") % n_buckets).alias("bucket"),
-        F.col("c"),
-    ).groupBy("doc", "bucket").agg(F.sum("c").alias("c"))
-    totals = feats.groupBy("doc").agg(F.sum("c").alias("n"))
-    return feats.join(totals, "doc").select(
-        "doc", "bucket", (F.col("c") / F.col("n")).alias("x")
+    # transforms in operators/dedup.py. The per-doc gram total rides along
+    # as a column computed BEFORE the explode, so x = c/n needs no totals
+    # self-join — the whole extraction is ONE (doc, bucket) shuffle, with
+    # map-side partial aggregation collapsing token occurrences to
+    # distinct (doc, bucket) rows before the wire.
+    toks = staged.select(
+        "doc", total.alias("n"), F.explode(grams).alias("term")
+    )
+    return (
+        toks.select(
+            "doc",
+            "n",
+            (md5_bigint(F.col("term"), salt="feat:") % n_buckets).alias(
+                "bucket"
+            ),
+        )
+        .groupBy("doc", "bucket")
+        .agg((F.count("*") / F.first("n")).alias("x"))
     )
 
 
@@ -122,6 +148,157 @@ def _sigmoid(z: float) -> float:
     return 1.0 / (1.0 + math.exp(-z))
 
 
+_FA_TYPE = "array<struct<bucket:bigint,x:double>>"
+
+
+def _bias_elem():
+    # synthetic intercept element appended before the gradient explode:
+    # x=1.0 makes the bucket=-1 gradient sum equal the bias gradient Σerr
+    # (built lazily — Column construction needs a live SparkContext)
+    return F.array(
+        F.struct(
+            F.lit(-1).cast("bigint").alias("bucket"), F.lit(1.0).alias("x")
+        )
+    )
+
+
+def _doc_arrays(feats: DataFrame, labels: DataFrame) -> DataFrame:
+    """Collapse the long (doc, bucket, x) table to one array row per
+    LABELED doc: (doc, fa, <label cols>). Label docs with no features
+    (empty text) get an empty array — their margin aggregates to exactly
+    0, matching the old left-join-then-coalesce semantics.
+
+    The array is sort_array'd: collect_list order is arrival order
+    (partitioning-dependent), but the per-doc margin is a sequential
+    DOUBLE fold over this array, so a canonical bucket order is what
+    makes retraining bit-deterministic on any partitioning (buckets are
+    unique within a doc — the struct sort is a total order)."""
+    arrays = feats.groupBy("doc").agg(
+        F.sort_array(F.collect_list(F.struct("bucket", "x"))).alias("fa")
+    )
+    keep = [c for c in labels.columns if c != "doc"]
+    return labels.join(arrays, "doc", "left").select(
+        "doc",
+        F.coalesce("fa", F.array().cast(_FA_TYPE)).alias("fa"),
+        *keep,
+    )
+
+
+def _doc_parts(n_docs: int) -> int:
+    """Partition target for the training frame: ~50k array rows (~50 MB)
+    per partition. The 20-iteration loop re-reads this frame 20×, so at
+    fixture scale one task per stage beats session-default partition
+    counts (each iteration is job-floor-bound, not compute-bound);
+    at corpus scale the formula grows the count linearly — and coalesce
+    can only LOWER the parent's partition count, so a large target
+    degrades to keeping the shuffle's own parallelism."""
+    return max(1, math.ceil(n_docs / 50_000))
+
+
+def _dense_weights(model: LogRegModel) -> list[float]:
+    w = [0.0] * model.n_buckets
+    for b, v in model.weights.items():
+        w[b] = v
+    return w
+
+
+def _train_heads(
+    doc_df: DataFrame,
+    n_docs: int,
+    models: list[LogRegModel],
+    iters: int,
+    lr: float,
+    l2: float,
+    eps: float,
+) -> list[LogRegModel]:
+    """The shared one-shuffle-per-iteration Adagrad loop over K heads.
+
+    `doc_df` is (doc, fa, y_0..y_{K-1}) — one MATERIALIZED row per
+    training doc, `fa` in canonical bucket order. Per iteration: the K
+    dense weight arrays + biases ride in as ONE broadcast single-row
+    frame (crossJoin — a driver-local relation, no job), head k's margin
+    is a map-side DOUBLE `aggregate()` over `fa` (zero shuffle;
+    deterministic because the fold order is the canonical array order),
+    err_k = σ(clamp(m_k + bias_k)) − y_k is a column in the same
+    project, and one explode → groupBy(bucket) aggregate decimal-sums
+    all K gradient columns in a single bucket-keyed shuffle. The collect
+    is ≤ (active buckets + 1) rows × K gradients — model-sized.
+
+    Two empirically-pinned shapes here (tests/test_suite_plans.py):
+    the weight arrays bind as ATTRIBUTES, not literals — interpreted
+    `element_at` on a literal array copies the whole array per element
+    access, O(n_buckets) per lookup — and binding weights as data keeps
+    the generated code byte-identical across iterations, so Spark's
+    codegen cache compiles the iteration exactly once.
+    """
+    spark = doc_df.sparkSession
+    K = len(models)
+    for _ in range(iters):
+        wrow = spark.createDataFrame(
+            [
+                tuple(_dense_weights(m) for m in models)
+                + tuple(float(m.bias) for m in models)
+            ],
+            ", ".join(
+                [f"_w_{k} array<double>" for k in range(K)]
+                + [f"_b_{k} double" for k in range(K)]
+            ),
+        )
+        sel = [F.col("fa")]
+        for k, m in enumerate(models):
+            # bind the weight array through a factory — HOF lambdas must
+            # take EXACTLY the declared arg count (a `w=warr` default
+            # param reads as a 3-arg lambda and fails analysis)
+            def _merge(w):
+                def step(acc, f):
+                    return acc + f["x"] * F.element_at(
+                        w, f["bucket"].cast("int") + 1
+                    )
+
+                return step
+
+            mg = F.aggregate(
+                "fa", F.lit(0.0), _merge(F.col(f"_w_{k}"))
+            )
+            z = F.greatest(
+                F.lit(-36.7),
+                F.least(F.lit(36.7), mg + F.col(f"_b_{k}")),
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            sel.append((p - F.col(f"y_{k}")).alias(f"err_{k}"))
+        staged = doc_df.crossJoin(F.broadcast(wrow)).select(*sel)
+        grad_rows = (
+            staged.select(
+                *[F.col(f"err_{k}") for k in range(K)],
+                F.explode(F.concat("fa", _bias_elem())).alias("f"),
+            )
+            .groupBy(F.col("f.bucket").alias("bucket"))
+            .agg(
+                *[
+                    F.sum(
+                        (F.col("f.x") * F.col(f"err_{k}")).cast(_DEC)
+                    ).alias(f"g_{k}")
+                    for k in range(K)
+                ]
+            )
+            .collect()
+        )
+        for row in grad_rows:
+            b = int(row["bucket"])
+            for k, m in enumerate(models):
+                g = float(row[f"g_{k}"]) / n_docs
+                if b == -1:  # intercept coordinate (no l2)
+                    m.g2_bias += g * g
+                    m.bias -= lr * g / math.sqrt(m.g2_bias + eps)
+                else:
+                    w = m.weights.get(b, 0.0)
+                    g += l2 * w
+                    acc = m.g2.get(b, 0.0) + g * g
+                    m.g2[b] = acc
+                    m.weights[b] = w - lr * g / math.sqrt(acc + eps)
+    return models
+
+
 def train_logreg(
     feats: DataFrame,
     labels: DataFrame,
@@ -140,93 +317,25 @@ def train_logreg(
     averaged n-gram features (x ~ 1/doc_len, gradients ~1e-3): plain GD
     either stalls the weights or slams the bias to saturation.
 
-    `feats` is the (doc, bucket, x) frame from :func:`hashed_features` —
-    the caller should materialize it (localCheckpoint) since every
-    iteration reads it twice. `labels` is (doc, y) with y ∈ {0.0, 1.0}.
-
-    Distributed per iteration: broadcast-join current weights onto the
-    feature table, decimal-sum margins per doc, compute the per-doc error
-    p − y, join it back and decimal-sum per-bucket gradients. Collected:
-    one row per ACTIVE bucket (≤ n_buckets) — the model, nothing else;
-    the Adagrad accumulators are model-sized driver state.
+    `feats` is the (doc, bucket, x) frame from :func:`hashed_features`;
+    `labels` is (doc, y) with y ∈ {0.0, 1.0}. Internally the pair is
+    collapsed once to one (doc, fa, y) ARRAY row per doc and the loop
+    runs in :func:`_train_heads`: per iteration, margins are a map-side
+    decimal aggregate over the array (weights bound as a dense literal),
+    and the only shuffle is the bucket-keyed gradient sum. Collected per
+    iteration: one row per ACTIVE bucket (≤ n_buckets) — the model,
+    nothing else; the Adagrad accumulators are model-sized driver state.
     """
-    spark = feats.sparkSession
     model = LogRegModel(n_buckets=n_buckets)
     n_docs = labels.count()
     if n_docs == 0:
         raise ValueError("empty training set")
-
-    # fold the INTERCEPT into the gradient aggregate: one synthetic
-    # (doc, bucket=-1, x=1.0) row per doc makes the per-bucket gradient
-    # sum yield the bias gradient (sum of errs) in the SAME pass — the
-    # previous union-branch form evaluated the whole margin/err subtree a
-    # second time per iteration. Bucket -1 never enters weights_df, so it
-    # contributes exactly 0 to margins (coalesce(w, 0)), and the decimal
-    # sums are order-insensitive — bit-identical weights to the old form
-    # (NumPy full-loop replay test pins this).
-    feats_aug = feats.unionByName(
-        labels.select(
-            "doc", F.lit(-1).cast("bigint").alias("bucket"), F.lit(1.0).alias("x")
-        )
-    ).localCheckpoint(eager=False)
-
-    for _ in range(iters):
-        wdf = model.weights_df(spark)
-        margins = (
-            feats_aug.join(F.broadcast(wdf), "bucket", "left")
-            .groupBy("doc")
-            .agg(
-                F.sum(
-                    (F.col("x") * F.coalesce(F.col("w"), F.lit(0.0))).cast(_DEC)
-                ).alias("m")
-            )
-        )
-        errs = (
-            labels.join(margins, "doc", "left")
-            .select(
-                "doc",
-                (
-                    F.lit(1.0)
-                    / (
-                        F.lit(1.0)
-                        + F.exp(
-                            -F.greatest(
-                                F.lit(-36.7),
-                                F.least(
-                                    F.lit(36.7),
-                                    F.coalesce(
-                                        F.col("m").cast("double"), F.lit(0.0)
-                                    )
-                                    + F.lit(model.bias),
-                                ),
-                            )
-                        )
-                    )
-                    - F.col("y")
-                ).alias("err"),
-            )
-        )
-        # one collect for both the per-bucket gradients and the bias term:
-        # the bucket=-1 rows (x=1.0) sum to the bias gradient
-        grad_rows = (
-            feats_aug.join(errs, "doc")
-            .groupBy("bucket")
-            .agg(F.sum((F.col("x") * F.col("err")).cast(_DEC)).alias("g"))
-            .collect()
-        )
-        for row in grad_rows:
-            g = float(row["g"]) / n_docs
-            b = int(row["bucket"])
-            if b == -1:  # intercept coordinate (no l2)
-                model.g2_bias += g * g
-                model.bias -= lr * g / math.sqrt(model.g2_bias + eps)
-            else:
-                w = model.weights.get(b, 0.0)
-                g += l2 * w
-                acc = model.g2.get(b, 0.0) + g * g
-                model.g2[b] = acc
-                model.weights[b] = w - lr * g / math.sqrt(acc + eps)
-    return model
+    doc_df = (
+        _doc_arrays(feats, labels.select("doc", F.col("y").alias("y_0")))
+        .coalesce(_doc_parts(n_docs))
+        .localCheckpoint(eager=True)
+    )
+    return _train_heads(doc_df, n_docs, [model], iters, lr, l2, eps)[0]
 
 
 def score_logreg(
@@ -306,13 +415,14 @@ def train_one_vs_rest(
     column; returns {class: LogRegModel} plus the shared feature frame.
 
     The corpus is featurized ONCE (the shared `feats` frame — the
-    tokenize-once rule); the K binary trainings read it concurrently
-    (thread-safe job submission, each head fully seeded/deterministic,
-    same as pq_train's parallel codebook fits). Driver state is K
-    model-sized dicts. Per head the cost is the usual iteration job
-    floor, but the heads overlap, so wall clock is ~one head."""
-    from concurrent.futures import ThreadPoolExecutor
-
+    tokenize-once rule) and ALL K heads train in the same
+    :func:`_train_heads` loop: the per-doc project carries K err columns
+    and the gradient aggregate K sum columns, so each iteration is ONE
+    bucket-keyed shuffle for the whole multiclass model — not one loop
+    (or even one job) per head. Each head's arithmetic is coordinate-wise
+    independent and decimal-exact, so every head is bit-identical to the
+    standalone binary training on the same features (pinned by
+    tests/test_one_vs_rest.py). Driver state is K model-sized dicts."""
     feats = hashed_features(
         df, text_col, id_col, n_buckets=n_buckets, bigrams=bigrams
     ).localCheckpoint(eager=True)
@@ -322,18 +432,31 @@ def train_one_vs_rest(
     if len(classes) < 2:
         raise ValueError(f"need >= 2 classes, got {classes}")
 
-    def train_head(cls: str) -> LogRegModel:
-        labels = df.select(
-            F.col(id_col).alias("doc"),
-            (F.col(label_col) == cls).cast("double").alias("y"),
-        )
-        return train_logreg(
-            feats, labels, n_buckets=n_buckets, iters=iters, lr=lr, l2=l2
-        )
-
-    with ThreadPoolExecutor(max_workers=min(len(classes), 8)) as pool:
-        models = dict(zip(classes, pool.map(train_head, classes)))
-    return models, feats
+    labels = df.select(
+        F.col(id_col).alias("doc"),
+        *[
+            (F.col(label_col) == cls).cast("double").alias(f"y_{k}")
+            for k, cls in enumerate(classes)
+        ],
+    )
+    n_docs = labels.count()
+    if n_docs == 0:
+        raise ValueError("empty training set")
+    doc_df = (
+        _doc_arrays(feats, labels)
+        .coalesce(_doc_parts(n_docs))
+        .localCheckpoint(eager=True)
+    )
+    models = _train_heads(
+        doc_df,
+        n_docs,
+        [LogRegModel(n_buckets=n_buckets) for _ in classes],
+        iters,
+        lr,
+        l2,
+        eps=1e-8,
+    )
+    return dict(zip(classes, models)), feats
 
 
 def score_one_vs_rest(

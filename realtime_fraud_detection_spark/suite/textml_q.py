@@ -45,19 +45,31 @@ def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.text_classifier import (
         hashed_features,
         score_logreg,
-        train_text_classifier,
+        train_logreg,
     )
 
-    docs = _docs(spark, sf_dir).withColumn("y", _weak_label(F.col("text")))
-    train = docs.filter("doc_id % 5 < 4")
-    model, _ = train_text_classifier(
-        train, "text", "doc_id", "y", n_buckets=1024, iters=20, lr=5.0
+    docs = _docs(spark, sf_dir)
+    # tokenize-once rule: the whole corpus is featurized and weak-labeled
+    # exactly ONCE; the training slice is a filter over the shared
+    # checkpointed frames (hashed features are per-doc independent, so
+    # filtering the feature table == featurizing the filtered corpus)
+    labeled = docs.select(
+        F.col("doc_id").alias("doc"), _weak_label(F.col("text")).alias("y")
+    ).localCheckpoint(eager=False)
+    feats_all = hashed_features(
+        docs, "text", "doc_id", 1024, bigrams=False
+    ).localCheckpoint(eager=False)
+    model = train_logreg(
+        feats_all.filter("doc % 5 < 4"),
+        labeled.filter("doc % 5 < 4"),
+        n_buckets=1024,
+        iters=20,
+        lr=5.0,
+        l2=0.0,
     )
-    feats_all = hashed_features(docs, "text", "doc_id", 1024, bigrams=False)
     scored = score_logreg(feats_all, model)
     return (
-        docs.select(F.col("doc_id").alias("doc"), "y")
-        .join(scored, "doc", "left")
+        labeled.join(scored, "doc", "left")
         .select(
             F.col("doc").alias("doc_id"),
             "y",
