@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_bigint
+from .scaling import scaled_shuffle
 
 
 def connected_components(
@@ -62,28 +63,42 @@ def connected_components(
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-
-    labels = (
-        sym.select(F.col("src").alias("doc"))
-        .distinct()
-        .select("doc", F.col("doc").alias("cluster"))
-    )
-    if vertices is not None:
-        # UNION, not replace: the label table must keep every edge
-        # endpoint or propagation through vertices absent from `vertices`
-        # silently stops (bipartite entity-link graphs hit this — the
-        # dedup callers always passed a superset, which masked it)
-        vcol = vertex_col or vertices.columns[0]
-        labels = (
-            labels.select("doc")
-            .union(vertices.select(F.col(vcol).alias("doc")))
-            .distinct()
-            .select("doc", F.col("doc").alias("cluster"))
-        )
-    labels = labels.localCheckpoint()
     sym = sym.localCheckpoint()
     n_edges = sym.count()
 
+    # size the per-round shuffles from the edge count, not the session
+    # default (operators/scaling.py) — every round's join + min-aggregate
+    # carries edge-proportional state, and every round materializes inside
+    # this block, so the scaled conf covers all the heavy stages
+    with scaled_shuffle(sym.sparkSession, n_edges):
+        labels = (
+            sym.select(F.col("src").alias("doc"))
+            .distinct()
+            .select("doc", F.col("doc").alias("cluster"))
+        )
+        if vertices is not None:
+            # UNION, not replace: the label table must keep every edge
+            # endpoint or propagation through vertices absent from `vertices`
+            # silently stops (bipartite entity-link graphs hit this — the
+            # dedup callers always passed a superset, which masked it)
+            vcol = vertex_col or vertices.columns[0]
+            labels = (
+                labels.select("doc")
+                .union(vertices.select(F.col(vcol).alias("doc")))
+                .distinct()
+                .select("doc", F.col("doc").alias("cluster"))
+            )
+        labels = labels.localCheckpoint()
+        return _cc_propagate(sym, labels, n_edges, max_rounds, contract_threshold)
+
+
+def _cc_propagate(
+    sym: DataFrame,
+    labels: DataFrame,
+    n_edges: int,
+    max_rounds: int,
+    contract_threshold: int,
+) -> DataFrame:
     for _ in range(max_rounds):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("doc", "src"), "src")
@@ -217,6 +232,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    n_edges = sym.count()
 
     def _star(e: DataFrame, large: bool) -> DataFrame:
         # neighborhoods as (node, nbr) with node the star center side:
@@ -248,40 +264,44 @@ def connected_components_star(
             .distinct()
         )
 
-    for _ in range(max_rounds):
-        # lazy checkpoints, materialized transitively by the (full, no
-        # limit short-circuit) convergence count below — one job per round
-        # instead of three (same treatment as the propagation variant)
-        sym = _star(sym, large=True).localCheckpoint(eager=False)
-        sym = _star(sym, large=False).localCheckpoint(eager=False)
-        # converged when every edge already points at its component min:
-        # one more large-star pass changes nothing — detectable as "no hi
-        # appears as a lo" (pure star forest)
-        non_star = (
-            sym.select(F.col("lo").alias("x"))
-            .join(sym.select(F.col("hi").alias("x")), "x", "left_semi")
-            .count()
-        )
-        if non_star == 0:
-            labels = sym.select(F.col("hi").alias("doc"), F.col("lo").alias("cluster"))
-            # centers label themselves
-            centers = labels.select(F.col("cluster").alias("doc")).distinct().join(
-                labels.select(F.col("doc")), "doc", "left_anti"
-            ).select("doc", F.col("doc").alias("cluster"))
-            out = labels.union(centers)
-            if vertices is not None:
-                # same semantics as connected_components: `vertices` ADDS
-                # isolated vertices (self-labelled); edge endpoints always
-                # stay in the output
-                vcol = vertex_col or vertices.columns[0]
-                isolated = (
-                    vertices.select(F.col(vcol).alias("doc"))
-                    .distinct()
-                    .join(out.select("doc"), "doc", "left_anti")
-                    .select("doc", F.col("doc").alias("cluster"))
-                )
-                out = out.union(isolated)
-            return out
+    # per-round shuffles sized from the edge count (operators/scaling.py);
+    # each round materializes via the convergence count, so the scaled
+    # conf covers every heavy stage, and AQE coalesces as rounds shrink
+    with scaled_shuffle(sym.sparkSession, n_edges):
+        for _ in range(max_rounds):
+            # lazy checkpoints, materialized transitively by the (full, no
+            # limit short-circuit) convergence count below — one job per round
+            # instead of three (same treatment as the propagation variant)
+            sym = _star(sym, large=True).localCheckpoint(eager=False)
+            sym = _star(sym, large=False).localCheckpoint(eager=False)
+            # converged when every edge already points at its component min:
+            # one more large-star pass changes nothing — detectable as "no hi
+            # appears as a lo" (pure star forest)
+            non_star = (
+                sym.select(F.col("lo").alias("x"))
+                .join(sym.select(F.col("hi").alias("x")), "x", "left_semi")
+                .count()
+            )
+            if non_star == 0:
+                labels = sym.select(F.col("hi").alias("doc"), F.col("lo").alias("cluster"))
+                # centers label themselves
+                centers = labels.select(F.col("cluster").alias("doc")).distinct().join(
+                    labels.select(F.col("doc")), "doc", "left_anti"
+                ).select("doc", F.col("doc").alias("cluster"))
+                out = labels.union(centers)
+                if vertices is not None:
+                    # same semantics as connected_components: `vertices` ADDS
+                    # isolated vertices (self-labelled); edge endpoints always
+                    # stay in the output
+                    vcol = vertex_col or vertices.columns[0]
+                    isolated = (
+                        vertices.select(F.col(vcol).alias("doc"))
+                        .distinct()
+                        .join(out.select("doc"), "doc", "left_anti")
+                        .select("doc", F.col("doc").alias("cluster"))
+                    )
+                    out = out.union(isolated)
+                return out
     raise RuntimeError(
         f"connected_components_star did not converge in {max_rounds} rounds"
     )

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .scaling import scaled_shuffle
+
 _DEC = "decimal(38,20)"
 
 
@@ -46,26 +48,38 @@ def pagerank(
     """
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint()
+    m = e.count()
 
-    verts = e.select(F.col("src").alias("v")).union(
-        e.select(F.col("dst").alias("v"))
-    )
-    if vertices is not None:
-        vcol = vertex_col or vertices.columns[0]
-        verts = verts.union(vertices.select(F.col(vcol).alias("v")))
-    verts = verts.distinct().localCheckpoint()
-    n = verts.count()
-    if n == 0:
-        return verts.select(F.col("v"), F.lit(0.0).alias("rank"))
+    # per-round shuffles (contribution join + inflow aggregate) carry
+    # edge-proportional state — size them from the edge count, not the
+    # session default (operators/scaling.py); each round materializes
+    # inside the block via the dangling-mass full-scan aggregate
+    with scaled_shuffle(e.sparkSession, m):
+        verts = e.select(F.col("src").alias("v")).union(
+            e.select(F.col("dst").alias("v"))
+        )
+        if vertices is not None:
+            vcol = vertex_col or vertices.columns[0]
+            verts = verts.union(vertices.select(F.col(vcol).alias("v")))
+        verts = verts.distinct().localCheckpoint()
+        n = verts.count()
+        if n == 0:
+            return verts.select(F.col("v"), F.lit(0.0).alias("rank"))
 
-    out_deg = e.groupBy(F.col("src").alias("v")).agg(
-        F.count("*").alias("out_deg")
-    )
-    ranks = verts.join(out_deg, "v", "left").select(
-        "v", F.lit(1.0 / n).alias("rank"), F.coalesce("out_deg", F.lit(0)).alias("out_deg")
-    ).localCheckpoint(eager=False)
+        out_deg = e.groupBy(F.col("src").alias("v")).agg(
+            F.count("*").alias("out_deg")
+        )
+        ranks = verts.join(out_deg, "v", "left").select(
+            "v", F.lit(1.0 / n).alias("rank"), F.coalesce("out_deg", F.lit(0)).alias("out_deg")
+        ).localCheckpoint(eager=False)
+        ranks = _pagerank_rounds(e, ranks, n, damping, iters)
+    return ranks.select("v", "rank")
 
+
+def _pagerank_rounds(
+    e: DataFrame, ranks: DataFrame, n: int, damping: float, iters: int
+) -> DataFrame:
     for _ in range(iters):
         # dangling mass: ranks of vertices with no out-edges. The scalar's
         # full-scan aggregate ALSO materializes the lazy checkpoint — one
@@ -100,7 +114,11 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-    return ranks.select("v", "rank")
+    # the last round's lazy checkpoint was materialized by its own
+    # dangling-mass aggregate only for rounds 2..iters; materialize the
+    # final table before the scaled-shuffle conf is restored
+    ranks.agg(F.count("*")).collect()
+    return ranks
 
 
 def triangle_count(
@@ -133,7 +151,18 @@ def triangle_count(
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
+    m = und.count()
+    # wedge join output amplifies each edge by the oriented out-degree
+    # (O(sqrt(m)) worst case) — size shuffles from the edge count with a
+    # tighter per-partition budget than the iterative ops, and
+    # materialize the vertex-sized result inside the scaled block
+    with scaled_shuffle(und.sparkSession, m, rows_per_partition=250_000):
+        return _triangle_count(und).localCheckpoint()
+
+
+def _triangle_count(und: DataFrame) -> DataFrame:
     deg = (
         und.select(F.col("a").alias("v"))
         .unionAll(und.select(F.col("b").alias("v")))
@@ -215,31 +244,37 @@ def k_core(
     )
     cur = und
     n_edges = cur.count()
-    for _ in range(max_iter):
-        if n_edges == 0:
-            break
-        deg = (
+    # per-round degree aggregate + two semi-joins carry edge-proportional
+    # state: size their shuffles from the edge count (operators/scaling.py);
+    # every round materializes via its convergence count, and the final
+    # vertex set materializes before the conf restores
+    with scaled_shuffle(und.sparkSession, n_edges):
+        for _ in range(max_iter):
+            if n_edges == 0:
+                break
+            deg = (
+                cur.select(F.col("a").alias("v"))
+                .unionAll(cur.select(F.col("b").alias("v")))
+                .groupBy("v")
+                .agg(F.count("*").alias("d"))
+            )
+            keep = deg.filter(F.col("d") >= k).select("v")
+            nxt = (
+                cur.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
+                .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
+                .select("a", "b")
+                .localCheckpoint(eager=False)
+            )
+            n_next = nxt.count()  # materializes the checkpoint (one job/round)
+            if n_next in (0, n_edges):  # emptied or stable — converged
+                cur, n_edges = nxt, n_next
+                break
+            cur, n_edges = nxt, n_next
+        else:
+            raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+        return (
             cur.select(F.col("a").alias("v"))
             .unionAll(cur.select(F.col("b").alias("v")))
-            .groupBy("v")
-            .agg(F.count("*").alias("d"))
+            .distinct()
+            .localCheckpoint()
         )
-        keep = deg.filter(F.col("d") >= k).select("v")
-        nxt = (
-            cur.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
-            .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
-            .select("a", "b")
-            .localCheckpoint(eager=False)
-        )
-        n_next = nxt.count()  # materializes the checkpoint (one job/round)
-        if n_next in (0, n_edges):  # emptied or stable — converged
-            cur, n_edges = nxt, n_next
-            break
-        cur, n_edges = nxt, n_next
-    else:
-        raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
-    return (
-        cur.select(F.col("a").alias("v"))
-        .unionAll(cur.select(F.col("b").alias("v")))
-        .distinct()
-    )

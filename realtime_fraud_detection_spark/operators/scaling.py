@@ -1,0 +1,66 @@
+"""Input-size-derived shuffle sizing for the iterative graph operators.
+
+The session's `spark.sql.shuffle.partitions` is a workload-wide default;
+an iterative operator whose per-round reduce state is proportional to the
+EDGE count needs its reduce side split finer than that default once the
+graph outgrows it — at 100x fixture scale (53M edges) the per-round hash
+aggregates OOM a default-sized local heap because every reduce task
+builds a multi-million-entry UnsafeFixedWidthAggregationMap
+concurrently (SCALE.md "the first knob that binds"). The fix a cluster
+operator applies by hand (raise shuffle partitions for the job) is what
+`scaled_shuffle` applies automatically, scoped to the operator's loop:
+
+* partitions only ever INCREASE above the session default — small inputs
+  keep the caller's setting, and AQE (on by default) coalesces the extra
+  partitions back together whenever a round's shuffle is small, so the
+  raised base costs nothing as iterative edge tables shrink round over
+  round;
+* the conf is restored in a `finally`, so the caller's session is never
+  left altered (the driver shares one session across queries).
+
+Materialization discipline: every operator using this helper must
+materialize (checkpoint + full-scan count) its heavy frames INSIDE the
+`with` block — a lazily returned plan would execute under the caller's
+restored conf and see none of the scaling.
+"""
+
+from __future__ import annotations
+
+import math
+from contextlib import contextmanager
+from typing import Iterator
+
+from pyspark.sql import SparkSession
+
+_KEY = "spark.sql.shuffle.partitions"
+
+# ~1M shuffle rows per reduce task keeps per-task aggregation state in
+# the tens of MB for two-long rows — 32 concurrent tasks stay well under
+# a default-sized heap, and at cluster scale the count grows linearly
+# with the data instead of being pinned at the session default.
+DEFAULT_ROWS_PER_PARTITION = 1_000_000
+
+
+@contextmanager
+def scaled_shuffle(
+    spark: SparkSession,
+    n_rows: int,
+    rows_per_partition: int = DEFAULT_ROWS_PER_PARTITION,
+) -> Iterator[int]:
+    """Raise `spark.sql.shuffle.partitions` to ceil(n_rows / rows_per_
+    partition) for the duration of the block if that exceeds the current
+    setting; restore the caller's value afterwards. Yields the effective
+    partition count."""
+    try:
+        cur = int(spark.conf.get(_KEY))
+    except (TypeError, ValueError):  # unset / "auto" — Spark's default
+        cur = 200
+    target = max(1, math.ceil(max(n_rows, 1) / rows_per_partition))
+    if target <= cur:
+        yield cur
+        return
+    spark.conf.set(_KEY, str(target))
+    try:
+        yield target
+    finally:
+        spark.conf.set(_KEY, str(cur))

@@ -584,6 +584,7 @@ def pq_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     codebooks: list[list[list[float]]] | None = None,
+    codes: DataFrame | None = None,
 ) -> DataFrame:
     """PQ-ADC top-k with exact re-ranking.
 
@@ -597,12 +598,20 @@ def pq_topk(
     against the code scan, which is 32x smaller than the float scan.
     ``codebooks``: persisted codebooks (functions/ann_io) — serve from
     the artifact instead of retraining (m and ks are then read from the
-    codebook shape)."""
+    codebook shape). ``codes``: the persisted encoded corpus
+    (a (nid, codes, dq_norm) frame as written by :func:`pq_encode`) —
+    the full SERVE path then never trains nor encodes: the code table
+    scans, the float store is touched only for the rerank*k candidates
+    per query."""
     if codebooks is None:
         codebooks = pq_train(emb, m=m, ks=ks, vec_col=vec_col, seed=seed)
     m, ks = len(codebooks), len(codebooks[0])
     sub = len(codebooks[0][0])
-    corpus = pq_encode(emb, codebooks, id_col, vec_col)
+    corpus = (
+        codes.select("nid", "codes", "dq_norm")
+        if codes is not None
+        else pq_encode(emb, codebooks, id_col, vec_col)
+    )
 
     qv = _as_double(F.col(vec_col))
     # lut[s*Ks + j] = dot(q_sub_s, centroid_sj), built on the tiny query side

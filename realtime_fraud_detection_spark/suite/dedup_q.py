@@ -817,6 +817,79 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PQ SERVE path: the number production actually pays per query batch at
+# 100 TB. q_ann_pq above measures BUILD+serve (train codebooks, encode the
+# corpus, then search); this entry persists the index once per fixture
+# (codebooks as a JSON artifact, the encoded corpus as parquet —
+# examples/ann_index_lifecycle.py's layout) and then serves top-k purely
+# from the artifacts: the scan reads M=8 code bytes per vector, floats are
+# touched only for the rerank*k candidates. Rows-only (approximate by
+# construction, same as ann_pq); bench medians 3 runs so the one-time
+# build in a cold run doesn't pollute the serve timing.
+# ---------------------------------------------------------------------------
+def _pq_index_dir(sf_dir: str) -> str:
+    import hashlib as _h
+    import os as _os
+
+    base = _os.path.basename(_os.path.normpath(sf_dir))
+    tag = _h.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    return f"/tmp/spark_graft_pq_index_{base}_{tag}"
+
+
+def q_ann_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+
+    from ..functions import ann_io
+
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    idx = _pq_index_dir(sf_dir)
+    meta_p = os.path.join(idx, "meta.json")
+    n = emb.count()
+    stale = True
+    if os.path.exists(meta_p):
+        with open(meta_p) as fh:
+            stale = json.load(fh).get("n") != n
+    if stale:  # one-time build: persist codebooks + encoded corpus
+        books = SIM.pq_train(emb, m=8, ks=16)
+        os.makedirs(idx, exist_ok=True)
+        ann_io.save_pq_codebooks(books, os.path.join(idx, "pq.json"))
+        SIM.pq_encode(emb, books).write.mode("overwrite").parquet(
+            os.path.join(idx, "codes")
+        )
+        with open(meta_p, "w") as fh:  # meta last — marks a complete build
+            json.dump({"n": n}, fh)
+    books, _ = ann_io.load_pq_codebooks(os.path.join(idx, "pq.json"))
+    codes = spark.read.parquet(os.path.join(idx, "codes"))
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.pq_topk(
+        emb, queries, k=3, rerank=6, codebooks=books, codes=codes
+    )
+
+
+# IVF,SQ8 composed index (coarse cell pruning over the int8-quantized
+# corpus, asymmetric fine scoring) — exists with recall tests since round
+# 4 but previously had no suite entry exercising it on the fixtures.
+# Rows-only (two stacked approximations).
+def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_int8_topk(emb, queries, k=3, n_cells=8, n_probe=3)
+
+
+# Residual IVF,PQ (FAISS's default IVF,PQ encoding: codebooks quantize
+# x − c(cell)) — reconstruction-error bound pinned in tests/test_pq_ann.py;
+# this entry runs the composed index on the fixtures. Rows-only.
+def q_ann_pq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_pq_topk(
+        emb, queries, k=3, n_cells=8, n_probe=3, m=8, ks=16, rerank=6,
+        by_residual=True,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Semantic dedup (SemDeDup, arXiv:2303.09540): KMeans cells → within-cell
 # cosine groups → min-id survivors (rows-only: cell assignment depends on
 # MLlib's kmeans; the deterministic group/survivor semantics are pinned by
@@ -889,6 +962,9 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "ann_int8": q_ann_int8,
     "ann_pq": q_ann_pq,
+    "ann_pq_serve": q_ann_pq_serve,
+    "ann_ivf_int8": q_ann_ivf_int8,
+    "ann_pq_res": q_ann_pq_res,
     "semantic_dedup": q_semantic_dedup,
     "doc_chunks": q_doc_chunks,
     "duplicate_spans": q_duplicate_spans,

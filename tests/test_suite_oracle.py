@@ -56,6 +56,13 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # IVF,PQ stacks three approximations; recall >= SQ8 pinned in
         # tests/test_pq_ann.py
         "ann_pq",
+        # serve-from-artifacts path of ann_pq (same approximations; the
+        # build/serve split is the deliverable — BENCH records both)
+        "ann_pq_serve",
+        # IVF over SQ8 codes / residual IVF,PQ — composed indexes, recall
+        # bounds in tests/test_int8_ann.py / tests/test_pq_ann.py
+        "ann_ivf_int8",
+        "ann_pq_res",
         "semantic_dedup",
         "doc_chunks",
         "duplicate_spans",
