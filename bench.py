@@ -70,6 +70,9 @@ HEADLINE = [
     "ann_pq_serve",
     "ann_ivf_int8",
     "ann_pq_res",
+    # round-6: dimension maintenance (changelog compaction + SCD2 +
+    # versioned as-of enrichment in one query)
+    "scd2_enrich",
 ]
 
 # Iterative queries (CC / power-iteration loops) have documented ±2 s

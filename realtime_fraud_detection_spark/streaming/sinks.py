@@ -607,3 +607,52 @@ def drift_psi_view(
         counts = counts.filter(F.col("batch_id").isin(batch_ids))
     merged = counts.groupBy("bucket").agg(F.sum("n").alias("n"))
     return psi_from_counts(merged, baseline["p_base"], eps=eps)
+
+
+# ---------------------------------------------------------------------------
+# Profile-changelog ingest: the streaming twin of a Kafka compacted topic
+# (reference create-topics.sh:103,114) — append the upsert stream to a
+# batch-partitioned store, compact ON READ for the snapshot, and rewrite
+# generations with the shared compact_store maintenance when small files
+# accumulate. operators/dimensions.py holds the batch semantics.
+# ---------------------------------------------------------------------------
+def changelog_writer(store_dir: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function appending each micro-batch of changelog rows
+    as its own batch_id partition — a replayed batch overwrites exactly
+    its own partition (the store-sink exactly-once discipline), so crash
+    + redelivery cannot duplicate an upsert."""
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        _write_batch_partition(batch, batch_id, store_dir)
+
+    return write
+
+
+def changelog_snapshot_view(
+    spark,
+    store_dir: str,
+    key_cols,
+    seq_col: str,
+    tombstone_col: str | None = None,
+) -> DataFrame:
+    """Latest-per-key snapshot over everything ingested so far —
+    compaction-on-read via operators/dimensions.compact_changelog, so the
+    snapshot is always consistent with the committed partitions no matter
+    how many micro-batches (or replays) produced them. For the full
+    version history or event-time enrichment, read the store and apply
+    scd2_history / enrich_versioned to the same frame."""
+    from ..operators.dimensions import compact_changelog
+
+    df = spark.read.parquet(store_dir).drop("batch_id")
+    return compact_changelog(df, key_cols, seq_col, tombstone_col)
+
+
+def run_changelog_stream(stream: DataFrame, store_dir: str, checkpoint: str):
+    """Assemble the ingest: changelog stream → batch-partitioned store.
+    foreachBatch is stateless, so availableNow terminates normally."""
+    return (
+        stream.writeStream.foreachBatch(changelog_writer(store_dir))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

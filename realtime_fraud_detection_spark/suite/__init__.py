@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from . import (
     dedup_q,
+    dimensions_q,
     eventtime_q,
     features_q,
     graph_q,
@@ -43,6 +44,7 @@ _MODULES = [
     textml_q,
     sketches_q,
     graph_q,
+    dimensions_q,
 ]
 
 

@@ -88,6 +88,11 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # triangle counting — fixture-graph DuckDB parity in
         # tests/test_triangles.py (window full; rows-only here)
         "triangles",
+        # changelog compaction / SCD2 / versioned enrichment — window
+        # full; latest-wins + brute-force as-of parity in
+        # tests/test_dimensions.py (the as-of kernel itself is oracled
+        # via the asof_join entry)
+        "scd2_enrich",
     }
     missing = set(QUERIES) - set(ORACLES) - approximate
     assert not missing, f"queries without oracle: {missing}"
