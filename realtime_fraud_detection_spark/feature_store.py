@@ -113,12 +113,17 @@ class FeatureStore:
         composite-key granularity. Output: the label rows with one
         column per feature (null where no value existed yet).
         """
+        # the value rides inside a struct PRESENCE marker: a store row's
+        # struct is never null even when its value is (an explicit
+        # unset/correction write), so the ignorenulls forward-fill skips
+        # only PROBE rows — an explicit null write shadows older values
+        # instead of letting a stale one leak onto later labels
         store = self.read_offline(spark, group, features).select(
             "entity_id",
             "feature",
             F.col("event_ts").alias("_pit_ts"),
             "write_ts",
-            "value",
+            F.struct(F.col("value")).alias("_sv"),
             F.lit(0).alias("_is_probe"),
             F.lit(None).cast("long").alias("_rid"),
         )
@@ -140,7 +145,7 @@ class FeatureStore:
                 "feature",
                 "_pit_ts",
                 F.lit(None).cast("timestamp").alias("write_ts"),
-                F.lit(None).cast("double").alias("value"),
+                F.lit(None).cast("struct<value:double>").alias("_sv"),
                 F.lit(1).alias("_is_probe"),
                 "_rid",
             )
@@ -155,7 +160,9 @@ class FeatureStore:
         )
         filled = (
             store.unionByName(probes)
-            .withColumn("_v", F.last("value", ignorenulls=True).over(w))
+            .withColumn(
+                "_v", F.last("_sv", ignorenulls=True).over(w).getField("value")
+            )
             .filter(F.col("_is_probe") == 1)
         )
         wide = filled.groupBy("_rid").pivot("feature", features).agg(F.first("_v"))

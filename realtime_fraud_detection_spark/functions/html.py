@@ -22,14 +22,20 @@ _BLOCK_TAGS = (
     "footer|blockquote|pre"
 )
 
+# entity aliases grouped BY REPLACEMENT, so each target character costs
+# one regexp pass however many named/decimal/hex spellings it has.
+# Typographic forms (curly quotes, dashes, ellipsis) normalize to their
+# ASCII equivalents — the choice every text-normalization pre-clean makes
+# so word- and punctuation-level signals see one spelling; in particular
+# &#8217; (don&#8217;t) decodes to an apostrophe instead of vanishing.
 _ENTITIES = [
-    ("&nbsp;", " "),
-    ("&quot;", '"'),
-    ("&#34;", '"'),
-    ("&#39;", "'"),
-    ("&apos;", "'"),
-    ("&lt;", "<"),
-    ("&gt;", ">"),
+    (r"&nbsp;|&#0*160;|&#[xX]0*[aA]0;", " "),
+    (r"&quot;|&#0*34;|&#[xX]0*22;|&ldquo;|&rdquo;|&#0*822[01];|&#[xX]0*201[cdCD];", '"'),
+    (r"&apos;|&#0*39;|&#[xX]0*27;|&lsquo;|&rsquo;|&#0*821[67];|&#[xX]0*201[89];", "'"),
+    (r"&ndash;|&mdash;|&#0*821[12];|&#[xX]0*201[34];", "-"),
+    (r"&hellip;|&#0*8230;|&#[xX]0*2026;", "..."),
+    (r"&lt;|&#0*60;|&#[xX]0*3[cC];", "<"),
+    (r"&gt;|&#0*62;|&#[xX]0*3[eE];", ">"),
 ]
 
 
@@ -49,9 +55,15 @@ def strip_html(col: Column) -> Column:
     x = F.regexp_replace(x, r"(?s)<[A-Za-z/!][^>]*>", " ")
     for ent, rep in _ENTITIES:
         x = F.regexp_replace(x, ent, rep)
-    # numeric entities (decimal) for the printable ASCII range
-    x = F.regexp_replace(x, r"&#(\d+);", " ")
-    x = F.regexp_replace(x, r"&amp;", "&")  # last: may reveal literal text
+    # remaining numeric entities (decimal or hex) are STRIPPED to a space
+    # — anything outside the common set above is overwhelmingly symbol/
+    # emoji noise for the downstream text signals. The ampersand forms
+    # (&#38;/&#x26;) are excluded here: & decodes LAST with &amp; so
+    # "&amp;lt;" stays the literal text "&lt;" (no double decode)
+    x = F.regexp_replace(
+        x, r"&#(?!0*38;|[xX]0*26;)(\d+|[xX][0-9a-fA-F]+);", " "
+    )
+    x = F.regexp_replace(x, r"&amp;|&#0*38;|&#[xX]0*26;", "&")  # last: may reveal literal text
     x = F.regexp_replace(x, r"[ \t\x0b\f\r]+", " ")
     x = F.regexp_replace(x, r" ?\n ?", "\n")
     x = F.regexp_replace(x, r"\n{3,}", "\n\n")

@@ -27,6 +27,18 @@ from pyspark.sql import functions as F
 from .. import pipeline as P
 
 
+def _read_store(spark, path: str) -> DataFrame | None:
+    """Read a batch-partitioned store, or None when the store does not
+    exist yet (first batch). ONLY the missing-path case maps to None — a
+    corrupt file, permission error or transient IO failure propagates:
+    treating any read failure as "first batch" would silently rebuild
+    the store (for the centroid store that retrains the quantizer and
+    forks the cell space away from every previously stored assignment)."""
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
 def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
     """Write one batch as partition batch_id=N, replacing that partition if
     it already exists (idempotent replay) and leaving every other batch's
@@ -178,14 +190,14 @@ def incremental_dedup_writer(
         bands = band_table(
             batch, text_col, id_col, num_perm, band_size
         ).localCheckpoint()
-        try:
-            idx = (
-                spark.read.parquet(index_dir)
-                .filter(F.col("batch_id") != batch_id)
-                .select("doc", "band", "bucket")
+        raw_idx = _read_store(spark, index_dir)  # None only on first batch
+        idx = (
+            raw_idx.filter(F.col("batch_id") != batch_id).select(
+                "doc", "band", "bucket"
             )
-        except Exception:  # first batch: no index yet (PATH_NOT_FOUND)
-            idx = None
+            if raw_idx is not None
+            else None
+        )
         if idx is not None:
             cands = minhash_lsh_candidates_incremental(
                 None,
@@ -314,14 +326,12 @@ def quality_gated_ingest_writer(
         fps = out.select(
             F.col(id_col), fingerprint(F.col(text_col)).alias("fp")
         )
-        try:
-            seen = (
-                spark.read.parquet(fp_dir)
-                .filter(F.col("batch_id") != batch_id)
-                .select("fp")
-            )
-        except Exception:  # first batch: no index yet (PATH_NOT_FOUND)
-            seen = None
+        raw_fp = _read_store(spark, fp_dir)  # None only on first batch
+        seen = (
+            raw_fp.filter(F.col("batch_id") != batch_id).select("fp")
+            if raw_fp is not None
+            else None
+        )
         if seen is not None:
             dup_ids = fps.join(seen, "fp", "left_semi").select(id_col)
             out = out.join(dup_ids, id_col, "left_anti")
@@ -427,10 +437,11 @@ def embedding_ingest_writer(
         v = batch.select(
             F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv")
         ).withColumn("norm", l2_norm(F.col("nv")))
-        try:
-            cent_rows = spark.read.parquet(cent_dir).orderBy("cell_id").collect()
+        cent_df = _read_store(spark, cent_dir)
+        if cent_df is not None:
+            cent_rows = cent_df.orderBy("cell_id").collect()
             centroids = [list(r["c"]) for r in cent_rows]
-        except Exception:  # first batch trains the coarse quantizer
+        else:  # first batch trains the coarse quantizer
             from pyspark.ml.clustering import KMeans
             from pyspark.ml.functions import array_to_vector
 
@@ -446,19 +457,17 @@ def embedding_ingest_writer(
             ).coalesce(1).write.mode("overwrite").parquet(cent_dir)
         coded = v.withColumn("cell", _nearest_cell(centroids)).localCheckpoint()
 
-        try:
-            store = (
-                spark.read.parquet(store_dir)
-                .filter(F.col("batch_id") != batch_id)
-                .select(
-                    F.col("nid").alias("corpus_vec"),
-                    F.col("nv").alias("cv"),
-                    F.col("norm").alias("cnorm"),
-                    "cell",
-                )
+        raw_store = _read_store(spark, store_dir)  # None only on first batch
+        store = (
+            raw_store.filter(F.col("batch_id") != batch_id).select(
+                F.col("nid").alias("corpus_vec"),
+                F.col("nv").alias("cv"),
+                F.col("norm").alias("cnorm"),
+                "cell",
             )
-        except Exception:  # first batch: no store yet
-            store = None
+            if raw_store is not None
+            else None
+        )
         if store is not None:
             new_side = coded.select(
                 F.col("nid").alias("new_vec"), F.col("nv").alias("qv"),

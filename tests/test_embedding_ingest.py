@@ -77,3 +77,29 @@ def test_replay_is_idempotent_and_no_self_match(spark, tmp_path):
         "new_vec long, corpus_vec long, cosine double"
     ).parquet(f"{out}/near_dups").count()
     assert n_cands == 0
+
+
+def test_corrupt_centroid_store_raises_not_retrains(spark, tmp_path):
+    """A genuine read failure on the centroid store must PROPAGATE —
+    treating it as 'first batch' would retrain KMeans on whatever batch
+    happened to arrive and silently fork the cell space away from every
+    stored assignment. Only a MISSING store means first batch."""
+    import os
+
+    import pytest
+
+    out = str(tmp_path / "ingest")
+    w = SK.embedding_ingest_writer(out, n_cells=2, threshold=0.9)
+    b1, b2 = _frames(spark)
+    w(b1, 0)
+    # corrupt the persisted centroids: truncate the parquet footer
+    cent_dir = os.path.join(out, "centroids")
+    files = [f for f in os.listdir(cent_dir) if f.endswith(".parquet")]
+    assert files
+    with open(os.path.join(cent_dir, files[0]), "wb") as fh:
+        fh.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        w(b2, 1)
+    # the corrupt store was NOT overwritten by a retrain
+    with open(os.path.join(cent_dir, files[0]), "rb") as fh:
+        assert fh.read() == b"not a parquet file"

@@ -171,3 +171,30 @@ def test_training_set_backfill_tiebreak(spark, tmp_path):
     )
     row = fs.training_set(spark, labels, "g", ["v"], "user", "ts").first()
     assert row["v"] == 11.5
+
+
+def test_training_set_explicit_null_shadows_older_value(spark, tmp_path):
+    """A feature row whose value is LEGITIMATELY NULL (an explicit
+    unset/correction) must shadow earlier values — later labels see null,
+    not the stale pre-unset value (the struct presence marker in
+    training_set's forward-fill)."""
+    from datetime import datetime as dt
+
+    fs = FeatureStore(str(tmp_path / "fs3"))
+    feats = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 10), 10.0), (1, dt(2024, 1, 1, 12), None)],
+        "user long, ts timestamp, v double",
+    )
+    fs.write_features(feats, "g", "user", ["v"], ts_col="ts")
+    labels = spark.createDataFrame(
+        [
+            (100, 1, dt(2024, 1, 1, 11)),  # before the unset -> 10.0
+            (101, 1, dt(2024, 1, 1, 13)),  # after the unset -> null
+        ],
+        "label_id long, user long, ts timestamp",
+    )
+    out = {
+        r["label_id"]: r["v"]
+        for r in fs.training_set(spark, labels, "g", ["v"], "user", "ts").collect()
+    }
+    assert out == {100: 10.0, 101: None}

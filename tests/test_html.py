@@ -47,3 +47,15 @@ def test_comments_and_selfclosing(spark):
 def test_plain_text_unchanged_shape(spark):
     t = _strip(spark, "no markup here, 2 < 3 stays?\n\nsecond para")
     assert "no markup here" in t and "second para" in t
+
+
+def test_numeric_and_typographic_entities(spark):
+    # common typographic entities decode to ASCII equivalents in every
+    # spelling (named / decimal / hex); don&#8217;t keeps its apostrophe
+    t = _strip(spark, "<p>don&#8217;t &ldquo;quote&#8221; A&ndash;B &#x2026; x&#39;y</p>")
+    assert t.strip() == "don't \"quote\" A-B ... x'y"
+    # uncommon numeric entities strip to whitespace, decimal and hex alike
+    t2 = _strip(spark, "a&#128512;b &#x1F600;c")
+    assert t2.strip() == "a b c"
+    # &amp; in all spellings decodes last
+    assert _strip(spark, "x &#38; y &amp; z") == "x & y & z"
