@@ -16,8 +16,12 @@ candidate-generation blow-up. Results are recorded in SCALE.md.
 
 Usage: python3 tools/scale_probe.py [replicas] [stages]   (default 10, all)
   stages: comma-separated subset of
-  minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality
-  (e.g. `100 simhash,cc,ngram,quality` for the 100x top-3-shape probe)
+  minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,ivfpq
+  (e.g. `100 simhash,cc,ngram,quality` for the 100x top-3-shape probe;
+  `graphx` = triangles + k-core over the simhash pair graph; `ivfpq`
+  replicates the embeddings fixture — per-replica element rotation, so
+  replicas share no vectors — and times the IVF,PQ build+search; `clf`
+  includes full weak-label training, not just feature+score)
 """
 
 from __future__ import annotations
@@ -64,7 +68,9 @@ def main() -> None:
     from realtime_fraud_detection_spark.session import get_spark
 
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    all_stages = "minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality"
+    all_stages = (
+        "minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,ivfpq"
+    )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -92,7 +98,7 @@ def main() -> None:
         print(f"lsh_candidates={time.time() - t0:.1f}s n={n_cands}")
 
     pairs = None
-    if stages & {"simhash", "cc", "star"}:
+    if stages & {"simhash", "cc", "star", "graphx"}:
         t0 = time.time()
         pairs = D.simhash_near_dup_pairs(docs, "text", "doc_id", bits=64, max_hamming=4)
         pairs = pairs.localCheckpoint()
@@ -178,13 +184,84 @@ def main() -> None:
         print(f"bpe_train_apply={time.time() - t0:.1f}s (merges={len(merges)})")
 
     if "clf" in stages:
+        from pyspark.sql import functions as F
+
         from realtime_fraud_detection_spark.ml import text_classifier as TC
+        from realtime_fraud_detection_spark.suite.textml_q import _weak_label
 
         t0 = time.time()
         feats = TC.hashed_features(docs, "text", "doc_id", 1024, bigrams=False)
         model = TC.LogRegModel(n_buckets=1024, bias=0.1, weights={1: 0.5, 2: -0.5})
         TC.score_logreg(feats, model).write.format("noop").mode("overwrite").save()
         print(f"classifier_feats_score={time.time() - t0:.1f}s")
+        # FULL training on the scaled corpus (the one-shuffle-per-iteration
+        # array loop): weak labels + 8 Adagrad iterations
+        t0 = time.time()
+        labels = docs.select(
+            F.col("doc_id").alias("doc"),
+            _weak_label(F.col("text")).cast("double").alias("y"),
+        )
+        feats_m = TC.hashed_features(
+            docs, "text", "doc_id", 1024, bigrams=False
+        ).localCheckpoint(eager=True)
+        trained = TC.train_logreg(feats_m, labels, 1024, iters=8, lr=5.0, l2=0.0)
+        print(
+            f"classifier_train8={time.time() - t0:.1f}s "
+            f"(active_buckets={len(trained.weights)})"
+        )
+
+    if "graphx" in stages:
+        from realtime_fraud_detection_spark.operators import graph as G
+
+        t0 = time.time()
+        tri = G.triangle_count(pairs, src_col="doc_a", dst_col="doc_b")
+        n_tri = tri.agg({"triangles": "sum"}).first()[0] or 0
+        print(f"triangles={time.time() - t0:.1f}s sum={n_tri}")
+        t0 = time.time()
+        core = G.k_core(pairs, k=3, src_col="doc_a", dst_col="doc_b")
+        print(f"k_core3={time.time() - t0:.1f}s members={core.count()}")
+
+    if "ivfpq" in stages:
+        from pyspark.sql import functions as F
+
+        from realtime_fraud_detection_spark.operators import similarity as SIM
+        from realtime_fraud_detection_spark.sources.testdata import load_table
+
+        emb0 = load_table(spark, SF_DIR, "embeddings", fan_out=True)
+        parts = []
+        for r in range(replicas):
+            # per-replica element ROTATION: norm-preserving, replicas
+            # share no vectors, cluster structure re-rolls per replica
+            rot = r % 64
+            e = F.concat(
+                F.slice("embedding", rot + 1, 64 - rot),
+                F.slice("embedding", 1, rot),
+            )
+            parts.append(
+                emb0.select(
+                    (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                    "label",
+                    e.alias("embedding"),
+                )
+            )
+        emb = parts[0]
+        for p in parts[1:]:
+            emb = emb.unionAll(p)
+        emb = emb.repartition(max(8, replicas)).localCheckpoint()
+        n_vec = emb.count()
+        # cells scale ~sqrt(N) (the FAISS rule of thumb), probes with them
+        n_cells = max(8, int(n_vec ** 0.5 / 10))
+        queries = emb0.filter(F.col("vec_id") < 5)
+        t0 = time.time()
+        top = SIM.ivf_pq_topk(
+            emb, queries, k=3, n_cells=n_cells, n_probe=max(3, n_cells // 8),
+            m=8, ks=16, rerank=6,
+        )
+        n_rows = top.count()
+        print(
+            f"ivf_pq_topk={time.time() - t0:.1f}s vectors={n_vec} "
+            f"cells={n_cells} rows={n_rows}"
+        )
 
     spark.stop()
 
