@@ -223,17 +223,29 @@ def connected_components_star(
     the per-round state is the (shrinking) edge table itself.
     Returns (doc, cluster) like :func:`connected_components`.
     """
-    sym = (
-        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-        .select(
-            F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+    # scale target from the raw input count (count-only, memory-trivial):
+    # the canonicalizing distinct below is a heap-heavy partial aggregate
+    # and must run INSIDE the scaled scope
+    m_est = edges.count()
+    with scaled_shuffle(edges.sparkSession, m_est):
+        sym = (
+            edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+            )
+            .distinct()
+            .localCheckpoint()
         )
-        .distinct()
-        .localCheckpoint()
-    )
-    n_edges = sym.count()
+        return _cc_star_rounds(sym, vertices, vertex_col, max_rounds)
 
+
+def _cc_star_rounds(
+    sym: DataFrame,
+    vertices: DataFrame | None,
+    vertex_col: str | None,
+    max_rounds: int,
+) -> DataFrame:
     def _star(e: DataFrame, large: bool) -> DataFrame:
         # neighborhoods as (node, nbr) with node the star center side:
         # large-star groups by EVERY node (both directions) and links
@@ -264,44 +276,43 @@ def connected_components_star(
             .distinct()
         )
 
-    # per-round shuffles sized from the edge count (operators/scaling.py);
-    # each round materializes via the convergence count, so the scaled
-    # conf covers every heavy stage, and AQE coalesces as rounds shrink
-    with scaled_shuffle(sym.sparkSession, n_edges):
-        for _ in range(max_rounds):
-            # lazy checkpoints, materialized transitively by the (full, no
-            # limit short-circuit) convergence count below — one job per round
-            # instead of three (same treatment as the propagation variant)
-            sym = _star(sym, large=True).localCheckpoint(eager=False)
-            sym = _star(sym, large=False).localCheckpoint(eager=False)
-            # converged when every edge already points at its component min:
-            # one more large-star pass changes nothing — detectable as "no hi
-            # appears as a lo" (pure star forest)
-            non_star = (
-                sym.select(F.col("lo").alias("x"))
-                .join(sym.select(F.col("hi").alias("x")), "x", "left_semi")
-                .count()
-            )
-            if non_star == 0:
-                labels = sym.select(F.col("hi").alias("doc"), F.col("lo").alias("cluster"))
-                # centers label themselves
-                centers = labels.select(F.col("cluster").alias("doc")).distinct().join(
-                    labels.select(F.col("doc")), "doc", "left_anti"
-                ).select("doc", F.col("doc").alias("cluster"))
-                out = labels.union(centers)
-                if vertices is not None:
-                    # same semantics as connected_components: `vertices` ADDS
-                    # isolated vertices (self-labelled); edge endpoints always
-                    # stay in the output
-                    vcol = vertex_col or vertices.columns[0]
-                    isolated = (
-                        vertices.select(F.col(vcol).alias("doc"))
-                        .distinct()
-                        .join(out.select("doc"), "doc", "left_anti")
-                        .select("doc", F.col("doc").alias("cluster"))
-                    )
-                    out = out.union(isolated)
-                return out
+    # runs inside the caller's scaled-shuffle scope; each round
+    # materializes via the convergence count, so the scaled conf covers
+    # every heavy stage, and AQE coalesces as rounds shrink
+    for _ in range(max_rounds):
+        # lazy checkpoints, materialized transitively by the (full, no
+        # limit short-circuit) convergence count below — one job per round
+        # instead of three (same treatment as the propagation variant)
+        sym = _star(sym, large=True).localCheckpoint(eager=False)
+        sym = _star(sym, large=False).localCheckpoint(eager=False)
+        # converged when every edge already points at its component min:
+        # one more large-star pass changes nothing — detectable as "no hi
+        # appears as a lo" (pure star forest)
+        non_star = (
+            sym.select(F.col("lo").alias("x"))
+            .join(sym.select(F.col("hi").alias("x")), "x", "left_semi")
+            .count()
+        )
+        if non_star == 0:
+            labels = sym.select(F.col("hi").alias("doc"), F.col("lo").alias("cluster"))
+            # centers label themselves
+            centers = labels.select(F.col("cluster").alias("doc")).distinct().join(
+                labels.select(F.col("doc")), "doc", "left_anti"
+            ).select("doc", F.col("doc").alias("cluster"))
+            out = labels.union(centers)
+            if vertices is not None:
+                # same semantics as connected_components: `vertices` ADDS
+                # isolated vertices (self-labelled); edge endpoints always
+                # stay in the output
+                vcol = vertex_col or vertices.columns[0]
+                isolated = (
+                    vertices.select(F.col(vcol).alias("doc"))
+                    .distinct()
+                    .join(out.select("doc"), "doc", "left_anti")
+                    .select("doc", F.col("doc").alias("cluster"))
+                )
+                out = out.union(isolated)
+            return out.localCheckpoint()
     raise RuntimeError(
         f"connected_components_star did not converge in {max_rounds} rounds"
     )

@@ -144,21 +144,30 @@ def triangle_count(
     triangle iff (v→w) is itself an oriented edge: one more equi join.
     Three shuffles total (degree agg, wedge self-join, closing semi
     join); no driver state, no iteration.
+
+    The input frame is evaluated twice (a raw count sizes the shuffles,
+    then the canonicalizing distinct consumes it) — localCheckpoint an
+    EXPENSIVE derived edge frame before passing it in.
     """
-    # canonical undirected simple edges: (a < b), dedup, no loops
-    a, b = F.col(src_col), F.col(dst_col)
-    und = (
-        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
-    m = und.count()
+    # scale target from the RAW input count — a count-only aggregate is
+    # memory-trivial, whereas the dedup distinct below is exactly the
+    # kind of 32-way partial hash aggregate that OOMs a default heap at
+    # 50M+ edges, so it must run INSIDE the scaled scope (measured: the
+    # 100x probe died in this distinct when it ran pre-scope)
+    m_est = edges.count()
     # wedge join output amplifies each edge by the oriented out-degree
     # (O(sqrt(m)) worst case) — size shuffles from the edge count with a
     # tighter per-partition budget than the iterative ops, and
     # materialize the vertex-sized result inside the scaled block
-    with scaled_shuffle(und.sparkSession, m, rows_per_partition=250_000):
+    with scaled_shuffle(edges.sparkSession, m_est, rows_per_partition=250_000):
+        # canonical undirected simple edges: (a < b), dedup, no loops
+        a, b = F.col(src_col), F.col(dst_col)
+        und = (
+            edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
         return _triangle_count(und).localCheckpoint()
 
 
@@ -235,20 +244,23 @@ def k_core(
     peels one layer per round (adversarial O(n); `max_iter` caps it and
     raises, the same guard as the CC loops).
     """
-    a, b = F.col(src_col), F.col(dst_col)
-    und = (
-        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    cur = und
-    n_edges = cur.count()
+    # scale target from the raw input count — the canonicalizing distinct
+    # is itself a heap-heavy aggregate and must run inside the scope
+    m_est = edges.count()
     # per-round degree aggregate + two semi-joins carry edge-proportional
     # state: size their shuffles from the edge count (operators/scaling.py);
     # every round materializes via its convergence count, and the final
     # vertex set materializes before the conf restores
-    with scaled_shuffle(und.sparkSession, n_edges):
+    with scaled_shuffle(edges.sparkSession, m_est):
+        a, b = F.col(src_col), F.col(dst_col)
+        und = (
+            edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        cur = und
+        n_edges = cur.count()
         for _ in range(max_iter):
             if n_edges == 0:
                 break
