@@ -165,7 +165,11 @@ def _cc_propagate(
                 )
                 .select(F.col("_ns").alias("src"), F.col("_nd").alias("dst"))
                 .filter(F.col("src") != F.col("dst"))
-                .distinct()
+                # key repartition before the dedup: the join output's
+                # partitions are fat, and a bare distinct's partial
+                # aggregate over them OOMs (see graph.triangle_count)
+                .repartition("src", "dst")
+                .dropDuplicates()
                 .localCheckpoint()
             )
             n_edges = sym.count()
@@ -228,13 +232,17 @@ def connected_components_star(
     # and must run INSIDE the scaled scope
     m_est = edges.count()
     with scaled_shuffle(edges.sparkSession, m_est):
+        # key repartition before the dedup — a bare distinct's partial
+        # aggregate over fat upstream partitions OOMs (see
+        # graph.triangle_count)
         sym = (
             edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
             .filter(F.col("u") != F.col("v"))
             .select(
                 F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
             )
-            .distinct()
+            .repartition("hi", "lo")
+            .dropDuplicates()
             .localCheckpoint()
         )
         return _cc_star_rounds(sym, vertices, vertex_col, max_rounds)
@@ -273,7 +281,10 @@ def _cc_star_rounds(
         return (
             out.filter(F.col("hi") != F.col("lo"))
             .select(F.greatest("hi", "lo").alias("hi"), F.least("hi", "lo").alias("lo"))
-            .distinct()
+            # key repartition before the per-round dedup (same partial-
+            # aggregate OOM class as the canonicalization above)
+            .repartition("hi", "lo")
+            .dropDuplicates()
         )
 
     # runs inside the caller's scaled-shuffle scope; each round

@@ -160,12 +160,19 @@ def triangle_count(
     # tighter per-partition budget than the iterative ops, and
     # materialize the vertex-sized result inside the scaled block
     with scaled_shuffle(edges.sparkSession, m_est, rows_per_partition=250_000):
-        # canonical undirected simple edges: (a < b), dedup, no loops
+        # canonical undirected simple edges: (a < b), dedup, no loops.
+        # The explicit key repartition (inherits the scoped partition
+        # count) puts the dedup's hash aggregate AFTER a controlled-width
+        # shuffle: a bare distinct runs its partial aggregate over the
+        # INPUT partitioning, and an upstream join's AQE-coalesced fat
+        # partitions give every map task a multi-million-entry hash map
+        # (the 100x probe OOM'd exactly there)
         a, b = F.col(src_col), F.col(dst_col)
         und = (
             edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
+            .repartition("a", "b")
+            .dropDuplicates()
             .localCheckpoint()
         )
         return _triangle_count(und).localCheckpoint()
@@ -253,10 +260,13 @@ def k_core(
     # vertex set materializes before the conf restores
     with scaled_shuffle(edges.sparkSession, m_est):
         a, b = F.col(src_col), F.col(dst_col)
+        # key repartition before the dedup — see triangle_count for why a
+        # bare distinct OOMs over fat upstream partitions
         und = (
             edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .distinct()
+            .repartition("a", "b")
+            .dropDuplicates()
             .localCheckpoint(eager=False)
         )
         cur = und
