@@ -70,7 +70,7 @@ def connected_components(
     # default (operators/scaling.py) — every round's join + min-aggregate
     # carries edge-proportional state, and every round materializes inside
     # this block, so the scaled conf covers all the heavy stages
-    with scaled_shuffle(sym.sparkSession, n_edges):
+    with scaled_shuffle(sym.sparkSession, n_edges) as parts:
         labels = (
             sym.select(F.col("src").alias("doc"))
             .distinct()
@@ -89,7 +89,9 @@ def connected_components(
                 .select("doc", F.col("doc").alias("cluster"))
             )
         labels = labels.localCheckpoint()
-        return _cc_propagate(sym, labels, n_edges, max_rounds, contract_threshold)
+        return _cc_propagate(
+            sym, labels, n_edges, max_rounds, contract_threshold, parts
+        )
 
 
 def _cc_propagate(
@@ -98,6 +100,7 @@ def _cc_propagate(
     n_edges: int,
     max_rounds: int,
     contract_threshold: int,
+    parts: int,
 ) -> DataFrame:
     for _ in range(max_rounds):
         neighbor_min = (
@@ -165,10 +168,11 @@ def _cc_propagate(
                 )
                 .select(F.col("_ns").alias("src"), F.col("_nd").alias("dst"))
                 .filter(F.col("src") != F.col("dst"))
-                # key repartition before the dedup: the join output's
-                # partitions are fat, and a bare distinct's partial
-                # aggregate over them OOMs (see graph.triangle_count)
-                .repartition("src", "dst")
+                # explicit-count key repartition before the dedup: the
+                # join output's partitions are fat, and a bare distinct's
+                # partial aggregate over them OOMs; a count-less
+                # repartition is AQE-coalesced back (graph.triangle_count)
+                .repartition(parts, "src", "dst")
                 .dropDuplicates()
                 .localCheckpoint()
             )
@@ -231,9 +235,10 @@ def connected_components_star(
     # the canonicalizing distinct below is a heap-heavy partial aggregate
     # and must run INSIDE the scaled scope
     m_est = edges.count()
-    with scaled_shuffle(edges.sparkSession, m_est):
-        # key repartition before the dedup — a bare distinct's partial
-        # aggregate over fat upstream partitions OOMs (see
+    with scaled_shuffle(edges.sparkSession, m_est) as parts:
+        # explicit-count key repartition before the dedup — a bare
+        # distinct's partial aggregate over fat upstream partitions OOMs,
+        # and a count-less repartition is AQE-coalesced right back (see
         # graph.triangle_count)
         sym = (
             edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
@@ -241,11 +246,11 @@ def connected_components_star(
             .select(
                 F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
             )
-            .repartition("hi", "lo")
+            .repartition(parts, "hi", "lo")
             .dropDuplicates()
             .localCheckpoint()
         )
-        return _cc_star_rounds(sym, vertices, vertex_col, max_rounds)
+        return _cc_star_rounds(sym, vertices, vertex_col, max_rounds, parts)
 
 
 def _cc_star_rounds(
@@ -253,6 +258,7 @@ def _cc_star_rounds(
     vertices: DataFrame | None,
     vertex_col: str | None,
     max_rounds: int,
+    parts: int,
 ) -> DataFrame:
     def _star(e: DataFrame, large: bool) -> DataFrame:
         # neighborhoods as (node, nbr) with node the star center side:
@@ -281,9 +287,9 @@ def _cc_star_rounds(
         return (
             out.filter(F.col("hi") != F.col("lo"))
             .select(F.greatest("hi", "lo").alias("hi"), F.least("hi", "lo").alias("lo"))
-            # key repartition before the per-round dedup (same partial-
-            # aggregate OOM class as the canonicalization above)
-            .repartition("hi", "lo")
+            # explicit-count key repartition before the per-round dedup
+            # (same partial-aggregate OOM class as the canonicalization)
+            .repartition(parts, "hi", "lo")
             .dropDuplicates()
         )
 

@@ -159,19 +159,22 @@ def triangle_count(
     # (O(sqrt(m)) worst case) — size shuffles from the edge count with a
     # tighter per-partition budget than the iterative ops, and
     # materialize the vertex-sized result inside the scaled block
-    with scaled_shuffle(edges.sparkSession, m_est, rows_per_partition=250_000):
+    with scaled_shuffle(
+        edges.sparkSession, m_est, rows_per_partition=250_000
+    ) as parts:
         # canonical undirected simple edges: (a < b), dedup, no loops.
-        # The explicit key repartition (inherits the scoped partition
-        # count) puts the dedup's hash aggregate AFTER a controlled-width
-        # shuffle: a bare distinct runs its partial aggregate over the
-        # INPUT partitioning, and an upstream join's AQE-coalesced fat
-        # partitions give every map task a multi-million-entry hash map
-        # (the 100x probe OOM'd exactly there)
+        # The key repartition with an EXPLICIT count puts the dedup's
+        # hash aggregate after a controlled-width shuffle: a bare
+        # distinct runs its partial aggregate over the INPUT partitioning
+        # (an upstream join's AQE-coalesced fat partitions give every map
+        # task a multi-million-entry hash map), and a count-less
+        # repartition(cols) is itself AQE-coalesced right back to fat
+        # partitions — the 100x probe OOM'd under each in turn
         a, b = F.col(src_col), F.col(dst_col)
         und = (
             edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .repartition("a", "b")
+            .repartition(parts, "a", "b")
             .dropDuplicates()
             .localCheckpoint()
         )
@@ -258,14 +261,15 @@ def k_core(
     # state: size their shuffles from the edge count (operators/scaling.py);
     # every round materializes via its convergence count, and the final
     # vertex set materializes before the conf restores
-    with scaled_shuffle(edges.sparkSession, m_est):
+    with scaled_shuffle(edges.sparkSession, m_est) as parts:
         a, b = F.col(src_col), F.col(dst_col)
-        # key repartition before the dedup — see triangle_count for why a
-        # bare distinct OOMs over fat upstream partitions
+        # explicit-count key repartition before the dedup — see
+        # triangle_count for why a bare distinct (or a count-less
+        # repartition, which AQE re-coalesces) OOMs over fat partitions
         und = (
             edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
             .filter(F.col("a") != F.col("b"))
-            .repartition("a", "b")
+            .repartition(parts, "a", "b")
             .dropDuplicates()
             .localCheckpoint(eager=False)
         )
