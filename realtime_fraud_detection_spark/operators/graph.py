@@ -125,6 +125,7 @@ def triangle_count(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
+    edge_sample: float | None = None,
 ) -> DataFrame:
     """(vertex, triangles) — exact per-vertex triangle counts on the
     UNDIRECTED simple graph induced by `edges` (direction, duplicates and
@@ -148,6 +149,17 @@ def triangle_count(
     The input frame is evaluated twice (a raw count sizes the shuffles,
     then the canonicalizing distinct consumes it) — localCheckpoint an
     EXPENSIVE derived edge frame before passing it in.
+
+    ``edge_sample`` (DOULION, Tsourakakis et al. KDD'09): keep each
+    undirected edge with probability p via a DETERMINISTIC md5 coin on
+    the canonical endpoint pair, count triangles on the sparsified
+    graph, scale counts by 1/p³ — an unbiased estimator of both the
+    per-vertex and global counts, with wedge volume (the stage that
+    outgrows a cluster's shuffle capacity on clique-dominated graphs —
+    a near-dup pair graph is a union of near-cliques, so exact wedge
+    volume is Θ(Σ clique_size³)) cut by p². Output column `triangles`
+    becomes a DOUBLE estimate; vertices whose every edge was sampled
+    away are absent (they'd report 0.0).
     """
     # scale target from the RAW input count — a count-only aggregate is
     # memory-trivial, whereas the dedup distinct below is exactly the
@@ -176,9 +188,28 @@ def triangle_count(
             .filter(F.col("a") != F.col("b"))
             .repartition(parts, "a", "b")
             .dropDuplicates()
-            .localCheckpoint()
         )
-        return _triangle_count(und).localCheckpoint()
+        if edge_sample is not None:
+            if not (0.0 < edge_sample <= 1.0):
+                raise ValueError(f"edge_sample must be in (0, 1], got {edge_sample}")
+            # deterministic md5 coin per canonical edge: same sparsified
+            # graph on every run/partitioning (the suite determinism rule)
+            from ..functions.hashing import md5_bigint
+
+            coin = md5_bigint(
+                F.concat_ws(":", F.col("a"), F.col("b")), salt="tri:"
+            )
+            und = und.filter((coin % 1_000_000) < int(edge_sample * 1_000_000))
+        und = und.localCheckpoint()
+        out = _triangle_count(und)
+        if edge_sample is not None:
+            out = out.select(
+                "v",
+                (F.col("triangles") / F.lit(float(edge_sample) ** 3)).alias(
+                    "triangles"
+                ),
+            )
+        return out.localCheckpoint()
 
 
 def _triangle_count(und: DataFrame) -> DataFrame:

@@ -109,3 +109,34 @@ def test_suite_query_matches_duckdb_on_fixture(spark):
         LEFT JOIN corners ON corners.v = verts.v GROUP BY 1
     """).fetchall()
     assert got == {(v, t) for v, t in rows}
+
+
+def test_edge_sampled_estimate(spark):
+    """DOULION edge sampling: deterministic (md5 coin), p=1.0 returns the
+    exact counts scaled by 1.0, and a clique's global estimate at p<1 is
+    within a loose band of the exact count (the estimator is unbiased;
+    one fixed seed draw lands near the mean on a dense graph)."""
+    import itertools
+
+    # K12: 220 triangles at every vertex is dense enough for a stable draw
+    edges = spark.createDataFrame(
+        list(itertools.combinations(range(12), 2)), "src long, dst long"
+    )
+    exact_total = sum(
+        r["triangles"] for r in triangle_count(edges).collect()
+    )
+    assert exact_total == 3 * 220  # C(12,3) triangles x 3 corners
+
+    full = {  # p = 1.0: identical to exact, as doubles
+        r["v"]: r["triangles"]
+        for r in triangle_count(edges, edge_sample=1.0).collect()
+    }
+    ex = {r["v"]: r["triangles"] for r in triangle_count(edges).collect()}
+    assert full == {v: float(t) for v, t in ex.items()}
+
+    est1 = triangle_count(edges, edge_sample=0.7).collect()
+    est2 = triangle_count(edges.repartition(5), edge_sample=0.7).collect()
+    # deterministic: same estimate on any partitioning
+    assert sorted(map(tuple, est1)) == sorted(map(tuple, est2))
+    total_est = sum(r["triangles"] for r in est1)
+    assert 0.4 * exact_total <= total_est <= 2.5 * exact_total

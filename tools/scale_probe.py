@@ -210,16 +210,40 @@ def main() -> None:
             f"(active_buckets={len(trained.weights)})"
         )
 
+    def _guarded(name, fn):
+        # a failed stage reports and lets the rest of the probe run —
+        # one blow-up must not cost every later stage's measurement
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — probe tool, report + continue
+            print(f"{name}=FAILED {type(e).__name__}: {str(e).splitlines()[0][:160]}")
+
     if "graphx" in stages:
         from realtime_fraud_detection_spark.operators import graph as G
 
-        t0 = time.time()
-        tri = G.triangle_count(pairs, src_col="doc_a", dst_col="doc_b")
-        n_tri = tri.agg({"triangles": "sum"}).first()[0] or 0
-        print(f"triangles={time.time() - t0:.1f}s sum={n_tri}")
-        t0 = time.time()
-        core = G.k_core(pairs, k=3, src_col="doc_a", dst_col="doc_b")
-        print(f"k_core3={time.time() - t0:.1f}s members={core.count()}")
+        def _kcore():
+            t0 = time.time()
+            core = G.k_core(pairs, k=3, src_col="doc_a", dst_col="doc_b")
+            print(f"k_core3={time.time() - t0:.1f}s members={core.count()}")
+
+        _guarded("k_core3", _kcore)
+        # the near-dup pair graph is a union of near-cliques: EXACT wedge
+        # volume is Θ(Σ clique³) and outgrows single-box shuffle capacity
+        # around 100x (>80 GB spill observed) — past 50x the probe runs
+        # the DOULION edge-sampled estimator (p=0.1 cuts wedges 100x)
+        p = 0.1 if replicas >= 50 else None
+
+        def _tri():
+            t0 = time.time()
+            tri = G.triangle_count(
+                pairs, src_col="doc_a", dst_col="doc_b", edge_sample=p
+            )
+            n_tri = tri.agg({"triangles": "sum"}).first()[0] or 0
+            print(
+                f"triangles(p={p or 1})={time.time() - t0:.1f}s sum={n_tri:.0f}"
+            )
+
+        _guarded("triangles", _tri)
 
     if "ivfpq" in stages:
         from pyspark.sql import functions as F
