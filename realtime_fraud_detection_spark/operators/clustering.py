@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_bigint
-from .scaling import scaled_shuffle
+from .scaling import RollingCheckpoint, scaled_shuffle
 
 
 def connected_components(
@@ -102,6 +102,11 @@ def _cc_propagate(
     contract_threshold: int,
     parts: int,
 ) -> DataFrame:
+    # per-round chains with prompt block release (scaling.RollingCheckpoint)
+    # — labels are vertex-sized but the contracted edge tables are not,
+    # and un-freed generations accumulate rounds × table in the heap
+    label_chain = RollingCheckpoint(sym.sparkSession)
+    sym_chain = RollingCheckpoint(sym.sparkSession)
     for _ in range(max_rounds):
         neighbor_min = (
             sym.join(labels.withColumnRenamed("doc", "src"), "src")
@@ -128,18 +133,18 @@ def _cc_propagate(
         # jobs per round — measured ~20% of dedup_clusters at sf0.1). The
         # aggregate must touch all partitions (no limit short-circuit) or
         # unmaterialized blocks would recompute in the next round.
-        updated = (
-            cand.join(jump, "cluster")
-            .select(
+        updated = label_chain.roll(
+            cand.join(jump, "cluster").select(
                 "doc",
                 F.col("_c2").alias("cluster"),
                 (F.col("_c2") < F.col("_old")).alias("_chg"),
             )
-        ).localCheckpoint(eager=False)
+        )
         changed = (
             updated.agg(F.sum(F.col("_chg").cast("int")).alias("n")).first()["n"]
             or 0  # sum over an empty label table is NULL
         )
+        label_chain.free_prev()  # previous round's label blocks
         labels = updated.drop("_chg")
         if changed == 0:
             return labels
@@ -153,7 +158,7 @@ def _cc_propagate(
         # the small shuffle they save (measured +30% at sf0.1); above it
         # the per-round shuffle dominates and shrinking it wins.
         if n_edges > contract_threshold:
-            sym = (
+            sym = sym_chain.roll(
                 sym.join(
                     labels.select(
                         F.col("doc").alias("src"), F.col("cluster").alias("_ns")
@@ -174,9 +179,9 @@ def _cc_propagate(
                 # repartition is AQE-coalesced back (graph.triangle_count)
                 .repartition(parts, "src", "dst")
                 .dropDuplicates()
-                .localCheckpoint()
             )
-            n_edges = sym.count()
+            n_edges = sym.count()  # materializes the new edge generation
+            sym_chain.free_prev()  # previous contracted table's blocks
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds — "
         "component diameter exceeds the bound; raise max_rounds or switch "
@@ -295,13 +300,15 @@ def _cc_star_rounds(
 
     # runs inside the caller's scaled-shuffle scope; each round
     # materializes via the convergence count, so the scaled conf covers
-    # every heavy stage, and AQE coalesces as rounds shrink
+    # every heavy stage, and AQE coalesces as rounds shrink. The rolling
+    # chain frees each round's blocks once the next is materialized.
+    chain = RollingCheckpoint(sym.sparkSession)
     for _ in range(max_rounds):
         # lazy checkpoints, materialized transitively by the (full, no
         # limit short-circuit) convergence count below — one job per round
         # instead of three (same treatment as the propagation variant)
-        sym = _star(sym, large=True).localCheckpoint(eager=False)
-        sym = _star(sym, large=False).localCheckpoint(eager=False)
+        sym = chain.roll(_star(sym, large=True))
+        sym = chain.roll(_star(sym, large=False))
         # converged when every edge already points at its component min:
         # one more large-star pass changes nothing — detectable as "no hi
         # appears as a lo" (pure star forest)
@@ -310,6 +317,7 @@ def _cc_star_rounds(
             .join(sym.select(F.col("hi").alias("x")), "x", "left_semi")
             .count()
         )
+        chain.free_prev()  # both halves materialized by the count above
         if non_star == 0:
             labels = sym.select(F.col("hi").alias("doc"), F.col("lo").alias("cluster"))
             # centers label themselves

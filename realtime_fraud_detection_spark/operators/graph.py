@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .scaling import scaled_shuffle
+from .scaling import RollingCheckpoint, scaled_shuffle
 
 _DEC = "decimal(38,20)"
 
@@ -80,6 +80,10 @@ def pagerank(
 def _pagerank_rounds(
     e: DataFrame, ranks: DataFrame, n: int, damping: float, iters: int
 ) -> DataFrame:
+    # rolling chain: each round's rank table is vertex-sized, but 15+
+    # un-freed generations still add up — free round k−1 once round k's
+    # dangling aggregate has materialized it
+    chain = RollingCheckpoint(e.sparkSession)
     for _ in range(iters):
         # dangling mass: ranks of vertices with no out-edges. The scalar's
         # full-scan aggregate ALSO materializes the lazy checkpoint — one
@@ -95,6 +99,7 @@ def _pagerank_rounds(
             ).first()["m"]
         )
         dangling = float(dangling or 0.0)
+        chain.free_prev()  # the aggregate materialized the newest ranks
         contribs = (
             e.join(ranks.withColumnRenamed("v", "src"), "src")
             .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
@@ -112,12 +117,13 @@ def _pagerank_rounds(
                 ),
                 "out_deg",
             )
-            .localCheckpoint(eager=False)
         )
+        ranks = chain.roll(ranks)
     # the last round's lazy checkpoint was materialized by its own
     # dangling-mass aggregate only for rounds 2..iters; materialize the
     # final table before the scaled-shuffle conf is restored
     ranks.agg(F.count("*")).collect()
+    chain.free_prev()
     return ranks
 
 
@@ -294,17 +300,20 @@ def k_core(
     # vertex set materializes before the conf restores
     with scaled_shuffle(edges.sparkSession, m_est) as parts:
         a, b = F.col(src_col), F.col(dst_col)
+        # per-round checkpoint chain with prompt block release: peeling
+        # removes FEW edges per round on dense graphs, so un-freed round
+        # checkpoints accumulate rounds × ~full-table in the block
+        # manager (the 100x probe OOM'd the default heap this way)
+        chain = RollingCheckpoint(edges.sparkSession)
         # explicit-count key repartition before the dedup — see
         # triangle_count for why a bare distinct (or a count-less
         # repartition, which AQE re-coalesces) OOMs over fat partitions
-        und = (
+        cur = chain.roll(
             edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
             .filter(F.col("a") != F.col("b"))
             .repartition(parts, "a", "b")
             .dropDuplicates()
-            .localCheckpoint(eager=False)
         )
-        cur = und
         n_edges = cur.count()
         for _ in range(max_iter):
             if n_edges == 0:
@@ -316,13 +325,13 @@ def k_core(
                 .agg(F.count("*").alias("d"))
             )
             keep = deg.filter(F.col("d") >= k).select("v")
-            nxt = (
+            nxt = chain.roll(
                 cur.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
                 .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
                 .select("a", "b")
-                .localCheckpoint(eager=False)
             )
             n_next = nxt.count()  # materializes the checkpoint (one job/round)
+            chain.free_prev()  # round k−1's blocks are no longer needed
             if n_next in (0, n_edges):  # emptied or stable — converged
                 cur, n_edges = nxt, n_next
                 break

@@ -34,6 +34,63 @@ from pyspark.sql import SparkSession
 
 _KEY = "spark.sql.shuffle.partitions"
 
+
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    it = jmap.entrySet().iterator()
+    ids = set()
+    while it.hasNext():
+        ids.add(int(it.next().getKey()))
+    return ids
+
+
+def _unpersist_rdd_ids(spark: SparkSession, ids: set[int]) -> None:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    it = jmap.entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        if int(e.getKey()) in ids:
+            e.getValue().unpersist(False)
+
+
+class RollingCheckpoint:
+    """Checkpoint lifecycle for ONE chain of an iterative loop.
+
+    localCheckpoint blocks are never freed by Spark while the session
+    lives, so a loop that checkpoints a barely-shrinking table every
+    round accumulates round_count × table_size in the block manager —
+    k_core on a 53M-edge near-dup graph OOM'd the default heap exactly
+    this way (peeling removes few edges, so every round's checkpoint is
+    near full size). This helper frees round k−1's blocks as soon as
+    round k is MATERIALIZED (round k is computed FROM k−1's blocks, so
+    the order matters): live storage stays ≤ 2 generations.
+
+    `roll(df)` registers the new round (lazy checkpoint by default);
+    after the caller materializes it (the loop's convergence count),
+    `free_prev()` drops every older generation of this chain.
+
+    Ids are captured by diffing the context's persistent-RDD set around
+    the localCheckpoint call — correct only while no OTHER thread
+    persists concurrently. Every user is a single-threaded driver loop
+    (the engine's iterative ops); do not use across concurrent jobs.
+    """
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+        self._gens: list[set[int]] = []
+
+    def roll(self, df, eager: bool = False):
+        before = _persistent_rdd_ids(self._spark)
+        out = df.localCheckpoint(eager=eager)
+        self._gens.append(_persistent_rdd_ids(self._spark) - before)
+        return out
+
+    def free_prev(self) -> None:
+        """Free every generation but the newest (call once the newest is
+        materialized)."""
+        while len(self._gens) > 1:
+            _unpersist_rdd_ids(self._spark, self._gens.pop(0))
+
 # ~1M shuffle rows per reduce task keeps per-task aggregation state in
 # the tens of MB for two-long rows — 32 concurrent tasks stay well under
 # a default-sized heap, and at cluster scale the count grows linearly
