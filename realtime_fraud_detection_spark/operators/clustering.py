@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_bigint
-from .scaling import RollingCheckpoint, scaled_shuffle
+from .scaling import RollingCheckpoint, edge_storage_level, scaled_shuffle
 
 
 def connected_components(
@@ -178,7 +178,8 @@ def _cc_propagate(
                 # partial aggregate over them OOMs; a count-less
                 # repartition is AQE-coalesced back (graph.triangle_count)
                 .repartition(parts, "src", "dst")
-                .dropDuplicates()
+                .dropDuplicates(),
+                storage_level=edge_storage_level(n_edges),
             )
             n_edges = sym.count()  # materializes the new edge generation
             sym_chain.free_prev()  # previous contracted table's blocks
@@ -253,9 +254,14 @@ def connected_components_star(
             )
             .repartition(parts, "hi", "lo")
             .dropDuplicates()
-            .localCheckpoint()
         )
-        return _cc_star_rounds(sym, vertices, vertex_col, max_rounds, parts)
+        lvl = edge_storage_level(m_est)
+        sym = (
+            sym.localCheckpoint()
+            if lvl is None
+            else sym.localCheckpoint(storageLevel=lvl)
+        )
+        return _cc_star_rounds(sym, vertices, vertex_col, max_rounds, parts, lvl)
 
 
 def _cc_star_rounds(
@@ -264,6 +270,7 @@ def _cc_star_rounds(
     vertex_col: str | None,
     max_rounds: int,
     parts: int,
+    lvl=None,
 ) -> DataFrame:
     def _star(e: DataFrame, large: bool) -> DataFrame:
         # neighborhoods as (node, nbr) with node the star center side:
@@ -307,8 +314,8 @@ def _cc_star_rounds(
         # lazy checkpoints, materialized transitively by the (full, no
         # limit short-circuit) convergence count below — one job per round
         # instead of three (same treatment as the propagation variant)
-        sym = chain.roll(_star(sym, large=True))
-        sym = chain.roll(_star(sym, large=False))
+        sym = chain.roll(_star(sym, large=True), storage_level=lvl)
+        sym = chain.roll(_star(sym, large=False), storage_level=lvl)
         # converged when every edge already points at its component min:
         # one more large-star pass changes nothing — detectable as "no hi
         # appears as a lo" (pure star forest)

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .scaling import RollingCheckpoint, scaled_shuffle
+from .scaling import RollingCheckpoint, edge_storage_level, scaled_shuffle
 
 _DEC = "decimal(38,20)"
 
@@ -206,7 +206,12 @@ def triangle_count(
                 F.concat_ws(":", F.col("a"), F.col("b")), salt="tri:"
             )
             und = und.filter((coin % 1_000_000) < int(edge_sample * 1_000_000))
-        und = und.localCheckpoint()
+        lvl = edge_storage_level(m_est)
+        und = (
+            und.localCheckpoint()
+            if lvl is None
+            else und.localCheckpoint(storageLevel=lvl)
+        )
         out = _triangle_count(und)
         if edge_sample is not None:
             out = out.select(
@@ -308,11 +313,13 @@ def k_core(
         # explicit-count key repartition before the dedup — see
         # triangle_count for why a bare distinct (or a count-less
         # repartition, which AQE re-coalesces) OOMs over fat partitions
+        lvl = edge_storage_level(m_est)
         cur = chain.roll(
             edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
             .filter(F.col("a") != F.col("b"))
             .repartition(parts, "a", "b")
-            .dropDuplicates()
+            .dropDuplicates(),
+            storage_level=lvl,
         )
         n_edges = cur.count()
         for _ in range(max_iter):
@@ -328,7 +335,8 @@ def k_core(
             nxt = chain.roll(
                 cur.join(keep.select(F.col("v").alias("a")), "a", "left_semi")
                 .join(keep.select(F.col("v").alias("b")), "b", "left_semi")
-                .select("a", "b")
+                .select("a", "b"),
+                storage_level=edge_storage_level(n_edges),
             )
             n_next = nxt.count()  # materializes the checkpoint (one job/round)
             chain.free_prev()  # round k−1's blocks are no longer needed

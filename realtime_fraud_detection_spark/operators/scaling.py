@@ -79,9 +79,12 @@ class RollingCheckpoint:
         self._spark = spark
         self._gens: list[set[int]] = []
 
-    def roll(self, df, eager: bool = False):
+    def roll(self, df, eager: bool = False, storage_level=None):
         before = _persistent_rdd_ids(self._spark)
-        out = df.localCheckpoint(eager=eager)
+        if storage_level is None:
+            out = df.localCheckpoint(eager=eager)
+        else:
+            out = df.localCheckpoint(eager=eager, storageLevel=storage_level)
         self._gens.append(_persistent_rdd_ids(self._spark) - before)
         return out
 
@@ -90,6 +93,20 @@ class RollingCheckpoint:
         materialized)."""
         while len(self._gens) > 1:
             _unpersist_rdd_ids(self._spark, self._gens.pop(0))
+
+
+# above ~20M rows an edge-table checkpoint competes with the execution
+# pool for heap (observed: the 100x probes' flaky graph-stage OOMs) —
+# park it on disk; below, memory-resident blocks keep rounds fast
+EDGE_DISK_THRESHOLD = 20_000_000
+
+
+def edge_storage_level(n_rows: int):
+    """DISK_ONLY for edge tables too big to share the heap with the
+    per-round execution working set, else None (Spark's default)."""
+    from pyspark import StorageLevel
+
+    return StorageLevel.DISK_ONLY if n_rows > EDGE_DISK_THRESHOLD else None
 
 # ~1M shuffle rows per reduce task keeps per-task aggregation state in
 # the tens of MB for two-long rows — 32 concurrent tasks stay well under

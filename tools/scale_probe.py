@@ -101,7 +101,12 @@ def main() -> None:
     if stages & {"simhash", "cc", "star", "graphx"}:
         t0 = time.time()
         pairs = D.simhash_near_dup_pairs(docs, "text", "doc_id", bits=64, max_hamming=4)
-        pairs = pairs.localCheckpoint()
+        # DISK_ONLY: at 100x the pair table is ~53M rows; holding its
+        # blocks deserialized in the 8 GB heap alongside the downstream
+        # stages' working set is what made the graph stages flaky
+        from pyspark import StorageLevel
+
+        pairs = pairs.localCheckpoint(storageLevel=StorageLevel.DISK_ONLY)
         n_pairs = pairs.count()
         print(f"simhash_pairs={time.time() - t0:.1f}s n={n_pairs}")
 
