@@ -69,6 +69,9 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("src") < F.col("dst"))
         .select("src", "dst")
         .distinct()
+        # triangle_count evaluates its input twice (scale count + dedup)
+        # — materialize the derived frame once, per its docstring
+        .localCheckpoint()
     )
     return triangle_count(edges).orderBy("v")
 
