@@ -665,3 +665,75 @@ def run_changelog_stream(stream: DataFrame, store_dir: str, checkpoint: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def versioned_enrichment_writer(
+    store_dir: str,
+    out_dir: str,
+    key: str,
+    fact_ts: str,
+    version_ts: str = "ts",
+    suffix: str = "_dim",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function enriching a FACT stream against the
+    changelog store with event-time-correct profile versions — the
+    streaming form of operators/dimensions.enrich_versioned, and the
+    set-oriented twin of the reference's per-record Redis profile lookup
+    on its transaction stream (TransactionProcessor.java:97-138), except
+    each fact sees the version valid AT ITS OWN EVENT TIME rather than
+    the latest overwrite.
+
+    Semantics: each micro-batch joins against every changelog version
+    COMMITTED to the store when the batch runs. A profile update arriving
+    after a fact's batch does not retroactively re-enrich it (standard
+    streaming-enrichment semantics; a batch replay of the same pipeline
+    over the final store gives the reconciled answer — pinned
+    stream==batch when the changelog is ingested first). Output is
+    batch_id-partitioned, replay-idempotent like every store sink.
+
+    The changelog store must exist (bootstrap the profile history before
+    starting the fact stream — the reference preloads profiles the same
+    way); a missing store raises rather than silently emitting
+    unenriched rows with a different schema.
+    """
+    from ..operators.dimensions import enrich_versioned
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        changelog = _read_store(spark, store_dir)
+        if changelog is None:
+            raise FileNotFoundError(
+                f"changelog store {store_dir} does not exist — ingest the "
+                "profile changelog before starting the fact stream"
+            )
+        enriched = enrich_versioned(
+            batch,
+            changelog.drop("batch_id"),
+            key,
+            fact_ts=fact_ts,
+            version_ts=version_ts,
+            suffix=suffix,
+        )
+        _write_batch_partition(enriched, batch_id, out_dir)
+
+    return write
+
+
+def run_versioned_enrichment_stream(
+    stream: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Assemble the topology: fact stream → per-batch as-of enrichment
+    against the changelog store → partitioned output. foreachBatch is
+    stateless, so availableNow terminates normally."""
+    return (
+        stream.writeStream.foreachBatch(
+            versioned_enrichment_writer(store_dir, out_dir, **kwargs)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -186,3 +186,65 @@ def test_versioned_enrichment_vs_current_snapshot_leak(spark):
     )
     leaked = fdf.join(snap.select("user_id", "tier"), "user_id")
     assert leaked.first()["tier"] == "gold"
+
+
+def test_streaming_enrichment_matches_batch(spark, tmp_path):
+    """Fact stream enriched per micro-batch against the changelog store
+    (streaming/sinks.versioned_enrichment_writer): with the changelog
+    ingested first, streamed enrichment == batch enrich_versioned."""
+    store = str(tmp_path / "profiles")
+    out = str(tmp_path / "enriched")
+    # bootstrap the profile history (two committed batches)
+    w = SK.changelog_writer(store)
+    w(_changelog(spark, CHANGELOG[:3]), 0)
+    w(_changelog(spark, CHANGELOG[3:]), 1)
+
+    facts = [
+        (100, 1, "2024-01-01T06:00:00"),
+        (101, 1, "2024-01-02T12:00:00"),
+        (102, 2, "2024-01-02T00:00:00"),
+        (103, 3, "2024-01-05T00:00:00"),
+        (104, 7, "2024-01-02T00:00:00"),  # unknown key -> nulls
+    ]
+    fdf = spark.createDataFrame(
+        [(i, u, _ts(t)) for i, u, t in facts],
+        "fact_id long, user_id long, ts timestamp",
+    )
+    src = str(tmp_path / "facts_in")
+    fdf.write.parquet(src)
+    stream = spark.readStream.schema(
+        "fact_id long, user_id long, ts timestamp"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    q = SK.run_versioned_enrichment_stream(
+        stream, store, out, str(tmp_path / "ckpt"),
+        key="user_id", fact_ts="ts",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["fact_id"]: (r["tier_dim"], r["score_dim"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        r["fact_id"]: (r["tier_dim"], r["score_dim"])
+        for r in enrich_versioned(
+            fdf, _changelog(spark), "user_id", "ts", "ts"
+        ).collect()
+    }
+    assert got == want and len(got) == len(facts)
+
+
+def test_streaming_enrichment_requires_bootstrap(spark, tmp_path):
+    """A missing changelog store must raise, not emit schema-shifted
+    unenriched rows."""
+    import pytest
+
+    w = SK.versioned_enrichment_writer(
+        str(tmp_path / "nope"), str(tmp_path / "out"), key="user_id", fact_ts="ts"
+    )
+    fdf = spark.createDataFrame(
+        [(1, 1, _ts("2024-01-02T00:00:00"))],
+        "fact_id long, user_id long, ts timestamp",
+    )
+    with pytest.raises(Exception):
+        w(fdf, 0)
