@@ -35,7 +35,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_bigint
-from .scaling import RollingCheckpoint, edge_storage_level, scaled_shuffle
+from .scaling import (
+    RollingCheckpoint,
+    dedup_edges,
+    edge_storage_level,
+    scaled_shuffle,
+)
 
 
 def connected_components(
@@ -246,14 +251,15 @@ def connected_components_star(
         # distinct's partial aggregate over fat upstream partitions OOMs,
         # and a count-less repartition is AQE-coalesced right back (see
         # graph.triangle_count)
-        sym = (
+        sym = dedup_edges(
             edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
             .filter(F.col("u") != F.col("v"))
             .select(
                 F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
-            )
-            .repartition(parts, "hi", "lo")
-            .dropDuplicates()
+            ),
+            ["hi", "lo"],
+            parts,
+            m_est,
         )
         lvl = edge_storage_level(m_est)
         sym = (

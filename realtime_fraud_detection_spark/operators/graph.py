@@ -20,7 +20,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .scaling import RollingCheckpoint, edge_storage_level, scaled_shuffle
+from .scaling import (
+    RollingCheckpoint,
+    dedup_edges,
+    edge_storage_level,
+    scaled_shuffle,
+)
 
 _DEC = "decimal(38,20)"
 
@@ -189,11 +194,12 @@ def triangle_count(
         # repartition(cols) is itself AQE-coalesced right back to fat
         # partitions — the 100x probe OOM'd under each in turn
         a, b = F.col(src_col), F.col(dst_col)
-        und = (
+        und = dedup_edges(
             edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .repartition(parts, "a", "b")
-            .dropDuplicates()
+            .filter(F.col("a") != F.col("b")),
+            ["a", "b"],
+            parts,
+            m_est,
         )
         if edge_sample is not None:
             if not (0.0 < edge_sample <= 1.0):
@@ -315,10 +321,14 @@ def k_core(
         # repartition, which AQE re-coalesces) OOMs over fat partitions
         lvl = edge_storage_level(m_est)
         cur = chain.roll(
-            edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .repartition(parts, "a", "b")
-            .dropDuplicates(),
+            dedup_edges(
+                edges.select(
+                    F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+                ).filter(F.col("a") != F.col("b")),
+                ["a", "b"],
+                parts,
+                m_est,
+            ),
             storage_level=lvl,
         )
         n_edges = cur.count()

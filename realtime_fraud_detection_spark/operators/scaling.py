@@ -100,6 +100,25 @@ class RollingCheckpoint:
 # park it on disk; below, memory-resident blocks keep rounds fast
 EDGE_DISK_THRESHOLD = 20_000_000
 
+# below this, a plain distinct's map-side partial aggregate is safe and
+# cheaper (it dedups BEFORE the wire); above it, fat upstream partitions
+# make the partial map an OOM risk and the dedup moves behind an
+# explicit-width key repartition (see dedup_edges)
+SAFE_DEDUP_THRESHOLD = 5_000_000
+
+
+def dedup_edges(df, keys: list[str], parts: int, n_rows: int):
+    """Duplicate-eliminate an edge frame with a size-appropriate plan:
+    small inputs keep the map-side-combined distinct (one exchange,
+    reduced wire volume); large inputs repartition on the dedup keys
+    with an EXPLICIT width first — a bare distinct's partial hash map is
+    sized by the INPUT partitioning (an upstream join's AQE-coalesced
+    fat partitions OOM'd the 100x probes), and a count-less
+    repartition(cols) is itself AQE-coalesced right back."""
+    if n_rows <= SAFE_DEDUP_THRESHOLD:
+        return df.distinct()
+    return df.repartition(parts, *keys).dropDuplicates()
+
 
 def edge_storage_level(n_rows: int):
     """DISK_ONLY for edge tables too big to share the heap with the
