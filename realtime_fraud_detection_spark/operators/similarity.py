@@ -714,11 +714,18 @@ def ivf_pq_topk(
             )
             model = coarse_f.result()
             trained_books = books_f.result()
-    cells_df = model.transform(with_vec).select("nid", "cell")
+    # cell assignments are consumed 2-3x downstream (residuals, code
+    # join) and model.transform is a per-row MLlib evaluation — assign
+    # once (vertex-sized: two columns)
+    cells_df = (
+        model.transform(with_vec).select("nid", "cell").localCheckpoint()
+    )
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
 
     if by_residual:
         cents_lit = F.lit([[float(x) for x in ctr] for ctr in centroids])
+        # the residual frame feeds BOTH codebook training and encoding —
+        # materialize it once instead of re-running the join + zip_with
         res = c.join(cells_df, "nid").select(
             "nid",
             F.zip_with(
@@ -726,7 +733,7 @@ def ivf_pq_topk(
                 F.element_at(cents_lit, F.col("cell") + 1),
                 lambda x, y: x - y,
             ).alias("embedding"),
-        )
+        ).localCheckpoint()
         codebooks = pq_train(res, m=m, ks=ks, vec_col="embedding", seed=seed)
         sub = len(codebooks[0][0])
         # codes quantize residuals; the reconstruction is
