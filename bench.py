@@ -73,6 +73,10 @@ HEADLINE = [
     # round-6: dimension maintenance (changelog compaction + SCD2 +
     # versioned as-of enrichment in one query)
     "scd2_enrich",
+    # round-6: DDSketch percentile rollups (quantile dual of sketch_rollup)
+    # + Misra–Gries heavy-hitter rollups — the stored-partials sketch family
+    "quantile_rollup",
+    "heavy_hitters",
 ]
 
 # Iterative queries (CC / power-iteration loops) have documented ±2 s

@@ -270,6 +270,56 @@ def sketch_rollup_view(spark, out_dir: str, grain: str = "hour") -> DataFrame:
     return rollup_distinct_estimate(partials, grain)
 
 
+def quantile_partial_writer(
+    out_dir: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: list[str] | None = None,
+    alpha: float = 0.01,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink for streaming percentile rollups — the quantile
+    dual of `sketch_partial_writer`: each micro-batch lands its DDSketch
+    bucket counts (operators/quantile_sketch.py) under its own batch_id
+    partition (idempotent replay by dynamic partition overwrite).
+    Per-batch state crossing the sink boundary is bucket-granular counts
+    — bounded by groups × log_γ(max/min), never by row count."""
+    path = os.path.join(out_dir, "quantile_partials")
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.quantile_sketch import quantile_sketch_partials
+
+        partials = quantile_sketch_partials(
+            batch, ts_col, value_col, key_cols=key_cols, alpha=alpha
+        )
+        _write_batch_partition(partials, batch_id, path)
+
+    return write
+
+
+def quantile_rollup_view(
+    spark,
+    out_dir: str,
+    grain: str,
+    qs: list[float],
+    key_cols: list[str] | None = None,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """Current per-`grain` percentile estimates from the streamed
+    partials: bucket counts just ADD across batches and replays (the
+    mergeability law pinned in tests/test_quantile_sketch.py), so batch
+    boundaries are invisible in the estimate."""
+    from ..operators.quantile_sketch import (
+        merge_quantile_sketch,
+        sketch_quantiles,
+    )
+
+    partials = spark.read.parquet(os.path.join(out_dir, "quantile_partials"))
+    merged = merge_quantile_sketch(partials, grain, key_cols=key_cols)
+    return sketch_quantiles(
+        merged, qs, group_cols=(key_cols or []) + [grain], alpha=alpha
+    )
+
+
 def quality_gated_ingest_writer(
     out_dir: str,
     text_col: str = "text",

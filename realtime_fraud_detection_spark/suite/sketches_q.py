@@ -28,8 +28,51 @@ def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-hour DDSketch bucket counts rolled to daily p50/p95/p99 value
+# estimates — the quantile dual of q_sketch_rollup (stored partials,
+# rollups sum counts instead of rescanning events). Rows-only: the
+# bucket boundary ceil(ln(x)/ln γ) is transcendental (the bm25 class);
+# the α-relative-error guarantee and the bit-exact mergeability law are
+# pinned by tests/test_quantile_sketch.py.
+def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantile_sketch import (
+        merge_quantile_sketch,
+        quantile_sketch_partials,
+        sketch_quantiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = quantile_sketch_partials(ev, "ts", "value", alpha=0.01)
+    daily = merge_quantile_sketch(hourly, "day")
+    return (
+        sketch_quantiles(daily, [0.5, 0.95, 0.99], ["day"], alpha=0.01)
+        .orderBy("day")
+    )
+
+
+# Per-hour Misra–Gries summaries rolled to daily heavy-hitter lists —
+# the third stored-partials sketch (truncated top-k lists don't merge;
+# MG summaries do, with a proof: every item above n/(capacity+1) share
+# survives any rollup). Integer-only, so unlike the HLL/DDSketch rows
+# it has a BIT-EXACT DuckDB twin — pinned in tests/test_heavy_hitters.py
+# (rows-only here only because the driver's 50-entry oracle window is
+# full).
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavy_hitters import (
+        frequent_items_partials,
+        merge_frequent_items,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = frequent_items_partials(ev, "ts", "user_id", capacity=16)
+    daily = merge_frequent_items(hourly, "day", capacity=16)
+    return daily.orderBy("day", F.col("cnt").desc(), "item")
+
+
 QUERIES = {
     "sketch_rollup": q_sketch_rollup,
+    "quantile_rollup": q_quantile_rollup,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,223 @@
+"""Misra–Gries frequent-items summaries (operators/heavy_hitters.py):
+the undercount bound (stored ≤ true ≤ stored + n/(capacity+1)), the
+presence guarantee at every grain (merge re-compression keeps both —
+the PODS'12 mergeability law), the capacity bound on stored size, and
+the certified heavy-hitter filter."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from realtime_fraud_detection_spark.operators.heavy_hitters import (
+    frequent_items_partials,
+    heavy_hitters,
+    merge_frequent_items,
+)
+from realtime_fraud_detection_spark.sources.testdata import load_table
+from tests.conftest import SF_SMOKE
+
+CAP = 8
+
+
+def _events(spark):
+    return load_table(spark, SF_SMOKE, "events")
+
+
+def _exact(spark, grain):
+    ev = _events(spark)
+    rows = ev.select(
+        F.date_trunc(grain, "ts").alias("g"), F.col("user_id").alias("item")
+    ).collect()
+    per_group: dict = {}
+    for r in rows:
+        per_group.setdefault(r["g"], Counter())[r["item"]] += 1
+    return per_group
+
+
+def _check_bounds(summary_rows, exact_by_group, group_field):
+    groups = {}
+    for r in summary_rows:
+        groups.setdefault(r[group_field], []).append(r)
+    assert set(groups) <= set(exact_by_group)
+    for g, rows in groups.items():
+        true = exact_by_group[g]
+        n = sum(true.values())
+        assert all(r["n"] == n for r in rows)
+        assert len(rows) <= CAP
+        err = n / (CAP + 1)
+        stored = {r["item"]: r["cnt"] for r in rows}
+        for item, cnt in stored.items():
+            assert cnt <= true[item], (g, item)
+            assert true[item] - cnt <= err + 1e-9, (g, item)
+        for item, f in true.items():  # presence guarantee
+            if f > err:
+                assert item in stored, (g, item, f, err)
+
+
+def test_hourly_summary_bounds(spark):
+    parts = frequent_items_partials(
+        _events(spark), "ts", "user_id", capacity=CAP
+    )
+    _check_bounds(parts.collect(), _exact(spark, "hour"), "hour")
+
+
+def test_merged_daily_summary_keeps_guarantees(spark):
+    """The rollup law: merging stored hourly summaries (sum + re-compress)
+    must still satisfy the undercount bound and presence guarantee
+    against the EXACT daily counts — i.e. no rollup fallacy: a day-heavy
+    item that never topped any single hour cannot be lost."""
+    parts = frequent_items_partials(
+        _events(spark), "ts", "user_id", capacity=CAP
+    )
+    daily = merge_frequent_items(parts, "day", capacity=CAP)
+    _check_bounds(daily.collect(), _exact(spark, "day"), "day")
+
+
+def test_merge_vs_direct_presence(spark):
+    """Direct day-grain summaries and rolled-up ones need not be
+    bit-identical (compression is lossy), but both must contain every
+    item above the guarantee threshold, with counts within the bound of
+    each other (≤ 2·n/(cap+1) apart)."""
+    ev = _events(spark)
+    direct = {
+        (r["hour"], r["item"]): r["cnt"]
+        for r in frequent_items_partials(
+            ev, "ts", "user_id", capacity=CAP, grain="day"
+        ).collect()
+    }
+    rolled = {
+        (r["day"], r["item"]): r["cnt"]
+        for r in merge_frequent_items(
+            frequent_items_partials(ev, "ts", "user_id", capacity=CAP),
+            "day",
+            capacity=CAP,
+        ).collect()
+    }
+    exact = _exact(spark, "day")
+    for g, true in exact.items():
+        bound = 2 * sum(true.values()) / (CAP + 1)
+        both = {i for (gg, i) in direct if gg == g} | {
+            i for (gg, i) in rolled if gg == g
+        }
+        for item in both:
+            a = direct.get((g, item), 0)
+            b = rolled.get((g, item), 0)
+            assert abs(a - b) <= bound + 1e-9, (g, item, a, b)
+
+
+def test_known_skew_and_certified_hitters(spark):
+    """Constructed skew with capacity 2: the dominant items survive with
+    certified lower-bound shares; nothing below the threshold is
+    reported by heavy_hitters."""
+    items = ["a"] * 60 + ["b"] * 25 + ["c"] * 5 + ["d"] * 5 + ["e"] * 5
+    df = spark.createDataFrame(
+        [("2024-03-01 10:00:00", it) for it in items], "ts string, item string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    parts = frequent_items_partials(df, "ts", "item", capacity=2)
+    rows = {r["item"]: r for r in parts.collect()}
+    # cut = 3rd largest count = 5 → a:55, b:20 survive; c/d/e dropped
+    assert set(rows) == {"a", "b"}
+    assert rows["a"]["cnt"] == 55 and rows["b"]["cnt"] == 20
+    assert rows["a"]["n"] == 100
+    hh = {r["item"]: r for r in heavy_hitters(parts, ["hour"], 0.1).collect()}
+    assert set(hh) == {"a", "b"}
+    assert hh["a"]["share_lb"] == 0.55
+    # certified: the lower-bound share never exceeds the true share
+    assert hh["a"]["share_lb"] <= 0.60 and hh["b"]["share_lb"] <= 0.25
+
+
+def test_heavy_hitters_match_duckdb(spark):
+    """Unlike the HLL/DDSketch members of the sketch family, MG
+    compression is integer-only (counts, ranks, subtraction — no
+    transcendentals), so the whole hourly-build + daily-merge pipeline
+    has a BIT-EXACT DuckDB twin (the duplicate_spans class: exact
+    parity pinned here because the driver's 50-query oracle window is
+    full)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    cap = CAP
+    compress = """
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY cnt DESC, item ASC) AS rn,
+               CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+        FROM counts
+    ), cutoff AS (
+        SELECT *,
+               MAX(CASE WHEN rn = {k1} THEN cnt ELSE 0 END)
+                   OVER (PARTITION BY g) AS c
+        FROM ranked
+    )
+    SELECT g, item, CAST(cnt - c AS BIGINT) AS cnt, n
+    FROM cutoff WHERE rn <= {k} AND cnt > c
+    """
+    hourly_sql = (
+        "WITH counts AS (SELECT date_trunc('hour', ts) AS g, user_id AS item,"
+        " CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2), "
+        + compress.format(k=cap, k1=cap + 1)
+    )
+    got = {
+        (r["hour"], r["item"], r["cnt"], r["n"])
+        for r in frequent_items_partials(
+            _events(spark), "ts", "user_id", capacity=cap
+        ).collect()
+    }
+    want = {tuple(t) for t in con.execute(hourly_sql).fetchall()}
+    assert got == want
+
+    daily_sql = (
+        "WITH hourly AS ("
+        + hourly_sql.replace("SELECT g, item,", "SELECT g AS hour, item,")
+        # DuckDB's date_trunc('day', ts) yields DATE — cast back so the
+        # tuple keys compare against Spark's timestamp
+        + "), counts AS (SELECT CAST(date_trunc('day', hour) AS TIMESTAMP)"
+        " AS g, item,"
+        " CAST(SUM(cnt) AS BIGINT) AS cnt FROM hourly GROUP BY 1, 2), "
+        + compress.format(k=cap, k1=cap + 1)
+        + ""
+    )
+    totals_sql = (
+        "WITH hourly AS ("
+        + hourly_sql.replace("SELECT g, item,", "SELECT g AS hour, item,")
+        + ") SELECT CAST(date_trunc('day', hour) AS TIMESTAMP) AS g,"
+        " CAST(SUM(wn) AS BIGINT) AS n"
+        " FROM (SELECT hour, MAX(n) AS wn FROM hourly GROUP BY hour)"
+        " GROUP BY 1"
+    )
+    day_counts = {
+        (t[0], t[1]): t[2] for t in con.execute(daily_sql).fetchall()
+    }
+    day_totals = dict(con.execute(totals_sql).fetchall())
+    got_daily = {
+        (r["day"], r["item"], r["cnt"], r["n"])
+        for r in merge_frequent_items(
+            frequent_items_partials(
+                _events(spark), "ts", "user_id", capacity=cap
+            ),
+            "day",
+            capacity=cap,
+        ).collect()
+    }
+    want_daily = {
+        (g, item, cnt, day_totals[g]) for (g, item), cnt in day_counts.items()
+    }
+    assert got_daily == want_daily
+
+
+def test_partials_survive_parquet(spark, tmp_path):
+    parts = frequent_items_partials(
+        _events(spark), "ts", "user_id", capacity=CAP
+    )
+    p = str(tmp_path / "hh")
+    parts.write.parquet(p)
+    rolled = lambda df: sorted(  # noqa: E731
+        map(tuple, merge_frequent_items(df, "day", capacity=CAP).collect())
+    )
+    assert rolled(spark.read.parquet(p)) == rolled(parts)

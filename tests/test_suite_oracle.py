@@ -82,6 +82,13 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # DataSketches HLL estimates have no DuckDB twin; accuracy +
         # mergeability law pinned in tests/test_sketches.py
         "sketch_rollup",
+        # DDSketch bucket boundary is transcendental (ceil(ln x / ln γ));
+        # α-relative-error + bit-exact mergeability pinned in
+        # tests/test_quantile_sketch.py
+        "quantile_rollup",
+        # Misra–Gries rollup — integer-exact, bit-exact DuckDB parity in
+        # tests/test_heavy_hitters.py (oracle window full; rows-only here)
+        "heavy_hitters",
         # iterative power iteration — no SQL form; exact Python replay
         # in tests/test_pagerank.py
         "pagerank",
