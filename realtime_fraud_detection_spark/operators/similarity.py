@@ -517,9 +517,18 @@ def pq_encode(
     unpacked vector elements, not zip_with/aggregate lambdas: HOFs are
     interpreted per element (CLAUDE.md), and this expression evaluates
     M*Ks*sub_dim terms per row — the unpacked form stays inside
-    whole-stage codegen with identical summation order (so identical
-    codes, ulp-for-ulp), the same rewrite embedding_near_dup_pairs
-    measured at 2.4x."""
+    whole-stage codegen, the same rewrite embedding_near_dup_pairs
+    measured at 2.4x.
+
+    The candidate score is the EXPANDED form d'_j = Σ_t x_t·(−2c_jt)
+    + |c_j|², not (x−c)² — argmin is invariant to the per-row constant
+    |x_s|² (d_j = |x_s|² + d'_j exactly in real arithmetic), the
+    centroid constants fold at plan time, and the chain is ~half the
+    Catalyst nodes of the squared-difference form: the plan ANALYSIS
+    fixed cost (the dominant term of a PQ build at bench SF — SCALE.md
+    ann_pq anatomy) measured 14.8 s → 6.7 s with codes identical on
+    every fixture vector. Ties still break by centroid id via the
+    (d, j) struct sort."""
     m = len(codebooks)
     ks = len(codebooks[0])
     sub = len(codebooks[0][0])
@@ -537,11 +546,9 @@ def pq_encode(
         for j in range(ks):
             d = None
             for t, c in enumerate(codebooks[s][j]):
-                term = (F.col(f"e{s * sub + t}") - F.lit(c)) * (
-                    F.col(f"e{s * sub + t}") - F.lit(c)
-                )
-                # left-fold from 0.0 matches the old aggregate's order
-                d = (F.lit(0.0) + term) if d is None else (d + term)
+                term = F.col(f"e{s * sub + t}") * F.lit(-2.0 * c)
+                d = term if d is None else d + term
+            d = d + F.lit(_sqnorm(codebooks[s][j]))
             cands.append(F.struct(d.alias("d"), F.lit(j).alias("j")))
         return F.array_sort(F.array(*cands))[0]["j"].cast("tinyint")
 

@@ -16,12 +16,17 @@ candidate-generation blow-up. Results are recorded in SCALE.md.
 
 Usage: python3 tools/scale_probe.py [replicas] [stages]   (default 10, all)
   stages: comma-separated subset of
-  minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,ivfpq
+  minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,ivfpq,sketch
   (e.g. `100 simhash,cc,ngram,quality` for the 100x top-3-shape probe;
   `graphx` = triangles + k-core over the simhash pair graph; `ivfpq`
   replicates the embeddings fixture — per-replica element rotation, so
   replicas share no vectors — and times the IVF,PQ build+search; `clf`
-  includes full weak-label training, not just feature+score)
+  includes full weak-label training, not just feature+score; `sketch`
+  replicates the events fixture — per-replica user-id offset so item
+  cardinality scales with the data — and times the DDSketch quantile and
+  Misra-Gries heavy-hitter partial builds + day rollups, reporting the
+  stored-partials row counts, which must stay bounded by groups x
+  buckets/capacity while events grow)
 """
 
 from __future__ import annotations
@@ -69,19 +74,21 @@ def main() -> None:
 
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     all_stages = (
-        "minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,ivfpq"
+        "minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,"
+        "ivfpq,sketch"
     )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    t0 = time.time()
-    build_corpus(spark, replicas)
-    print(f"corpus: {replicas}x built in {time.time() - t0:.1f}s")
+    if stages - {"ivfpq", "sketch"}:  # doc-corpus stages requested
+        t0 = time.time()
+        build_corpus(spark, replicas)
+        print(f"corpus: {replicas}x built in {time.time() - t0:.1f}s")
 
-    docs = spark.read.parquet(OUT)
-    n = docs.count()
-    print(f"docs={n}")
+        docs = spark.read.parquet(OUT)
+        n = docs.count()
+        print(f"docs={n}")
 
     if "minhash" in stages:
         t0 = time.time()
@@ -291,6 +298,84 @@ def main() -> None:
             f"ivf_pq_topk={time.time() - t0:.1f}s vectors={n_vec} "
             f"cells={n_cells} rows={n_rows}"
         )
+
+    if "sketch" in stages:
+        from pyspark.sql import functions as F
+
+        from realtime_fraud_detection_spark.operators import (
+            heavy_hitters as HH,
+        )
+        from realtime_fraud_detection_spark.operators import (
+            quantile_sketch as QS,
+        )
+        from realtime_fraud_detection_spark.sources.testdata import load_table
+
+        ev0 = load_table(spark, SF_DIR, "events", fan_out=True)
+        parts = []
+        for r in range(replicas):
+            parts.append(
+                ev0.select(
+                    (F.col("event_id") + r * 100_000_000).alias("event_id"),
+                    "ts",
+                    # offset user ids so item cardinality grows with the
+                    # data (a pure replica would keep the same heavy set)
+                    (F.col("user_id") + r * 10_000_000).alias("user_id"),
+                    "event_type",
+                    (F.col("value") * (1.0 + r / 1000.0)).alias("value"),
+                )
+            )
+        ev = parts[0]
+        for p in parts[1:]:
+            ev = ev.unionAll(p)
+        ev = ev.repartition(max(8, replicas)).localCheckpoint()
+        n_ev = ev.count()
+
+        def _qsk():
+            t0 = time.time()
+            partials = QS.quantile_sketch_partials(
+                ev, "ts", "value", alpha=0.01
+            ).localCheckpoint()
+            n_p = partials.count()
+            day = QS.sketch_quantiles(
+                QS.merge_quantile_sketch(partials, "day"),
+                [0.5, 0.95, 0.99],
+                ["day"],
+            )
+            n_d = day.count()
+            print(
+                f"ddsketch={time.time() - t0:.1f}s events={n_ev} "
+                f"stored_rows={n_p} days={n_d}"
+            )
+
+        _guarded("ddsketch", _qsk)
+
+        def _hh():
+            # uniform ids have NO heavy hitters at scale (MG correctly
+            # stores nothing once per-item counts fall under the cutoff)
+            # — probe a skewed stream instead: half the mass on 16 hot
+            # items, half on a long tail whose cardinality grows with
+            # the data, so the guarantee (hot items survive every
+            # rollup) is actually exercised
+            skewed = ev.withColumn(
+                "item",
+                F.when(
+                    F.col("user_id") % 2 == 0,
+                    F.concat(F.lit("hot_"), F.col("user_id") % 16),
+                ).otherwise(F.concat(F.lit("cold_"), F.col("user_id"))),
+            )
+            t0 = time.time()
+            partials = HH.frequent_items_partials(
+                skewed, "ts", "item", capacity=16
+            ).localCheckpoint()
+            n_p = partials.count()
+            daily = HH.merge_frequent_items(partials, "day", capacity=16)
+            n_d = daily.count()
+            print(
+                f"heavy_hitters={time.time() - t0:.1f}s events={n_ev} "
+                f"stored_rows={n_p} daily_rows={n_d}"
+            )
+
+        _guarded("heavy_hitters", _hh)
 
     spark.stop()
 
