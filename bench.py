@@ -77,6 +77,8 @@ HEADLINE = [
     # + Misra–Gries heavy-hitter rollups — the stored-partials sketch family
     "quantile_rollup",
     "heavy_hitters",
+    # round-6: isotonic score calibration (fit + reliability table)
+    "score_calibration",
 ]
 
 # Iterative queries (CC / power-iteration loops) have documented ±2 s

@@ -159,11 +159,51 @@ def q_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Isotonic score calibration (Zadrozny & Elkan KDD'02 via MLlib PAV):
+# a deterministic pseudo-score with known miscalibration P(y=1|s) = s²
+# (md5 coin) is calibrated on the events fixture; output is the 10-bin
+# reliability table for raw vs calibrated probabilities. Rows-only
+# (MLlib fit — no SQL twin); Brier improvement, monotonicity, and
+# persistence are pinned in tests/test_calibration.py.
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_bigint
+    from ..ml.calibration import (
+        calibrate,
+        fit_isotonic_calibrator,
+        reliability_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    score = ((F.col("event_id") * 37) % 1000) / 1000.0
+    coin = (md5_bigint(F.col("event_id").cast("string"), "cal:") % 1_000_000) / 1e6
+    scored = ev.select(
+        "event_id",
+        score.alias("score"),
+        F.when(coin < score * score, 1.0).otherwise(0.0).alias("label"),
+    )
+    model = fit_isotonic_calibrator(scored, "score", "label")
+    out = calibrate(scored, model, "score")
+    # one binning (by raw score), three means per bin: the calibrated
+    # column must sit near frac_pos where the raw score sits near s
+    b = F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9))
+    return (
+        out.groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("score"), 6).alias("raw_mean"),
+            F.round(F.avg("calibrated"), 6).alias("cal_mean"),
+            F.round(F.avg("label"), 6).alias("frac_pos"),
+        )
+        .orderBy("bin")
+    )
+
+
 QUERIES = {
     "text_classifier": q_text_classifier,
     "bpe_tokens": q_bpe_tokens,
     "ngram_lm": q_ngram_lm,
     "unigram_tokens": q_unigram_tokens,
+    "score_calibration": q_score_calibration,
 }
 
 ORACLES: dict[str, str] = {}

@@ -89,6 +89,9 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # Misra–Gries rollup — integer-exact, bit-exact DuckDB parity in
         # tests/test_heavy_hitters.py (oracle window full; rows-only here)
         "heavy_hitters",
+        # isotonic calibration — MLlib PAV fit, no SQL twin; Brier/
+        # monotonicity/persistence pinned in tests/test_calibration.py
+        "score_calibration",
         # iterative power iteration — no SQL form; exact Python replay
         # in tests/test_pagerank.py
         "pagerank",
