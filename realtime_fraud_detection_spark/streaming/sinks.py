@@ -320,6 +320,72 @@ def quantile_rollup_view(
     )
 
 
+def frequent_items_writer(
+    out_dir: str,
+    ts_col: str = "ts",
+    item_col: str = "user_id",
+    key_cols: list[str] | None = None,
+    capacity: int = 16,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink for streaming heavy-hitter rollups: each
+    micro-batch lands its Misra–Gries summaries (≤ capacity counters
+    per (key…, hour) — operators/heavy_hitters.py) under its own
+    batch_id partition. Per-batch compression is lossy, but the PODS'12
+    merge law makes the STREAMED store carry the same guarantee as a
+    batch build: per-batch cut losses sum to ≤ n/(capacity+1) total, so
+    every item above that share of the merged window is still present
+    in `heavy_hitters_view` with a valid lower-bound count."""
+    path = os.path.join(out_dir, "frequent_item_partials")
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.heavy_hitters import frequent_items_partials
+
+        partials = frequent_items_partials(
+            batch, ts_col, item_col, key_cols=key_cols, capacity=capacity
+        )
+        _write_batch_partition(partials, batch_id, path)
+
+    return write
+
+
+def heavy_hitters_view(
+    spark,
+    out_dir: str,
+    grain: str,
+    key_cols: list[str] | None = None,
+    capacity: int = 16,
+) -> DataFrame:
+    """Current per-`grain` heavy-hitter summaries from the streamed
+    partials: one more MG merge (sum + re-compress) over everything in
+    the store — batch boundaries only consume error budget, never the
+    presence guarantee. Replays overwrite their batch partition, so the
+    view is idempotent under redelivery."""
+    from ..operators.heavy_hitters import merge_frequent_items
+
+    partials = spark.read.parquet(
+        os.path.join(out_dir, "frequent_item_partials")
+    )
+    # hours straddle micro-batches, so first sum counters and window
+    # totals ACROSS batches per hour (each (batch_id, hour) summary
+    # contributes its own n); the final merge then re-compresses to
+    # capacity at the requested grain
+    merged_hour = (
+        partials.groupBy(
+            *(key_cols or []), "hour", "item"
+        ).agg(F.sum("cnt").alias("cnt"))
+    )
+    totals = (
+        partials.groupBy(*(key_cols or []), "hour", "batch_id")
+        .agg(F.first("n").alias("_bn"))
+        .groupBy(*(key_cols or []), "hour")
+        .agg(F.sum("_bn").alias("n"))
+    )
+    hour_summaries = merged_hour.join(totals, (key_cols or []) + ["hour"])
+    return merge_frequent_items(
+        hour_summaries, grain, key_cols=key_cols, capacity=capacity
+    )
+
+
 def quality_gated_ingest_writer(
     out_dir: str,
     text_col: str = "text",

@@ -211,6 +211,59 @@ def test_heavy_hitters_match_duckdb(spark):
     assert got_daily == want_daily
 
 
+def test_streaming_store_keeps_guarantees(spark, tmp_path):
+    """Micro-batched ingest through the foreachBatch MG sink: the
+    rolled-up view must satisfy the presence guarantee and count bounds
+    against EXACT counts over the union (per-batch compression errors
+    sum within the n/(cap+1) budget — the PODS'12 merge law across
+    batch boundaries), and replaying a batch must not move the view."""
+    from realtime_fraud_detection_spark.streaming.sinks import (
+        frequent_items_writer,
+        heavy_hitters_view,
+    )
+
+    ev = _events(spark)
+    src = str(tmp_path / "events_src")
+    ev.repartition(4).write.parquet(src)
+    out = str(tmp_path / "out")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            frequent_items_writer(out, capacity=CAP)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    view = heavy_hitters_view(spark, out, "day", capacity=CAP)
+    _check_bounds(view.collect(), _exact(spark, "day"), "day")
+
+    writer = frequent_items_writer(out, capacity=CAP)
+    replay = spark.read.parquet(src).limit(250)
+    writer(replay, 0)
+    first = sorted(
+        map(
+            tuple,
+            heavy_hitters_view(spark, out, "day", capacity=CAP).collect(),
+        )
+    )
+    writer(replay, 0)
+    second = sorted(
+        map(
+            tuple,
+            heavy_hitters_view(spark, out, "day", capacity=CAP).collect(),
+        )
+    )
+    assert first == second
+
+
 def test_partials_survive_parquet(spark, tmp_path):
     parts = frequent_items_partials(
         _events(spark), "ts", "user_id", capacity=CAP
