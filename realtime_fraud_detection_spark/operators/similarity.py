@@ -768,21 +768,19 @@ def ivf_pq_topk(
             .drop("dq_norm")
             .join(cells_df, "nid")
         )
-        dq_norm = F.sqrt(
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda c_, s_: F.element_at(
-                        F.element_at(norms_per_cell, F.col("cell") + 1),
-                        (s_ * ks + c_ + 1).cast("int"),
-                    ),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+        # bind the per-cell norm table as an ATTRIBUTE column before the
+        # lookups: element_at on a LITERAL array copies the whole array
+        # per access (CLAUDE.md), and the old zip_with/aggregate form
+        # evaluated the nested-literal extract inside an interpreted
+        # lambda — m copies of an n_cells*m*ks-double literal per row.
+        # The m references below keep CollapseProject from re-inlining
+        # the alias; the chained-scalar sum codegens (the _adc_sum shape)
+        with_lut = coded.withColumn(
+            "lut", F.element_at(norms_per_cell, F.col("cell") + 1)
         )
-        corpus = coded.withColumn("dq_norm", dq_norm)
+        corpus = with_lut.withColumn(
+            "dq_norm", F.sqrt(_adc_sum(m, ks))
+        ).drop("lut")
     else:
         codebooks = trained_books  # trained concurrently with the coarse fit
         sub = len(codebooks[0][0])
