@@ -55,18 +55,34 @@ def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def _positions(col: Column, m_bits: int, k: int) -> list[Column]:
+def _positions(
+    col: Column, m_bits: int, k: int, portable: bool = True
+) -> list[Column]:
     """k bit positions in [0, m_bits) via double hashing: pos_i =
-    (h1 + i·h2) mod m with h1 = md5(x, saltA) mod m and
-    h2 = md5(x, saltB) mod (m-1) + 1 (never 0, so the k probes never
-    collapse onto one position)."""
-    h1 = F.pmod(md5_bigint(col, salt="bloomA:"), F.lit(m_bits))
-    h2 = F.pmod(md5_bigint(col, salt="bloomB:"), F.lit(max(1, m_bits - 1))) + 1
+    (h1 + i·h2) mod m with h2 forced non-zero (never 0, so the k probes
+    never collapse onto one position).
+
+    portable=True hashes with salted md5 — bit-identical on any engine
+    (required when the bitmap itself is an artifact another engine may
+    probe, e.g. decontamination). portable=False uses xxhash64 with two
+    seed variants on the RAW column (no string cast) — ~5× cheaper per
+    probe and exactly as correct when build and probe happen inside the
+    same Spark job (the runtime join-pruning case): the sketch's law is
+    no-false-negatives for ANY fixed hash pair."""
+    if portable:
+        h1 = F.pmod(md5_bigint(col, salt="bloomA:"), F.lit(m_bits))
+        h2 = (
+            F.pmod(md5_bigint(col, salt="bloomB:"), F.lit(max(1, m_bits - 1)))
+            + 1
+        )
+    else:
+        h1 = F.pmod(F.xxhash64(col), F.lit(m_bits))
+        h2 = F.pmod(F.xxhash64(col, F.lit(1)), F.lit(max(1, m_bits - 1))) + 1
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits)) for i in range(k)]
 
 
 def bloom_build(
-    keys: DataFrame, col: str, m_bits: int, k: int
+    keys: DataFrame, col: str, m_bits: int, k: int, portable: bool = True
 ) -> list[int]:
     """Distributed bitmap build → m_bits/64 longs on the driver.
 
@@ -76,7 +92,9 @@ def bloom_build(
     :func:`bloom_might_contain`."""
     if m_bits % 64:
         raise ValueError(f"m_bits must be a multiple of 64: {m_bits}")
-    pos = F.explode(F.array(*_positions(F.col(col), m_bits, k))).alias("p")
+    pos = F.explode(
+        F.array(*_positions(F.col(col), m_bits, k, portable))
+    ).alias("p")
     words = (
         keys.select(pos)
         .select(
@@ -92,7 +110,9 @@ def bloom_build(
     return [sparse.get(i, 0) for i in range(m_bits // 64)]
 
 
-def bloom_might_contain(bitmap: list[int], col: Column, k: int) -> Column:
+def bloom_might_contain(
+    bitmap: list[int], col: Column, k: int, portable: bool = True
+) -> Column:
     """Boolean probe column: true iff all k bits for `col` are set.
 
     The bitmap folds in as a single array<long> literal (one plan node
@@ -102,7 +122,7 @@ def bloom_might_contain(bitmap: list[int], col: Column, k: int) -> Column:
     m_bits = len(bitmap) * 64
     arr = F.lit(bitmap)
     cond = F.lit(True)
-    for p in _positions(col, m_bits, k):
+    for p in _positions(col, m_bits, k, portable):
         word = F.element_at(arr, (F.floor(p / 64) + 1).cast("int"))
         cond = cond & (F.getbit(word, F.pmod(p, F.lit(64)).cast("int")) == 1)
     return cond

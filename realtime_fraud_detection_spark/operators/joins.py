@@ -155,6 +155,57 @@ def salted_join(
     return out.drop("_salt")
 
 
+def bloom_pruned_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "inner",
+    fpp: float = 0.01,
+    key_count: int | None = None,
+) -> DataFrame:
+    """Selective equi join with a Bloom pre-filter on the big side.
+
+    At 100 TB the shuffle of `big ⋈ small` moves mostly rows that will
+    never match when the small side is selective; Spark's own runtime
+    bloom pruning (`bloom_filter_agg`) is not SQL-exposed in this build,
+    so this is the explicit form using the portable pure-expression
+    sketch (functions/bloom.py): build a model-sized bitmap from the
+    small side's distinct keys (one map-side-combined `bit_or` shuffle
+    of at most m/64 words), then probe it as a codegen'd getbit
+    conjunction IN THE BIG SIDE'S SCAN STAGE — rows that cannot match
+    never enter the join exchange. False positives (rate `fpp`) survive
+    the filter but are removed by the join itself, so the RESULT is
+    exactly the plain join's (pinned by test).
+
+    Only result-preserving join types are allowed: inner / left_semi
+    (for anti or outer joins the dropped rows ARE part of the answer).
+    `key_count` skips the distinct-count pass when the caller already
+    knows the small side's cardinality.
+    """
+    from ..functions.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_parameters,
+    )
+
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError(
+            f"bloom pre-filtering only preserves inner/semi joins, got {how!r}"
+        )
+    # portable=False: build and probe live in the same job, so the
+    # bitmap never crosses an engine boundary — xxhash64 on the raw
+    # column (no string cast) is ~5x cheaper per probe than the
+    # portable md5 path and keeps the no-false-negative law
+    keys = small.select(F.col(key).alias("_bk")).distinct()
+    n = key_count if key_count is not None else keys.count()
+    m_bits, k = bloom_parameters(n, fpp)
+    bitmap = bloom_build(keys, "_bk", m_bits, k, portable=False)
+    pruned = big.filter(
+        bloom_might_contain(bitmap, F.col(key), k, portable=False)
+    )
+    return pruned.join(small, key, how)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

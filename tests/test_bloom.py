@@ -94,3 +94,68 @@ def test_bloom_contamination_superset_of_exact(spark):
     # and the sketch shouldn't over-flag much at this scale
     extra_docs = sum(1 for d in exact if bloom[d] > 0 and exact[d] == 0)
     assert extra_docs <= len(exact) * 0.05
+
+
+def test_bloom_pruned_join_exact_result(spark):
+    """bloom_pruned_join == plain join, row for row: the pre-filter can
+    only drop rows the join would drop anyway (no false negatives), and
+    its false positives are removed by the join itself."""
+    import pytest
+
+    from realtime_fraud_detection_spark.operators.joins import (
+        bloom_pruned_join,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    # a selective small side: ~2% of orders
+    small = orders.filter(F.col("o_orderkey") % 50 == 0).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = lineitem.join(small, "l_orderkey")
+    pruned = bloom_pruned_join(lineitem, small, "l_orderkey")
+    key = lambda r: tuple(sorted(r.asDict().items()))  # noqa: E731
+    assert sorted(map(key, pruned.collect())) == sorted(
+        map(key, plain.collect())
+    )
+    # semi form too
+    plain_semi = lineitem.join(small, "l_orderkey", "left_semi")
+    pruned_semi = bloom_pruned_join(lineitem, small, "l_orderkey", "left_semi")
+    assert pruned_semi.count() == plain_semi.count()
+    # non-result-preserving join types must refuse
+    with pytest.raises(ValueError):
+        bloom_pruned_join(lineitem, small, "l_orderkey", "left_anti")
+
+
+def test_bloom_pruned_join_actually_prunes(spark):
+    """The pre-filter keeps matching rows plus ~fpp of the rest — the
+    shuffle input shrinks to roughly the match set (the operator's whole
+    point at scale); and the probe sits big-side, before the join."""
+    from realtime_fraud_detection_spark.functions.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_parameters,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    small = orders.filter(F.col("o_orderkey") % 50 == 0).select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    n = small.count()
+    m_bits, k = bloom_parameters(n, 0.01)
+    # the fast in-job hash pair the operator uses (portable=False)
+    bitmap = bloom_build(
+        small.select(F.col("l_orderkey").alias("_bk")),
+        "_bk",
+        m_bits,
+        k,
+        portable=False,
+    )
+    total = lineitem.count()
+    matches = lineitem.join(small, "l_orderkey", "left_semi").count()
+    survivors = lineitem.filter(
+        bloom_might_contain(bitmap, F.col("l_orderkey"), k, portable=False)
+    ).count()
+    assert survivors >= matches  # no false negatives
+    assert survivors - matches <= max(50, 0.03 * (total - matches))
