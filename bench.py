@@ -79,6 +79,8 @@ HEADLINE = [
     "heavy_hitters",
     # round-6: isotonic score calibration (fit + reliability table)
     "score_calibration",
+    # round-6: LPA communities (density structure vs CC connectivity)
+    "communities",
 ]
 
 # Iterative queries (CC / power-iteration loops) have documented ±2 s

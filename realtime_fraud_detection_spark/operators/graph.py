@@ -362,3 +362,88 @@ def k_core(
             .distinct()
             .localCheckpoint()
         )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(v, label) — community detection by synchronous label propagation
+    (Raghavan, Albert & Kumara, Phys. Rev. E 76, 2007) on the undirected
+    simple graph. Communities are DENSITY structure, not connectivity:
+    two cliques joined by one bridge edge are a single connected
+    component (`clustering.connected_components`) but two LPA
+    communities — the distinction that separates a fraud ring from the
+    organic traffic it happens to touch.
+
+    Deterministic variant of the (originally randomized) algorithm:
+    every round each vertex adopts the most frequent label among its
+    neighbors PLUS its own current label (the self-vote damps the
+    two-cycle oscillation synchronous updates are prone to), ties broken
+    by the smallest label — so labels are a pure function of the input
+    edge set, any partitioning. Converged when no label changes; if the
+    residual oscillation survives `max_rounds`, the round-`max_rounds`
+    labeling is returned (still deterministic — documented LPA behavior,
+    not an error).
+
+    Loop discipline (the pagerank/k_core rules): the neighbor table is
+    built once; each round is ONE label join + one map-side-combined
+    (v, label) count + the argmax aggregate, with the convergence count
+    materializing the round's lazy checkpoint (one job per round) and
+    round k−1's blocks freed as round k lands."""
+    m_est = edges.count()
+    with scaled_shuffle(edges.sparkSession, m_est) as parts:
+        a, b = F.col(src_col), F.col(dst_col)
+        half = dedup_edges(
+            edges.select(
+                F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+            ).filter(F.col("a") != F.col("b")),
+            ["a", "b"],
+            parts,
+            m_est,
+        )
+        und = (
+            half.select(F.col("a").alias("v"), F.col("b").alias("u"))
+            .unionAll(half.select(F.col("b").alias("v"), F.col("a").alias("u")))
+            .localCheckpoint()
+        )
+        chain = RollingCheckpoint(edges.sparkSession)
+        labels = chain.roll(
+            und.select("v").distinct().select("v", F.col("v").alias("label"))
+        )
+        n_v = labels.count()  # materializes the initial labeling
+        if n_v == 0:
+            return labels.select("v", "label")
+        for _ in range(max_rounds):
+            votes = und.join(
+                labels.select(F.col("v").alias("u"), "label"), "u"
+            ).select("v", "label")
+            counts = (
+                votes.unionAll(labels)  # self-vote
+                .groupBy("v", "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+            # min over (−cnt, label): highest count, then smallest label
+            pick = counts.groupBy("v").agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+                )["label"].alias("new_label")
+            )
+            nxt = chain.roll(
+                labels.join(pick, "v").select(
+                    "v",
+                    F.col("new_label").alias("label"),
+                    (F.col("new_label") != F.col("label")).cast("int").alias("_chg"),
+                )
+            )
+            changed = nxt.agg(F.sum("_chg").alias("c")).first()["c"] or 0
+            chain.free_prev()
+            labels = nxt.select("v", "label")
+            if changed == 0:
+                break
+        # the loop's last convergence count already materialized the
+        # final checkpoint; drop everything older (the pagerank ending)
+        chain.free_prev()
+        return labels

@@ -76,9 +76,51 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges).orderBy("v")
 
 
+# LPA communities over the same shared-affinity user graph as
+# q_triangles — density structure (ring candidates) vs the connectivity
+# components CC gives; deterministic min-tie synchronous update
+# (rows-only: iterative, no SQL twin; hand-traced parity + determinism
+# pinned in tests/test_label_propagation.py).
+def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    ev = load_table(spark, sf_dir, "events")
+    affin = (
+        ev.select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("user_id", "k")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 3)
+    )
+    a = affin.select(F.col("user_id").alias("src"), "k")
+    b = affin.select(F.col("user_id").alias("dst"), "k")
+    # require >= 2 SHARED affinities per pair: the single-k graph is a
+    # union of per-k cliques whose overlaps merge into one giant blob at
+    # sf0.1 (LPA honestly reports 1 community); the 2-shared graph keeps
+    # the density structure the operator is for (90 communities at sf0.1)
+    edges = (
+        a.join(b, "k")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    labels = label_propagation(edges)
+    return (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.col("size").desc(), "label")
+    )
+
+
 QUERIES = {
     "pagerank": q_pagerank,
     "triangles": q_triangles,
+    "communities": q_communities,
 }
 
 ORACLES: dict[str, str] = {}

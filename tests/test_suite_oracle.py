@@ -98,6 +98,9 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # triangle counting — fixture-graph DuckDB parity in
         # tests/test_triangles.py (window full; rows-only here)
         "triangles",
+        # LPA communities — iterative, no SQL form; hand-traced parity +
+        # determinism in tests/test_label_propagation.py
+        "communities",
         # changelog compaction / SCD2 / versioned enrichment — window
         # full; latest-wins + brute-force as-of parity in
         # tests/test_dimensions.py (the as-of kernel itself is oracled
