@@ -87,7 +87,13 @@ HEADLINE = [
 # run-to-run noise on local[32] (SCALE.md) — a single run cannot
 # distinguish noise from regression, so these record the MEDIAN of 3
 # trials within the same session.
-ITERATIVE = {"dedup_clusters", "pagerank", "semantic_dedup", "ann_pq_serve"}
+ITERATIVE = {
+    "dedup_clusters",
+    "pagerank",
+    "semantic_dedup",
+    "ann_pq_serve",
+    "communities",
+}
 
 
 def _velocity_sliding_approx(spark, sf_dir):

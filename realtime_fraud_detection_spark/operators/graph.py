@@ -404,10 +404,17 @@ def label_propagation(
             parts,
             m_est,
         )
+        # the neighbor table is 2x the edge list and lives for every
+        # round — above the edge-table threshold it must park on disk
+        # (OOM-ladder knob 4; the 100x probe failed exactly here before)
+        und_base = half.select(F.col("a").alias("v"), F.col("b").alias("u")).unionAll(
+            half.select(F.col("b").alias("v"), F.col("a").alias("u"))
+        )
+        lvl = edge_storage_level(2 * m_est)
         und = (
-            half.select(F.col("a").alias("v"), F.col("b").alias("u"))
-            .unionAll(half.select(F.col("b").alias("v"), F.col("a").alias("u")))
-            .localCheckpoint()
+            und_base.localCheckpoint(eager=True)
+            if lvl is None
+            else und_base.localCheckpoint(eager=True, storageLevel=lvl)
         )
         chain = RollingCheckpoint(edges.sparkSession)
         labels = chain.roll(

@@ -257,6 +257,19 @@ def main() -> None:
 
         _guarded("triangles", _tri)
 
+        def _lpa():
+            t0 = time.time()
+            labels = G.label_propagation(
+                pairs, src_col="doc_a", dst_col="doc_b"
+            )
+            n_comm = labels.select("label").distinct().count()
+            print(
+                f"lpa={time.time() - t0:.1f}s communities={n_comm} "
+                f"vertices={labels.count()}"
+            )
+
+        _guarded("lpa", _lpa)
+
     if "ivfpq" in stages:
         from pyspark.sql import functions as F
 
