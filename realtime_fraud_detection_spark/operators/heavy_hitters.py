@@ -28,6 +28,14 @@ item-granular rows sharing one (group, cnt desc) sort.
 Determinism: counts are exact integers; ties in the compression cutoff
 break by (cnt desc, item asc), so summaries are unique functions of the
 input multiset.
+
+Total-mass invariant: compression can wipe EVERY counter in a window
+(e.g. > capacity items all tying the cutoff — a uniform tail), and the
+window's total mass `n` must survive anyway, or rollup totals undercount
+and heavy_hitters() certifies items against a too-small denominator.
+Every summary therefore carries exactly one SENTINEL row per group
+(item NULL, cnt 0, n = window total); merges rebuild it from the
+per-window totals so the invariant holds at every grain.
 """
 
 from __future__ import annotations
@@ -39,13 +47,21 @@ DEFAULT_CAPACITY = 16
 
 
 def _compress(
-    counts: DataFrame, group_cols: list[str], capacity: int
+    counts: DataFrame,
+    group_cols: list[str],
+    capacity: int,
+    sentinel: bool = True,
 ) -> DataFrame:
     """Misra–Gries compression of exact (group…, item, cnt) rows: keep
     at most `capacity` counters per group, each reduced by the
     (capacity+1)-th largest count in that group. `n` (total mass incl.
     dropped items, constant within a group) rides along so rollups can
-    state error bounds without a side table."""
+    state error bounds without a side table.
+
+    With `sentinel` (the default) one extra (item NULL, cnt 0, n) row is
+    emitted per group so `n` survives even when compression wipes every
+    counter (all-tie windows) — the total-mass invariant. Merges that
+    rebuild sentinels from a totals table pass sentinel=False."""
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
     order = [F.col("cnt").desc(), F.col("item").asc()]
@@ -57,7 +73,7 @@ def _compress(
     cutoff = F.max(
         F.when(F.col("_rn") == capacity + 1, F.col("cnt")).otherwise(F.lit(0))
     ).over(wg)
-    return (
+    survivors = (
         ranked.withColumn("_cut", cutoff)
         .filter((F.col("_rn") <= capacity) & (F.col("cnt") > F.col("_cut")))
         .select(
@@ -67,6 +83,16 @@ def _compress(
             "n",
         )
     )
+    if not sentinel:
+        return survivors
+    item_type = counts.schema["item"].dataType
+    sentinels = ranked.filter(F.col("_rn") == 1).select(
+        *group_cols,
+        F.lit(None).cast(item_type).alias("item"),
+        F.lit(0).cast("bigint").alias("cnt"),
+        "n",
+    )
+    return survivors.unionByName(sentinels)
 
 
 def frequent_items_partials(
@@ -78,8 +104,10 @@ def frequent_items_partials(
     grain: str = "hour",
 ) -> DataFrame:
     """(key…, hour, item, cnt, n) — the stored rollup base: ≤ capacity
-    rows per (key…, hour), cnt a lower bound within n/(capacity+1) of
-    the true in-window frequency, n the window's total item count."""
+    counter rows plus one NULL-item sentinel per (key…, hour), cnt a
+    lower bound within n/(capacity+1) of the true in-window frequency,
+    n the window's total item count (carried by every row incl. the
+    sentinel, so it survives all-tie compression wipes)."""
     keys = key_cols or []
     counts = (
         df.filter(F.col(item_col).isNotNull())
@@ -109,7 +137,8 @@ def merge_frequent_items(
     keys = key_cols or []
     bucket = F.date_trunc(grain, F.col(hour_col)).alias(grain)
     summed = (
-        partials.groupBy(*keys, bucket, "item")
+        partials.filter(F.col("item").isNotNull())
+        .groupBy(*keys, bucket, "item")
         .agg(F.sum("cnt").alias("cnt"))
     )
     totals = (
@@ -119,12 +148,23 @@ def merge_frequent_items(
         .agg(F.sum("_wn").alias("n"))
     )
     # _compress re-derives `n` as the summed STORED mass — replace it
-    # with the true rolled-up total so downstream bounds are honest
-    return (
-        _compress(summed, keys + [grain], capacity)
+    # with the true rolled-up total so downstream bounds are honest.
+    # Sentinels are rebuilt from `totals` (not _compress) so a window
+    # whose every counter was wiped still lands its n at this grain.
+    item_type = partials.schema["item"].dataType
+    counters = (
+        _compress(summed, keys + [grain], capacity, sentinel=False)
         .drop("n")
         .join(totals, keys + [grain])
     )
+    sentinels = totals.select(
+        *keys,
+        grain,
+        F.lit(None).cast(item_type).alias("item"),
+        F.lit(0).cast("bigint").alias("cnt"),
+        "n",
+    )
+    return counters.unionByName(sentinels)
 
 
 def heavy_hitters(
@@ -135,9 +175,11 @@ def heavy_hitters(
     """Items whose LOWER-bound stored count already exceeds
     min_share · n — certified heavy hitters (no false positives from
     the undercount direction); complete for every item with true share
-    > min_share + 1/(capacity+1)."""
+    > min_share + 1/(capacity+1). NULL-item sentinels (mass carriers,
+    not counters) are excluded."""
     return partials.filter(
-        F.col("cnt").cast("double") > F.lit(min_share) * F.col("n")
+        F.col("item").isNotNull()
+        & (F.col("cnt").cast("double") > F.lit(min_share) * F.col("n"))
     ).select(
         *group_cols,
         "item",

@@ -368,11 +368,15 @@ def heavy_hitters_view(
     # hours straddle micro-batches, so first sum counters and window
     # totals ACROSS batches per hour (each (batch_id, hour) summary
     # contributes its own n); the final merge then re-compresses to
-    # capacity at the requested grain
+    # capacity at the requested grain. NULL-item sentinel rows carry n
+    # but are not counters — excluded from the sum, and rebuilt per
+    # hour from the totals so a batch whose compression wiped every
+    # counter still lands its mass (the total-mass invariant,
+    # operators/heavy_hitters.py).
     merged_hour = (
-        partials.groupBy(
-            *(key_cols or []), "hour", "item"
-        ).agg(F.sum("cnt").alias("cnt"))
+        partials.filter(F.col("item").isNotNull())
+        .groupBy(*(key_cols or []), "hour", "item")
+        .agg(F.sum("cnt").alias("cnt"))
     )
     totals = (
         partials.groupBy(*(key_cols or []), "hour", "batch_id")
@@ -380,7 +384,17 @@ def heavy_hitters_view(
         .groupBy(*(key_cols or []), "hour")
         .agg(F.sum("_bn").alias("n"))
     )
-    hour_summaries = merged_hour.join(totals, (key_cols or []) + ["hour"])
+    item_type = partials.schema["item"].dataType
+    hour_sentinels = totals.select(
+        *(key_cols or []),
+        "hour",
+        F.lit(None).cast(item_type).alias("item"),
+        F.lit(0).cast("bigint").alias("cnt"),
+        "n",
+    )
+    hour_summaries = merged_hour.join(
+        totals, (key_cols or []) + ["hour"]
+    ).unionByName(hour_sentinels)
     return merge_frequent_items(
         hour_summaries, grain, key_cols=key_cols, capacity=capacity
     )

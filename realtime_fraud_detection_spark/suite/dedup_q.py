@@ -826,39 +826,76 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # touched only for the rerank*k candidates. Rows-only (approximate by
 # construction, same as ann_pq); bench medians 3 runs so the one-time
 # build in a cold run doesn't pollute the serve timing.
+#
+# Staleness is keyed on a CONTENT fingerprint of the source parquet
+# (file names + sizes + mtimes), not a row count: fixtures are
+# regenerated between rounds at identical row counts, and a count-keyed
+# cache would serve the old round's codes against the new floats. The
+# fingerprint is part of the index path, so a regenerated fixture simply
+# misses the cache; builds land in a per-pid temp dir renamed into place
+# (atomic on POSIX), so a concurrent run either wins the rename or uses
+# the winner's complete index — never a torn build.
 # ---------------------------------------------------------------------------
-def _pq_index_dir(sf_dir: str) -> str:
+def _fixture_fingerprint(path: str) -> str:
+    """md5 over the sorted (relative name, size, mtime_ns) of every file
+    under `path` (or the file itself) — changes whenever the fixture is
+    regenerated, even at identical row counts."""
     import hashlib as _h
     import os as _os
 
+    entries = []
+    if _os.path.isdir(path):
+        for root, _dirs, files in _os.walk(path):
+            for f in files:
+                p = _os.path.join(root, f)
+                st = _os.stat(p)
+                entries.append(
+                    (_os.path.relpath(p, path), st.st_size, st.st_mtime_ns)
+                )
+    else:
+        st = _os.stat(path)
+        entries.append((_os.path.basename(path), st.st_size, st.st_mtime_ns))
+    h = _h.md5()
+    for e in sorted(entries):
+        h.update(repr(e).encode())
+    return h.hexdigest()[:16]
+
+
+def _pq_index_dir(sf_dir: str) -> str:
+    import os as _os
+
     base = _os.path.basename(_os.path.normpath(sf_dir))
-    tag = _h.md5(_os.path.abspath(sf_dir).encode()).hexdigest()[:8]
-    return f"/tmp/spark_graft_pq_index_{base}_{tag}"
+    fp = _fixture_fingerprint(
+        _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
+    )
+    return f"/tmp/spark_graft_pq_index_{base}_{fp}"
 
 
 def q_ann_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
     import os
+    import shutil
 
     from ..functions import ann_io
 
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     idx = _pq_index_dir(sf_dir)
-    meta_p = os.path.join(idx, "meta.json")
-    n = emb.count()
-    stale = True
-    if os.path.exists(meta_p):
-        with open(meta_p) as fh:
-            stale = json.load(fh).get("n") != n
-    if stale:  # one-time build: persist codebooks + encoded corpus
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        # one-time build into a private temp dir, renamed into place
+        tmp = f"{idx}.build.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
         books = SIM.pq_train(emb, m=8, ks=16)
-        os.makedirs(idx, exist_ok=True)
-        ann_io.save_pq_codebooks(books, os.path.join(idx, "pq.json"))
+        ann_io.save_pq_codebooks(books, os.path.join(tmp, "pq.json"))
         SIM.pq_encode(emb, books).write.mode("overwrite").parquet(
-            os.path.join(idx, "codes")
+            os.path.join(tmp, "codes")
         )
-        with open(meta_p, "w") as fh:  # meta last — marks a complete build
-            json.dump({"n": n}, fh)
+        with open(os.path.join(tmp, "meta.json"), "w") as fh:
+            json.dump({"n": emb.count()}, fh)  # meta last: build complete
+        try:
+            os.rename(tmp, idx)
+        except OSError:  # a concurrent build won the rename — use it
+            shutil.rmtree(tmp, ignore_errors=True)
     books, _ = ann_io.load_pq_codebooks(os.path.join(idx, "pq.json"))
     codes = spark.read.parquet(os.path.join(idx, "codes"))
     queries = emb.filter(F.col("vec_id") < 5)

@@ -21,6 +21,14 @@ from tests.conftest import SF_SMOKE
 CAP = 8
 
 
+def _sorted_rows(rows):
+    # NULL-item sentinel rows make bare tuple sorts raise (None vs str)
+    return sorted(
+        map(tuple, rows),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+
+
 def _events(spark):
     return load_table(spark, SF_SMOKE, "events")
 
@@ -45,9 +53,14 @@ def _check_bounds(summary_rows, exact_by_group, group_field):
         true = exact_by_group[g]
         n = sum(true.values())
         assert all(r["n"] == n for r in rows)
-        assert len(rows) <= CAP
+        # exactly one NULL-item sentinel per group carries n; at most
+        # CAP real counters besides it (the total-mass invariant)
+        sentinels = [r for r in rows if r["item"] is None]
+        counters = [r for r in rows if r["item"] is not None]
+        assert len(sentinels) == 1 and sentinels[0]["cnt"] == 0
+        assert len(counters) <= CAP
         err = n / (CAP + 1)
-        stored = {r["item"]: r["cnt"] for r in rows}
+        stored = {r["item"]: r["cnt"] for r in counters}
         for item, cnt in stored.items():
             assert cnt <= true[item], (g, item)
             assert true[item] - cnt <= err + 1e-9, (g, item)
@@ -116,7 +129,9 @@ def test_known_skew_and_certified_hitters(spark):
         [("2024-03-01 10:00:00", it) for it in items], "ts string, item string"
     ).withColumn("ts", F.to_timestamp("ts"))
     parts = frequent_items_partials(df, "ts", "item", capacity=2)
-    rows = {r["item"]: r for r in parts.collect()}
+    rows = {
+        r["item"]: r for r in parts.collect() if r["item"] is not None
+    }
     # cut = 3rd largest count = 5 → a:55, b:20 survive; c/d/e dropped
     assert set(rows) == {"a", "b"}
     assert rows["a"]["cnt"] == 55 and rows["b"]["cnt"] == 20
@@ -126,6 +141,48 @@ def test_known_skew_and_certified_hitters(spark):
     assert hh["a"]["share_lb"] == 0.55
     # certified: the lower-bound share never exceeds the true share
     assert hh["a"]["share_lb"] <= 0.60 and hh["b"]["share_lb"] <= 0.25
+
+
+def test_wiped_window_mass_survives_rollup(spark):
+    """An all-tie window (more singletons than capacity) compresses to
+    ZERO counters — its total mass n must survive into coarser grains
+    anyway, or heavy_hitters certifies against a too-small denominator.
+    Repro from round-6 advice: hour A = 40 singletons (cap 4 → every
+    counter wiped), hour B = one 10× item + 5 singletons; the daily
+    total must be 55, so the 10× item's true share (~0.18) must NOT be
+    certified at min_share=0.5."""
+    rows = [("2024-03-01 10:00:00", f"s{i}") for i in range(40)]
+    rows += [("2024-03-01 11:00:00", "hot")] * 10
+    rows += [("2024-03-01 11:00:00", f"t{i}") for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "ts string, item string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    parts = frequent_items_partials(df, "ts", "item", capacity=4)
+    hourly = {r["hour"]: r for r in parts.collect() if r["item"] is None}
+    assert sorted(r["n"] for r in hourly.values()) == [15, 40]
+    # hour A: all 40 counters tie the cutoff → only the sentinel remains
+    wiped_hour = next(h for h, r in hourly.items() if r["n"] == 40)
+    assert not [
+        r
+        for r in parts.collect()
+        if r["hour"] == wiped_hour and r["item"] is not None
+    ]
+
+    daily = merge_frequent_items(parts, "day", capacity=4)
+    drows = daily.collect()
+    assert all(r["n"] == 55 for r in drows)
+    hh = heavy_hitters(daily, ["day"], min_share=0.5).collect()
+    assert hh == []  # true share 10/55 — must not certify at 0.5
+    # and at an honest threshold the hot item is present with a valid
+    # lower bound (cnt <= true count 10, share_lb <= 10/55)
+    hot = {
+        r["item"]: r
+        for r in heavy_hitters(daily, ["day"], min_share=0.05).collect()
+    }
+    assert "hot" in hot
+    assert hot["hot"]["cnt"] <= 10
+    assert hot["hot"]["share_lb"] <= 10 / 55 + 1e-12
 
 
 def test_heavy_hitters_match_duckdb(spark):
@@ -157,6 +214,9 @@ def test_heavy_hitters_match_duckdb(spark):
     )
     SELECT g, item, CAST(cnt - c AS BIGINT) AS cnt, n
     FROM cutoff WHERE rn <= {k} AND cnt > c
+    UNION ALL
+    SELECT g, NULL AS item, CAST(0 AS BIGINT) AS cnt, n
+    FROM ranked WHERE rn = 1
     """
     hourly_sql = (
         "WITH counts AS (SELECT date_trunc('hour', ts) AS g, user_id AS item,"
@@ -179,7 +239,8 @@ def test_heavy_hitters_match_duckdb(spark):
         # tuple keys compare against Spark's timestamp
         + "), counts AS (SELECT CAST(date_trunc('day', hour) AS TIMESTAMP)"
         " AS g, item,"
-        " CAST(SUM(cnt) AS BIGINT) AS cnt FROM hourly GROUP BY 1, 2), "
+        " CAST(SUM(cnt) AS BIGINT) AS cnt FROM hourly"
+        " WHERE item IS NOT NULL GROUP BY 1, 2), "
         + compress.format(k=cap, k1=cap + 1)
         + ""
     )
@@ -248,18 +309,12 @@ def test_streaming_store_keeps_guarantees(spark, tmp_path):
     writer = frequent_items_writer(out, capacity=CAP)
     replay = spark.read.parquet(src).limit(250)
     writer(replay, 0)
-    first = sorted(
-        map(
-            tuple,
-            heavy_hitters_view(spark, out, "day", capacity=CAP).collect(),
-        )
+    first = _sorted_rows(
+        heavy_hitters_view(spark, out, "day", capacity=CAP).collect()
     )
     writer(replay, 0)
-    second = sorted(
-        map(
-            tuple,
-            heavy_hitters_view(spark, out, "day", capacity=CAP).collect(),
-        )
+    second = _sorted_rows(
+        heavy_hitters_view(spark, out, "day", capacity=CAP).collect()
     )
     assert first == second
 
@@ -270,7 +325,7 @@ def test_partials_survive_parquet(spark, tmp_path):
     )
     p = str(tmp_path / "hh")
     parts.write.parquet(p)
-    rolled = lambda df: sorted(  # noqa: E731
-        map(tuple, merge_frequent_items(df, "day", capacity=CAP).collect())
+    rolled = lambda df: _sorted_rows(  # noqa: E731
+        merge_frequent_items(df, "day", capacity=CAP).collect()
     )
     assert rolled(spark.read.parquet(p)) == rolled(parts)

@@ -161,3 +161,48 @@ def test_ivf_pq_by_residual_contract(spark):
     for r in rows:
         if (r["qid"], r["nid"]) in bf:
             assert r["cosine_sim"] == bf[(r["qid"], r["nid"])]
+
+
+def test_pq_serve_index_keys_on_fixture_content(spark, tmp_path):
+    """The persisted serve index must be keyed on a CONTENT fingerprint
+    of the fixture, not a row count: regenerated fixtures keep identical
+    row counts, and serving old codes against new floats is silent
+    corruption. A bumped mtime (what a regeneration does at minimum)
+    must miss the cache and rebuild; identical content must hit it."""
+    import os
+    import shutil
+
+    from realtime_fraud_detection_spark.suite.dedup_q import (
+        _pq_index_dir,
+        q_ann_pq_serve,
+    )
+
+    fix = tmp_path / "fix"
+    fix.mkdir()
+    shutil.copy(
+        os.path.join(SF_SMOKE, "embeddings.parquet"),
+        fix / "embeddings.parquet",
+    )
+    d1 = _pq_index_dir(str(fix))
+    r1 = sorted(map(tuple, q_ann_pq_serve(spark, str(fix)).collect()))
+    meta1 = os.path.join(d1, "meta.json")
+    assert os.path.exists(meta1)
+
+    # identical content → same index dir, no rebuild
+    built_at = os.stat(meta1).st_mtime_ns
+    r2 = sorted(map(tuple, q_ann_pq_serve(spark, str(fix)).collect()))
+    assert r2 == r1
+    assert os.stat(meta1).st_mtime_ns == built_at
+    assert _pq_index_dir(str(fix)) == d1
+
+    # "regeneration" (mtime bump, same bytes/rows) → new index dir,
+    # fresh build, same served results for identical vectors
+    os.utime(fix / "embeddings.parquet")
+    d2 = _pq_index_dir(str(fix))
+    assert d2 != d1
+    r3 = sorted(map(tuple, q_ann_pq_serve(spark, str(fix)).collect()))
+    assert os.path.exists(os.path.join(d2, "meta.json"))
+    assert r3 == r1
+
+    shutil.rmtree(d1, ignore_errors=True)
+    shutil.rmtree(d2, ignore_errors=True)
