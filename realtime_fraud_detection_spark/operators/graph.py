@@ -454,3 +454,109 @@ def label_propagation(
         # final checkpoint; drop everything older (the pagerank ending)
         chain.free_prev()
         return labels
+
+
+def shared_key_edges(
+    memberships: DataFrame,
+    id_col: str,
+    key_col: str,
+    min_shared: int = 1,
+    max_bucket_size: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """Co-occurrence pair graph from an (id, key) membership table: edge
+    (src < dst) whenever two ids share >= `min_shared` keys — the
+    device/entity-affinity graph behind the triangle and community fraud
+    signals (reference's network module derives the same graph from
+    shared attributes; see SURVEY §2.8 M8).
+
+    Scale shape: the pair join shuffles on the key only, and per-key
+    contributor counts are the skew risk — one hot key with u members
+    emits u²/2 join rows before any downstream filter runs (the LSH
+    bucket problem in a different costume, operators/dedup.py
+    `max_bucket_size`). The cap applies the same guard with the same
+    semantics: keys whose membership exceeds `max_bucket_size` are
+    dropped from pairing entirely — an entity shared by thousands of
+    users carries no affinity signal (a stopword, not a device), and a
+    deterministic drop beats a biased sample. The cap decision costs one
+    scan of the (small) membership table; oversized keys are
+    broadcast-anti-joined away.
+
+    Returns (edges, stats): `stats["dropped_keys"]` for the cap log and
+    `stats["est_pairs"]` (the exact post-cap pair-row count, from
+    sum sz·(sz−1)/2) which also sizes the dedup/aggregation plan —
+    explicit-width repartition above SAFE_DEDUP_THRESHOLD so the partial
+    hash agg never runs over AQE-fattened join output partitions."""
+    m = memberships.select(
+        F.col(id_col).alias("_id"), F.col(key_col).alias("_k")
+    )
+    sizes = m.groupBy("_k").agg(F.count(F.lit(1)).alias("_bsz"))
+    cap_pred = (
+        F.col("_bsz") > max_bucket_size
+        if max_bucket_size is not None
+        else F.lit(False)
+    )
+    agg = sizes.agg(
+        F.coalesce(
+            F.sum(F.when(cap_pred, F.lit(1))), F.lit(0)
+        ).alias("dropped"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ~cap_pred, F.col("_bsz") * (F.col("_bsz") - 1) / 2
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("pairs"),
+    ).first()
+    stats = {
+        "dropped_keys": int(agg["dropped"]),
+        "est_pairs": int(agg["pairs"]),
+    }
+    if stats["dropped_keys"]:
+        m = m.join(
+            F.broadcast(sizes.filter(cap_pred).select("_k")),
+            "_k",
+            "left_anti",
+        )
+    a = m.select(F.col("_id").alias("src"), "_k")
+    b = m.select(F.col("_id").alias("dst"), "_k")
+    pairs = (
+        a.join(b, "_k")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    n_pairs = stats["est_pairs"]
+    if min_shared <= 1:
+        edges, parts = _sized_pair_agg(pairs, n_pairs)
+        edges = (
+            edges.distinct()
+            if parts is None
+            else edges.dropDuplicates()
+        )
+    else:
+        shaped, _ = _sized_pair_agg(pairs, n_pairs)
+        edges = (
+            shaped.groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("_shared"))
+            .filter(F.col("_shared") >= min_shared)
+            .select("src", "dst")
+        )
+    return edges, stats
+
+
+def _sized_pair_agg(pairs: DataFrame, n_pairs: int):
+    """Pin an explicit shuffle width on (src, dst) when the pair volume
+    exceeds the safe partial-agg threshold (scaling.dedup_edges's rule:
+    bare distinct/groupBy partial maps are sized by the INPUT
+    partitioning, and AQE re-fattens count-less repartitions)."""
+    from .scaling import (
+        DEFAULT_ROWS_PER_PARTITION,
+        SAFE_DEDUP_THRESHOLD,
+    )
+
+    if n_pairs <= SAFE_DEDUP_THRESHOLD:
+        return pairs, None
+    parts = max(32, -(-n_pairs // DEFAULT_ROWS_PER_PARTITION))
+    return pairs.repartition(parts, "src", "dst"), parts

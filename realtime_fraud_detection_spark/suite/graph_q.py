@@ -49,11 +49,18 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # complete). Per-user triangle counts are the dense-neighborhood fraud
 # signal. Rows-only (window full); exact DuckDB parity for the same
 # fixture graph is pinned in tests/test_triangles.py.
-def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import triangle_count
+#
+# Edge construction goes through graph.shared_key_edges with
+# max_bucket_size=2000: a hot affinity key with u members emits u²/2
+# join rows, so uncapped pairing is the classic last-reducer bomb at
+# scale. The cap never binds on the fixtures (max bucket 66 at sf0.1 —
+# pinned in tests/test_triangles.py) and drops stopword-like keys
+# (no affinity signal) deterministically when it does.
+_AFFINITY_CAP = 2000
 
-    ev = load_table(spark, sf_dir, "events")
-    affin = (
+
+def _affinity(ev: DataFrame) -> DataFrame:
+    return (
         ev.select(
             "user_id",
             F.get_json_object("props", "$.k").cast("int").alias("k"),
@@ -62,18 +69,18 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
         .filter(F.col("c") >= 3)
     )
-    a = affin.select(F.col("user_id").alias("src"), "k")
-    b = affin.select(F.col("user_id").alias("dst"), "k")
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-        # triangle_count evaluates its input twice (scale count + dedup)
-        # — materialize the derived frame once, per its docstring
-        .localCheckpoint()
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import shared_key_edges, triangle_count
+
+    ev = load_table(spark, sf_dir, "events")
+    edges, _stats = shared_key_edges(
+        _affinity(ev), "user_id", "k", max_bucket_size=_AFFINITY_CAP
     )
-    return triangle_count(edges).orderBy("v")
+    # triangle_count evaluates its input twice (scale count + dedup)
+    # — materialize the derived frame once, per its docstring
+    return triangle_count(edges.localCheckpoint()).orderBy("v")
 
 
 # LPA communities over the same shared-affinity user graph as
@@ -82,34 +89,22 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (rows-only: iterative, no SQL twin; hand-traced parity + determinism
 # pinned in tests/test_label_propagation.py).
 def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import label_propagation
+    from ..operators.graph import label_propagation, shared_key_edges
 
     ev = load_table(spark, sf_dir, "events")
-    affin = (
-        ev.select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("int").alias("k"),
-        )
-        .groupBy("user_id", "k")
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 3)
-    )
-    a = affin.select(F.col("user_id").alias("src"), "k")
-    b = affin.select(F.col("user_id").alias("dst"), "k")
     # require >= 2 SHARED affinities per pair: the single-k graph is a
     # union of per-k cliques whose overlaps merge into one giant blob at
     # sf0.1 (LPA honestly reports 1 community); the 2-shared graph keeps
-    # the density structure the operator is for (90 communities at sf0.1)
-    edges = (
-        a.join(b, "k")
-        .filter(F.col("src") < F.col("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count("*").alias("shared"))
-        .filter(F.col("shared") >= 2)
-        .select("src", "dst")
-        .localCheckpoint()
+    # the density structure the operator is for (90 communities at sf0.1).
+    # Same per-key pair cap as q_triangles (shared_key_edges docstring).
+    edges, _stats = shared_key_edges(
+        _affinity(ev),
+        "user_id",
+        "k",
+        min_shared=2,
+        max_bucket_size=_AFFINITY_CAP,
     )
-    labels = label_propagation(edges)
+    labels = label_propagation(edges.localCheckpoint())
     return (
         labels.groupBy("label")
         .agg(F.count("*").alias("size"))

@@ -140,3 +140,59 @@ def test_edge_sampled_estimate(spark):
     assert sorted(map(tuple, est1)) == sorted(map(tuple, est2))
     total_est = sum(r["triangles"] for r in est1)
     assert 0.4 * exact_total <= total_est <= 2.5 * exact_total
+
+
+def test_shared_key_edges_cap_and_stats(spark):
+    """shared_key_edges: hot keys above max_bucket_size are dropped from
+    pairing entirely (deterministic, no sampling bias), the stats row
+    reports the drop and the exact post-cap pair volume, and min_shared
+    counts only surviving keys."""
+    from realtime_fraud_detection_spark.operators.graph import (
+        shared_key_edges,
+    )
+
+    rows = (
+        [(u, 1) for u in range(10)]     # hot key: 10 members → 45 pairs
+        + [(1, 2), (2, 2), (3, 2)]      # small key: 3 pairs
+        + [(1, 3), (2, 3)]              # small key: 1 pair
+    )
+    m = spark.createDataFrame(rows, "uid long, k int")
+
+    # uncapped: all keys pair
+    edges, stats = shared_key_edges(m, "uid", "k")
+    assert stats == {"dropped_keys": 0, "est_pairs": 49}
+    assert edges.count() == 45  # distinct pairs: hot key covers the rest
+
+    # cap below the hot key: only the small keys pair
+    edges, stats = shared_key_edges(m, "uid", "k", max_bucket_size=5)
+    assert stats == {"dropped_keys": 1, "est_pairs": 4}
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3), (1, 2), (2, 3)} | {(1, 3)}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+
+    # min_shared over surviving keys: pairs sharing both small keys
+    edges, stats = shared_key_edges(
+        m, "uid", "k", min_shared=2, max_bucket_size=5
+    )
+    assert {(r["src"], r["dst"]) for r in edges.collect()} == {(1, 2)}
+
+
+def test_suite_graph_cap_does_not_bind_on_fixture(spark):
+    """The suite queries' _AFFINITY_CAP must not bind at fixture scale
+    (output parity with the uncapped DuckDB definition above depends on
+    it); pin dropped_keys == 0 on the smoke fixture."""
+    from pyspark.sql import functions as F
+    from realtime_fraud_detection_spark.operators.graph import (
+        shared_key_edges,
+    )
+    from realtime_fraud_detection_spark.sources.testdata import load_table
+    from realtime_fraud_detection_spark.suite.graph_q import (
+        _AFFINITY_CAP,
+        _affinity,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    _edges, stats = shared_key_edges(
+        _affinity(ev), "user_id", "k", max_bucket_size=_AFFINITY_CAP
+    )
+    assert stats["dropped_keys"] == 0
