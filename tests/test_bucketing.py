@@ -11,11 +11,25 @@ from pyspark.sql import functions as F
 from realtime_fraud_detection_spark.plans.explain import formatted_plan
 
 
+def _reset_managed_table(spark, name: str) -> None:
+    """Drop the catalog entry AND any orphaned warehouse directory: a
+    killed session leaves spark-warehouse/<name> on disk with no catalog
+    row, and the next saveAsTable dies with LOCATION_ALREADY_EXISTS."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse.rstrip('/')}/{name}", ignore_errors=True)
+
+
 @pytest.fixture(scope="module")
 def bucketed_tables(spark, fraud_data, tmp_path_factory):
     _, _, tx = fraud_data
     left = tx.select("transaction_id", "user_id", "amount")
     right = tx.groupBy("user_id").agg(F.count("*").alias("user_tx_count"))
+    _reset_managed_table(spark, "tx_bucketed")
+    _reset_managed_table(spark, "user_stats_bucketed")
     left.write.bucketBy(8, "user_id").sortBy("user_id").mode("overwrite").saveAsTable(
         "tx_bucketed"
     )
