@@ -134,6 +134,40 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def fit_coarse_quantizer(
+    emb: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[list[list[float]], DataFrame]:
+    """Fit the IVF coarse quantizer ONCE and return what every IVF-family
+    index actually consumes: (centroids, cells_df) where cells_df is the
+    materialized (nid, cell) assignment (vertex-sized, two columns).
+
+    Every composed index over the same corpus — IVF flat, IVF,SQ8,
+    IVF,PQ, residual IVF,PQ — shares the identical coarse model (same
+    n_cells, same seed), and the KMeans fit is the single largest
+    build-cost line (SCALE.md ann_pq_res anatomy: 8.2 s of a 24.9 s
+    build at sf0.1). Fit it once, inject it everywhere via the
+    operators' `coarse=` parameter; production serves it from the
+    persisted-centroids artifact the same way (functions/ann_io.py)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = emb.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv")
+    )
+    with_vec = c.withColumn("fv", array_to_vector(F.col("nv")))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
+    model = km.fit(with_vec)
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    cells_df = (
+        model.transform(with_vec).select("nid", "cell").localCheckpoint()
+    )
+    return centroids, cells_df
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -143,6 +177,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    coarse: tuple[list[list[float]], DataFrame] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: MLlib KMeans as the coarse quantizer.
 
@@ -153,18 +188,14 @@ def ivf_topk(
     data-adaptive buckets (better recall on clustered corpora).
 
     At 100 TB: centroids train on a sample, assignment is a scan-side
-    projection, and the per-cell join is the only shuffle.
+    projection, and the per-cell join is the only shuffle. `coarse`
+    injects a pre-fit (centroids, cells_df) — see fit_coarse_quantizer.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
+    if coarse is None:
+        coarse = fit_coarse_quantizer(emb, n_cells, id_col, vec_col, seed)
+    centroids, cells_df = coarse
     c = emb.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv"))
-    with_vec = c.withColumn("fv", array_to_vector(F.col("nv")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
-    model = km.fit(with_vec)
-    corpus = model.transform(with_vec).select("nid", "nv", "cell")
-
-    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    corpus = c.join(cells_df, "nid")
 
     def dist_to(center: list[float]) -> Column:
         arr = F.array(*[F.lit(x) for x in center])
@@ -365,28 +396,23 @@ def ivf_int8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    coarse: tuple[list[list[float]], DataFrame] | None = None,
 ) -> DataFrame:
     """The full coarse+fine ANN stack: IVF cell pruning (KMeans coarse
     quantizer) over an int8-quantized corpus with asymmetric fine
     scoring — FAISS's IVF,SQ8 index as DataFrame ops. The probed-cell
     equi join bounds how many pairs are scored; the int8 codes bound the
     bytes each scored pair reads. Both approximations compose: recall vs
-    the exact baseline is pinned by test."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    c = emb.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv"))
-    with_vec = c.withColumn("fv", array_to_vector(F.col("nv")))
-    km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
-    model = km.fit(with_vec)
-    cells_df = model.transform(with_vec).select("nid", "cell")
+    the exact baseline is pinned by test. `coarse` injects a pre-fit
+    (centroids, cells_df) — see fit_coarse_quantizer."""
+    if coarse is None:
+        coarse = fit_coarse_quantizer(emb, n_cells, id_col, vec_col, seed)
+    centroids, cells_df = coarse
 
     mins, scales = quantization_params(emb, vec_col)
     corpus = quantize_embeddings(emb, mins, scales, id_col, vec_col).join(
         cells_df, "nid"
     )
-
-    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
 
     def dist_to(center: list[float]) -> Column:
         arr = F.array(*[F.lit(x) for x in center])
@@ -679,6 +705,8 @@ def ivf_pq_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     by_residual: bool = False,
+    coarse: tuple[list[list[float]], DataFrame] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF,PQ: coarse KMeans cell pruning composed with PQ-ADC fine
     scoring and exact re-rank — the full FAISS index family ported to
@@ -695,39 +723,36 @@ def ivf_pq_topk(
     extra cost is per-cell lookup tables: reconstruction norms become
     (cell, sub-space, code)-indexed literals (n_cells*m*ks floats —
     still model-sized) and each probed (query, cell) pair adds one
-    query·centroid dot product on the broadcast side."""
+    query·centroid dot product on the broadcast side.
+
+    `coarse` injects a pre-fit (centroids, cells_df) and `codebooks`
+    pre-trained raw-vector PQ books (non-residual only: residual books
+    are a function of the cells, so they always train here) — the
+    build-once / serve-many split fit_coarse_quantizer documents."""
     from concurrent.futures import ThreadPoolExecutor
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
+    if by_residual and codebooks is not None:
+        raise ValueError(
+            "residual codebooks are cell-dependent; inject `coarse`, "
+            "not `codebooks`, for by_residual=True"
+        )
     c = emb.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv"))
-    with_vec = c.withColumn("fv", array_to_vector(F.col("nv")))
-
-    def fit_coarse():
-        km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
-        return km.fit(with_vec)
-
-    if by_residual:
-        model = fit_coarse()  # residual codebooks need the cells first
-    else:
+    if coarse is None and not (by_residual or codebooks is not None):
         # coarse quantizer and PQ codebooks train on independent views —
         # run both fits as concurrent Spark jobs (thread-safe submission,
         # both seeded, results deterministic)
         with ThreadPoolExecutor(max_workers=2) as pool:
-            coarse_f = pool.submit(fit_coarse)
-            books_f = pool.submit(
-                pq_train, emb, m, ks, vec_col, seed
+            coarse_f = pool.submit(
+                fit_coarse_quantizer, emb, n_cells, id_col, vec_col, seed
             )
-            model = coarse_f.result()
-            trained_books = books_f.result()
-    # cell assignments are consumed 2-3x downstream (residuals, code
-    # join) and model.transform is a per-row MLlib evaluation — assign
-    # once (vertex-sized: two columns)
-    cells_df = (
-        model.transform(with_vec).select("nid", "cell").localCheckpoint()
-    )
-    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+            books_f = pool.submit(pq_train, emb, m, ks, vec_col, seed)
+            coarse = coarse_f.result()
+            codebooks = books_f.result()
+    if coarse is None:
+        coarse = fit_coarse_quantizer(emb, n_cells, id_col, vec_col, seed)
+    if not by_residual and codebooks is None:
+        codebooks = pq_train(emb, m, ks, vec_col, seed)
+    centroids, cells_df = coarse
 
     if by_residual:
         cents_lit = F.lit([[float(x) for x in ctr] for ctr in centroids])
@@ -782,7 +807,6 @@ def ivf_pq_topk(
             "dq_norm", F.sqrt(_adc_sum(m, ks))
         ).drop("lut")
     else:
-        codebooks = trained_books  # trained concurrently with the coarse fit
         sub = len(codebooks[0][0])
         corpus = pq_encode(emb, codebooks, id_col, vec_col).join(cells_df, "nid")
 

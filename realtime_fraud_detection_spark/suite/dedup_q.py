@@ -784,13 +784,54 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shared ANN build artifacts. Every IVF-family query in this suite uses
+# the SAME coarse quantizer (n_cells=8, seed 42 on the same corpus), and
+# the PQ build/serve pair trains the SAME raw-vector codebooks — so the
+# suite fits each model once per (session, fixture-content) and injects
+# it (the featurize-once precedent of `_docs`; production does the same
+# through the persisted ann_io artifacts). Keyed on the session's
+# applicationId (checkpointed frames die with their session) plus the
+# fixture CONTENT fingerprint (regenerated fixtures miss the cache).
+# ---------------------------------------------------------------------------
+_ANN_CACHE: dict = {}
+
+
+def _ann_key(spark: SparkSession, sf_dir: str, *params) -> tuple:
+    import os
+
+    fp = _fixture_fingerprint(
+        os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    )
+    return (spark.sparkContext.applicationId, fp, *params)
+
+
+def _coarse(spark: SparkSession, sf_dir: str, n_cells: int):
+    key = _ann_key(spark, sf_dir, "coarse", n_cells)
+    if key not in _ANN_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+        _ANN_CACHE[key] = SIM.fit_coarse_quantizer(emb, n_cells)
+    return _ANN_CACHE[key]
+
+
+def _pq_books(spark: SparkSession, sf_dir: str, m: int, ks: int):
+    key = _ann_key(spark, sf_dir, "books", m, ks)
+    if key not in _ANN_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+        _ANN_CACHE[key] = SIM.pq_train(emb, m=m, ks=ks)
+    return _ANN_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
 # ANN: IVF variant (KMeans coarse quantizer — rows-only: approximate and
 # dependent on MLlib's kmeans iteration order).
 # ---------------------------------------------------------------------------
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.ivf_topk(emb, queries, k=3, n_cells=8, n_probe=3)
+    return SIM.ivf_topk(
+        emb, queries, k=3, n_cells=8, n_probe=3,
+        coarse=_coarse(spark, sf_dir, 8),
+    )
 
 
 # int8 scalar-quantized ANN (FAISS SQ8-style asymmetric distance): the
@@ -812,7 +853,9 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.ivf_pq_topk(
-        emb, queries, k=3, n_cells=8, n_probe=3, m=8, ks=16, rerank=6
+        emb, queries, k=3, n_cells=8, n_probe=3, m=8, ks=16, rerank=6,
+        coarse=_coarse(spark, sf_dir, 8),
+        codebooks=_pq_books(spark, sf_dir, 8, 16),
     )
 
 
@@ -885,7 +928,7 @@ def q_ann_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = f"{idx}.build.{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
-        books = SIM.pq_train(emb, m=8, ks=16)
+        books = _pq_books(spark, sf_dir, 8, 16)
         ann_io.save_pq_codebooks(books, os.path.join(tmp, "pq.json"))
         SIM.pq_encode(emb, books).write.mode("overwrite").parquet(
             os.path.join(tmp, "codes")
@@ -911,7 +954,10 @@ def q_ann_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.ivf_int8_topk(emb, queries, k=3, n_cells=8, n_probe=3)
+    return SIM.ivf_int8_topk(
+        emb, queries, k=3, n_cells=8, n_probe=3,
+        coarse=_coarse(spark, sf_dir, 8),
+    )
 
 
 # Residual IVF,PQ (FAISS's default IVF,PQ encoding: codebooks quantize
@@ -923,6 +969,7 @@ def q_ann_pq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_pq_topk(
         emb, queries, k=3, n_cells=8, n_probe=3, m=8, ks=16, rerank=6,
         by_residual=True,
+        coarse=_coarse(spark, sf_dir, 8),
     )
 
 
