@@ -81,6 +81,10 @@ HEADLINE = [
     "score_calibration",
     # round-6: LPA communities (density structure vs CC connectivity)
     "communities",
+    # round-7: persisted-LM broadcast scoring (CCNet serve topology —
+    # the recurring cost of ngram_lm's build+score; medians 3 runs so
+    # the one-time LM build doesn't read as the serve cost)
+    "ngram_lm_serve",
 ]
 
 # Iterative queries (CC / power-iteration loops) have documented ±2 s
@@ -93,6 +97,7 @@ ITERATIVE = {
     "semantic_dedup",
     "ann_pq_serve",
     "communities",
+    "ngram_lm_serve",
 }
 
 
@@ -113,6 +118,28 @@ def _velocity_sliding_approx(spark, sf_dir):
 # bench-only variants without a driver-suite entry (approximate results
 # can't hash-match a DuckDB oracle; the exact forms above are the gate)
 EXTRA = {"velocity_sliding_approx": _velocity_sliding_approx}
+
+
+def _previous_bench() -> dict[str, float]:
+    """Per-query timings from the newest BENCH_r*.json next to this file
+    (or $SPARK_GRAFT_BENCH_BASELINE) — the comparison base for the
+    mover re-measure rule. Missing/garbled history just disables it."""
+    import glob
+
+    path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
+    if not path:
+        hist = sorted(glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
+        path = hist[-1] if hist else None
+    if not path or not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        q = doc.get("parsed", doc).get("queries") or {}
+        return {k: float(v) for k, v in q.items()}
+    except Exception:
+        return {}
 
 
 def _quiet_benign_accumulator_errors(spark) -> None:
@@ -164,6 +191,30 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # Mover re-measure rule (round-6 verdict): a single sample cannot
+    # distinguish the documented planning/codegen noise band from real
+    # drift, so any single-trial query that moved >20% vs the previous
+    # recorded bench is re-run twice more in the SAME session and the
+    # median of all three is kept, annotated under "remeasured".
+    prev = _previous_bench()
+    remeasured: dict[str, dict[str, float]] = {}
+    for name, first in list(timings.items()):
+        base = prev.get(name)
+        if name in ITERATIVE or not base or abs(first - base) / base <= 0.20:
+            continue
+        fn = qs.get(name) or EXTRA[name]
+        runs = [first]
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                runs.append(round(time.time() - t0, 3))
+        except Exception:  # keep the first sample if a re-run dies
+            pass
+        kept = sorted(runs)[len(runs) // 2]
+        timings[name] = kept
+        remeasured[name] = {"first": first, "kept": kept, "prev": base}
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_runtime",
@@ -172,6 +223,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if remeasured:
+        out["remeasured"] = remeasured
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

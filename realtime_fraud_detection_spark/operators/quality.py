@@ -31,6 +31,8 @@ The companion `gopher_repetition_pass` applies the published thresholds.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -593,12 +595,73 @@ def _position_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+class NgramLM(NamedTuple):
+    """A fitted Stupid Backoff trigram model: the three count tables
+    (ordinary DataFrames — vocabulary-sized, so broadcastable once the
+    model is FIXED rather than corpus-derived) plus the unpruned corpus
+    token total. Produced by :func:`fit_ngram_lm`, persisted/reloaded by
+    functions/ngram_io.py, consumed by ``ngram_lm_logprob(lm=...)``."""
+
+    uni: DataFrame  # (w, c1w)
+    bi: DataFrame  # (w1, w, c2)
+    tri: DataFrame  # (w2, w1, w, c3)
+    n_corpus: float  # total token count (unpruned)
+
+
+def fit_ngram_lm(
+    lm_df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> NgramLM:
+    """Count the Stupid Backoff trigram model from a reference corpus —
+    the build half of CCNet's setup (count Wikipedia once, score every
+    CommonCrawl shard against the fixed model). Three map-side-combined
+    aggregates over one array-staged position table; the only driver
+    action is the single-row token total (model-metadata-sized)."""
+    lm_toks = _position_table(lm_df, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    uni = lm_toks.groupBy("w").agg(F.count("*").alias("c1w"))
+    bi = (
+        lm_toks.filter(F.col("w1").isNotNull())
+        .groupBy("w1", "w")
+        .agg(F.count("*").alias("c2"))
+    )
+    tri = (
+        lm_toks.filter(F.col("w2").isNotNull())
+        .groupBy("w2", "w1", "w")
+        .agg(F.count("*").alias("c3"))
+    )
+    n = uni.agg(F.sum("c1w")).first()[0]
+    return NgramLM(uni=uni, bi=bi, tri=tri, n_corpus=float(n or 0))
+
+
+def prune_ngram_lm(lm: NgramLM, min_count: int) -> NgramLM:
+    """KenLM-style count pruning with ONE threshold across all orders.
+    Count monotonicity (every (w2,w1,w) occurrence is also a (w2,w1),
+    (w1,w), and (w1) occurrence) means a surviving trigram's backoff
+    contexts always survive too, so the scorer's branch invariants —
+    c2ctx non-null wherever c3 is, scores ≤ 1 — hold on the pruned
+    model. A pruned gram backs off exactly like an unseen one (Brants
+    EMNLP'07 §3: quality degrades gracefully under pruning). n_corpus
+    stays the UNPRUNED token total: it is the corpus size, and keeping
+    it makes pruned singletons score identically to OOV words."""
+    if min_count <= 1:
+        return lm
+    t = F.lit(min_count)
+    return NgramLM(
+        uni=lm.uni.filter(F.col("c1w") >= t),
+        bi=lm.bi.filter(F.col("c2") >= t),
+        tri=lm.tri.filter(F.col("c3") >= t),
+        n_corpus=lm.n_corpus,
+    )
+
+
 def ngram_lm_logprob(
     df: DataFrame,
     lm_df: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.4,
+    lm: NgramLM | None = None,
 ) -> DataFrame:
     """Per-document mean log10 Stupid Backoff trigram score (Brants et
     al., "Large Language Models in Machine Translation", EMNLP 2007) —
@@ -620,53 +683,80 @@ def ngram_lm_logprob(
     (no shuffle); the per-doc distinct-triple table then LEFT-joins the
     LM trigram/bigram/unigram count tables — all map-side-combined
     aggregates of the LM's position table. This join fan is the honest
-    cost of corpus-sized LMs; a FIXED external n-gram model would
-    broadcast and scoring becomes map-side.
+    cost of corpus-sized LMs. A FIXED external model — `lm=`, a
+    :class:`NgramLM` from :func:`fit_ngram_lm` or
+    functions/ngram_io.load_ngram_lm — is broadcast instead: every count
+    join becomes a BroadcastHashJoin and scoring is map-side (CCNet's
+    production shape: one pruned KenLM scores every incoming shard;
+    plan-pinned shuffle-free in tests/test_ngram_io.py).
 
     Scores are ≤ 1 by construction (each numerator counts a refinement of
     its denominator, and OOV singletons are ≤ N), so the mean log10 is
     ≤ 0. Transcendental → not in the bit-exact oracle surface;
     brute-force reference parity in tests/test_ngram_lm.py.
     """
+    if lm is not None and lm_df is not None:
+        raise ValueError("pass lm= (fitted model) or lm_df= (corpus), not both")
     toks = _position_table(df, text_col, id_col)
-    if lm_df is None:
-        toks = toks.localCheckpoint(eager=False)  # five consumers below
-        lm_toks = toks
+    if lm is not None:
+        uni, bi, tri = lm.uni, lm.bi, lm.tri
+        total = None
+        wrap = F.broadcast  # fixed model: every count join map-side
     else:
-        lm_toks = _position_table(lm_df, text_col, id_col).localCheckpoint(
-            eager=False
-        )
+        if lm_df is None:
+            toks = toks.localCheckpoint(eager=False)  # five consumers below
+            lm_toks = toks
+        else:
+            lm_toks = _position_table(
+                lm_df, text_col, id_col
+            ).localCheckpoint(eager=False)
 
-    uni = lm_toks.groupBy("w").agg(F.count("*").alias("c1w"))
-    bi = (
-        lm_toks.filter(F.col("w1").isNotNull())
-        .groupBy("w1", "w")
-        .agg(F.count("*").alias("c2"))
-    )
-    tri = (
-        lm_toks.filter(F.col("w2").isNotNull())
-        .groupBy("w2", "w1", "w")
-        .agg(F.count("*").alias("c3"))
-    )
-    total = uni.agg(F.sum("c1w").cast("double").alias("n_corpus"))
+        uni = lm_toks.groupBy("w").agg(F.count("*").alias("c1w"))
+        bi = (
+            lm_toks.filter(F.col("w1").isNotNull())
+            .groupBy("w1", "w")
+            .agg(F.count("*").alias("c2"))
+        )
+        tri = (
+            lm_toks.filter(F.col("w2").isNotNull())
+            .groupBy("w2", "w1", "w")
+            .agg(F.count("*").alias("c3"))
+        )
+        total = uni.agg(F.sum("c1w").cast("double").alias("n_corpus"))
+
+        def wrap(t):  # corpus-sized tables: let the planner pick
+            return t
 
     dt = toks.groupBy("doc", "w", "w1", "w2").agg(F.count("*").alias("_c"))
     scored = (
-        dt.join(tri, ["w2", "w1", "w"], "left")
-        .join(bi, ["w1", "w"], "left")
+        dt.join(wrap(tri), ["w2", "w1", "w"], "left")
+        .join(wrap(bi), ["w1", "w"], "left")
         .join(
-            bi.select(
-                F.col("w1").alias("w2"),
-                F.col("w").alias("w1"),
-                F.col("c2").alias("c2ctx"),
+            wrap(
+                bi.select(
+                    F.col("w1").alias("w2"),
+                    F.col("w").alias("w1"),
+                    F.col("c2").alias("c2ctx"),
+                )
             ),
             ["w2", "w1"],
             "left",
         )
-        .join(uni.select(F.col("w").alias("w1"), F.col("c1w").alias("c1ctx")), ["w1"], "left")
-        .join(uni, ["w"], "left")
-        .join(F.broadcast(total))
+        .join(
+            wrap(
+                uni.select(
+                    F.col("w").alias("w1"), F.col("c1w").alias("c1ctx")
+                )
+            ),
+            ["w1"],
+            "left",
+        )
+        .join(wrap(uni), ["w"], "left")
     )
+    if total is None:
+        scored = scored.withColumn("n_corpus", F.lit(float(lm.n_corpus)))
+    else:
+        scored = scored.join(F.broadcast(total))
     a = F.lit(alpha)
     c1w = F.coalesce(F.col("c1w"), F.lit(1))  # OOV → count-1 singleton
     score = (

@@ -159,6 +159,45 @@ def q_unigram_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Stupid Backoff SERVE path (CCNet's actual production topology): the LM
+# is counted ONCE from the reference slice, pruned (min_count=2, KenLM
+# style) and persisted as a parquet+meta artifact; scoring loads the
+# fixed model and broadcasts its count tables, so the corpus scan is the
+# only non-broadcast input — the shape that scores a 100 TB shard with
+# zero LM-side shuffle. Persisted per fixture CONTENT (same fingerprint
+# discipline as the PQ serve index); rows-only (transcendental log10);
+# roundtrip/pruning parity in tests/test_ngram_io.py.
+# ---------------------------------------------------------------------------
+def q_ngram_lm_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..functions import ngram_io
+    from ..operators.quality import fit_ngram_lm, ngram_lm_logprob
+    from .dedup_q import _fixture_fingerprint
+
+    docs = _docs(spark, sf_dir)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    fp = _fixture_fingerprint(
+        os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    )
+    idx = f"/tmp/spark_graft_ngram_lm_{base}_{fp}"
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        ngram_io.save_ngram_lm(
+            fit_ngram_lm(docs.filter("doc_id % 3 = 0")), idx, min_count=2
+        )
+    lm = ngram_io.load_ngram_lm(spark, idx)
+    return (
+        ngram_lm_logprob(docs, lm=lm)
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_scored",
+            F.round("mean_sb_logprob", 6).alias("mean_sb_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # Isotonic score calibration (Zadrozny & Elkan KDD'02 via MLlib PAV):
 # a deterministic pseudo-score with known miscalibration P(y=1|s) = s²
 # (md5 coin) is calibrated on the events fixture; output is the 10-bin
@@ -202,6 +241,7 @@ QUERIES = {
     "text_classifier": q_text_classifier,
     "bpe_tokens": q_bpe_tokens,
     "ngram_lm": q_ngram_lm,
+    "ngram_lm_serve": q_ngram_lm_serve,
     "unigram_tokens": q_unigram_tokens,
     "score_calibration": q_score_calibration,
 }

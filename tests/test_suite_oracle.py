@@ -79,6 +79,9 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # transcendental log10 + 6-way CASE over three count joins;
         # hand-computed + brute-force parity in tests/test_ngram_lm.py
         "ngram_lm",
+        # persisted-LM broadcast scoring twin — roundtrip + pruned
+        # brute-force parity in tests/test_ngram_io.py
+        "ngram_lm_serve",
         # DataSketches HLL estimates have no DuckDB twin; accuracy +
         # mergeability law pinned in tests/test_sketches.py
         "sketch_rollup",
