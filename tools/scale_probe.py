@@ -75,13 +75,13 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     all_stages = (
         "minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,"
-        "ivfpq,sketch"
+        "ivfpq,sketch,hotkey"
     )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if stages - {"ivfpq", "sketch"}:  # doc-corpus stages requested
+    if stages - {"ivfpq", "sketch", "hotkey"}:  # doc-corpus stages requested
         t0 = time.time()
         build_corpus(spark, replicas)
         print(f"corpus: {replicas}x built in {time.time() - t0:.1f}s")
@@ -389,6 +389,42 @@ def main() -> None:
             )
 
         _guarded("heavy_hitters", _hh)
+
+    if "hotkey" in stages:
+        # The skewed-key shape the co-occurrence graph cap exists for: a
+        # synthetic membership table where every id ALSO shares one
+        # stopword key (the last-reducer bomb — u members emit u(u-1)/2
+        # join rows on that single key before any filter runs). The
+        # capped run must stay linear in ids; the uncapped run is only
+        # attempted when its exact pair count is small enough to finish.
+        from pyspark.sql import functions as F
+
+        from realtime_fraud_detection_spark.operators import graph as G
+
+        n_ids = replicas * 5_000
+        ids = spark.range(n_ids)
+        mem = ids.select(
+            F.col("id").alias("user"),
+            (F.col("id") % max(n_ids // 20, 1)).alias("k"),  # ~20/key
+        ).unionAll(ids.select(F.col("id").alias("user"), F.lit(-1).alias("k")))
+        hot_pairs = n_ids * (n_ids - 1) // 2
+        for cap in (1000, None):
+            if cap is None and hot_pairs > 50_000_000:
+                print(
+                    f"hotkey uncapped: SKIPPED (hot key alone = "
+                    f"{hot_pairs:,} pair rows — the bomb the cap defuses)"
+                )
+                continue
+            t0 = time.time()
+            edges, stats = G.shared_key_edges(
+                mem, "user", "k", min_shared=1, max_bucket_size=cap
+            )
+            n_e = edges.count()
+            print(
+                f"hotkey cap={cap}: {time.time() - t0:.1f}s ids={n_ids} "
+                f"edges={n_e} dropped_keys={stats['dropped_keys']} "
+                f"est_pairs={stats['est_pairs']:,}"
+            )
 
     spark.stop()
 

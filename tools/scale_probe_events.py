@@ -9,7 +9,12 @@ shuffle+sort, so runtime should grow ~linearly with rows and the output
 exactly 10x. Superlinear time or output growth would indicate a pair/spine
 blow-up. Results recorded in SCALE.md.
 
-Usage: python3 tools/scale_probe_events.py [replicas]   (default 10)
+Usage: python3 tools/scale_probe_events.py [replicas] [stages]
+  (default 10, asof,gapfill; stages: comma-separated subset of
+  asof,gapfill,dims,bloom — `dims` runs the changelog→compaction→SCD2→
+  versioned-enrichment chain on the scaled corpus; `bloom` measures the
+  bloom-pruned selective join against the plain join on the same inputs,
+  reporting the scan-survivor ratio)
 """
 
 from __future__ import annotations
@@ -92,24 +97,150 @@ def run_gap_fill(spark, src) -> tuple[float, int]:
     return t, out.count()
 
 
+def run_dims(spark, src) -> list[str]:
+    """The q_scd2_enrich chain at scale: signup/error rows are the profile
+    changelog, purchases the facts. Times each stage separately so the
+    binding one is visible (compaction is one map-side-combined shuffle,
+    SCD2 one keyed window sort, enrichment the as-of |facts|+|versions|
+    shuffle)."""
+    from pyspark.sql import functions as F
+
+    from realtime_fraud_detection_spark.operators.dimensions import (
+        compact_changelog,
+        enrich_versioned,
+        scd2_history,
+    )
+
+    ev = _read(spark, src)
+    changelog = ev.filter(
+        F.col("event_type").isin("signup", "error")
+    ).select(
+        "user_id",
+        "ts",
+        F.col("value").alias("risk_score"),
+        F.col("event_type").alias("change_type"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    lines = []
+    t0 = time.time()
+    snap = compact_changelog(changelog, "user_id", "ts")
+    snap.write.format("noop").mode("overwrite").save()
+    lines.append(f"compact: {time.time() - t0:.1f}s rows={snap.count()}")
+    t0 = time.time()
+    hist = scd2_history(changelog, "user_id", "ts")
+    hist.write.format("noop").mode("overwrite").save()
+    lines.append(f"scd2: {time.time() - t0:.1f}s rows={hist.count()}")
+    t0 = time.time()
+    enr = enrich_versioned(
+        facts, changelog, "user_id", fact_ts="ts", version_ts="ts",
+        tie_break=["risk_score", "change_type"],
+    )
+    enr.write.format("noop").mode("overwrite").save()
+    lines.append(f"enrich_versioned: {time.time() - t0:.1f}s rows={enr.count()}")
+    return lines
+
+
+def run_bloom(spark, src) -> list[str]:
+    """Bloom-pruned selective join vs the plain join on identical inputs:
+    big = the events corpus, small = ~0.1% of users (every 1024th id —
+    the md5-free modulus keeps the subset deterministic per scale). The
+    probe reports the bloom build+probe time, the plain-join time, and
+    the scan-survivor ratio — the number that decides whether the bitmap
+    pays for itself (it prunes the JOIN EXCHANGE, so the win scales with
+    shuffled bytes per surviving row)."""
+    from pyspark.sql import functions as F
+
+    from realtime_fraud_detection_spark.operators.joins import (
+        bloom_pruned_join,
+    )
+
+    ev = _read(spark, src)
+    small = (
+        ev.filter(F.col("user_id") % 1024 == 0)
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", F.lit("vip"))
+        .localCheckpoint()  # small side fixed across both measurements
+    )
+    n_small = small.count()
+    lines = [f"small_keys={n_small}"]
+    t0 = time.time()
+    plain = ev.join(small, "user_id")
+    plain.write.format("noop").mode("overwrite").save()
+    n_out = plain.count()
+    lines.append(f"plain_join: {time.time() - t0:.1f}s rows={n_out}")
+    t0 = time.time()
+    pruned = bloom_pruned_join(ev, small, "user_id", key_count=n_small)
+    pruned.write.format("noop").mode("overwrite").save()
+    lines.append(f"bloom_join: {time.time() - t0:.1f}s rows={pruned.count()}")
+    total = ev.count()
+    from realtime_fraud_detection_spark.functions.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        bloom_parameters,
+    )
+
+    m_bits, k = bloom_parameters(n_small, 0.01)
+    bitmap = bloom_build(
+        small.select(F.col("user_id").alias("_bk")), "_bk", m_bits, k,
+        portable=False,
+    )
+    surv = ev.filter(
+        bloom_might_contain(bitmap, F.col("user_id"), k, portable=False)
+    ).count()
+    lines.append(
+        f"scan_survivors={surv}/{total} ({surv / total:.4%}) "
+        f"m_bits={m_bits} k={k}"
+    )
+    return lines
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    stages = set(
+        (sys.argv[2] if len(sys.argv) > 2 else "asof,gapfill").split(",")
+    )
     from realtime_fraud_detection_spark.session import get_spark
 
     spark = get_spark("scale-probe-events")
     spark.sparkContext.setLogLevel("ERROR")
 
+    pairs = [
+        (name, fn)
+        for name, stage, fn in [
+            ("asof_join", "asof", run_asof),
+            ("gap_fill", "gapfill", run_gap_fill),
+        ]
+        if stage in stages
+    ]
+    multi = [
+        (name, fn)
+        for name, stage, fn in [
+            ("dims", "dims", run_dims),
+            ("bloom", "bloom", run_bloom),
+        ]
+        if stage in stages
+    ]
+
     base = os.path.join(SF_DIR, "events.parquet")
-    for _, fn in [("asof_join", run_asof), ("gap_fill", run_gap_fill)]:
+    for _, fn in pairs:
         fn(spark, base)  # warmup: JIT + codegen, discard timings
-    for name, fn in [("asof_join", run_asof), ("gap_fill", run_gap_fill)]:
+    for name, fn in pairs:
         t1, n1 = fn(spark, base)
         print(f"{name} 1x: {t1:.1f}s rows={n1}")
+    for name, fn in multi:
+        for line in fn(spark, base):
+            print(f"{name} 1x: {line}")
 
     build_corpus(spark, replicas)
-    for name, fn in [("asof_join", run_asof), ("gap_fill", run_gap_fill)]:
+    for name, fn in pairs:
         tn, nn = fn(spark, OUT)
         print(f"{name} {replicas}x: {tn:.1f}s rows={nn}")
+    for name, fn in multi:
+        for line in fn(spark, OUT):
+            print(f"{name} {replicas}x: {line}")
 
     spark.stop()
 
