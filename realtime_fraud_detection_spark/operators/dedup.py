@@ -669,21 +669,37 @@ def semantic_dedup(
 
     Returns (id, cell, dup_group, is_survivor).
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     from .clustering import connected_components
+    from .similarity import assign_cells, fit_kmeans
 
-    with_vec = emb.withColumn(
-        "_fv", array_to_vector(F.col(vec_col).cast("array<double>"))
-    )
     fit_on = (
-        with_vec.sample(fraction=fit_fraction, seed=seed)
+        emb.sample(fraction=fit_fraction, seed=seed)
         if fit_fraction is not None
-        else with_vec
+        else emb
     )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="cell")
-    cells = km.fit(fit_on).transform(with_vec).drop("_fv")
+    centroids = fit_kmeans(fit_on, n_cells, vec_col, seed)
+    if centroids is not None:
+        # scan-side projection, no join: every emb column rides the
+        # Arrow batch and `cell` is appended per row
+        cells = assign_cells(
+            emb, centroids, id_col, vec_col, passthrough=True
+        )
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        with_vec = emb.withColumn(
+            "_fv", array_to_vector(F.col(vec_col).cast("array<double>"))
+        )
+        wv_fit = (
+            with_vec.sample(fraction=fit_fraction, seed=seed)
+            if fit_fraction is not None
+            else with_vec
+        )
+        km = KMeans(
+            k=n_cells, seed=seed, featuresCol="_fv", predictionCol="cell"
+        )
+        cells = km.fit(wv_fit).transform(with_vec).drop("_fv")
     pairs = embedding_near_dup_pairs(
         cells, id_col, vec_col, bucket_col="cell", threshold=threshold, dim=dim
     )

@@ -134,6 +134,126 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+# Driver-local quantizer training gate: inputs up to this many CELLS
+# (rows x dim) collect and fit with the seeded NumPy Lloyd's below —
+# ~64 MB of doubles, the same "model-sized collect" budget as the
+# codebook/centroid literals the fit produces. Quantizer training is
+# DISTRIBUTIONAL (FAISS trains on 10k-1M samples regardless of corpus
+# size): at 100 TB the caller passes `sampling.hash_sample(...)`, which
+# lands under the gate by construction; anything larger falls back to
+# the distributed MLlib fit. The gate exists because an MLlib KMeans fit
+# costs ~20 scheduled jobs (init rounds + Lloyd iterations) — ~8-15 s of
+# pure job-scheduling latency on a 2 000-row fixture, 28+ s across one
+# IVF,PQ build's 9 fits, while the local fit is milliseconds.
+_LOCAL_FIT_CELLS = 8_000_000
+
+
+def _kmeans_local(X, k: int, seed: int, max_iter: int = 20, tol: float = 1e-4):
+    """Seeded k-means++ init + Lloyd's over a driver-side sample.
+    Deterministic for a given (X row order, seed, numpy): callers sort X
+    canonically before calling. Distances use the expanded |x|^2 -
+    2x.c + |c|^2 form (n x k matrix, never n x k x dim); empty clusters
+    keep their previous center (MLlib's behavior); ties take the lowest
+    centroid id (argmin-first)."""
+    import numpy as np
+
+    n = X.shape[0]
+    rng = np.random.RandomState(seed)
+    x2 = (X * X).sum(1)
+    first = int(rng.randint(n))
+    C = [X[first]]
+    d2 = np.maximum(x2 - 2.0 * (X @ X[first]) + x2[first], 0.0)
+    for _ in range(1, k):
+        tot = float(d2.sum())
+        j = int(rng.choice(n, p=d2 / tot)) if tot > 0 else int(np.argmax(d2))
+        C.append(X[j])
+        d2 = np.minimum(d2, np.maximum(x2 - 2.0 * (X @ X[j]) + x2[j], 0.0))
+    C = np.stack(C)
+    for _ in range(max_iter):
+        D = x2[:, None] - 2.0 * (X @ C.T) + (C * C).sum(1)[None]
+        assign = D.argmin(1)
+        new = C.copy()
+        for c in range(k):
+            members = assign == c
+            if members.any():
+                new[c] = X[members].mean(0)
+        move = float(np.sqrt(((new - C) ** 2).sum(1)).max())
+        C = new
+        if move < tol:
+            break
+    return [list(map(float, c)) for c in C]
+
+
+def _local_fit_sample(df: DataFrame, vec_col: str, max_rows: int):
+    """Collect up to the local-fit gate as a canonically ordered (by
+    vector content — id-independent) float64 matrix, or None if the
+    input exceeds the gate (caller falls back to the distributed fit).
+    The limit probe short-circuits the scan; the collect is gate-bounded
+    by construction."""
+    import numpy as np
+
+    if df.select(vec_col).limit(max_rows + 1).count() > max_rows:
+        return None
+    rows = df.select(_as_double(F.col(vec_col)).alias("v")).collect()
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    return X[np.lexsort(X.T[::-1])]
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    passthrough: bool = False,
+) -> DataFrame:
+    """Nearest-centroid assignment in one Arrow-batched scan — the
+    expanded -2x.c + |c|^2 argmin (per-row |x|^2 constant dropped), ties
+    to the lowest centroid id. ``passthrough=False``: (id, cell) only.
+    ``passthrough=True``: the input columns plus ``cell`` — a pure
+    scan-side projection like MLlib's transform, NO join/shuffle (the
+    shape semantic_dedup needs: every input column rides through the
+    same Arrow batch)."""
+    import numpy as np
+
+    W = np.array([[-2.0 * c for c in ctr] for ctr in centroids], np.float64)
+    b = np.array([_sqnorm(ctr) for ctr in centroids], np.float64)
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    src = df if passthrough else df.select(id_col, vec_col)
+    out_schema = StructType(  # fresh StructType: .add would mutate src's
+        list(src.schema.fields) + [StructField("cell", IntegerType())]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64, copy=False)
+            pdf = pdf.copy()
+            pdf["cell"] = (X @ W.T + b[None]).argmin(1).astype(np.int32)
+            yield pdf
+
+    res = src.mapInPandas(assign, out_schema)
+    return res if passthrough else res.select(id_col, "cell")
+
+
+def fit_kmeans(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    local_cells: int = _LOCAL_FIT_CELLS,
+) -> list[list[float]] | None:
+    """Centroids for a k-means quantizer: driver-local seeded Lloyd's
+    under the `local_cells` gate (see _LOCAL_FIT_CELLS), None above it —
+    callers fall back to their MLlib path (which also yields the
+    assignment frame for free)."""
+    dim = len(df.select(vec_col).first()[0])
+    X = _local_fit_sample(df, vec_col, max(local_cells // dim, k))
+    return None if X is None else _kmeans_local(X, k, seed)
+
+
 def fit_coarse_quantizer(
     emb: DataFrame,
     n_cells: int,
@@ -151,13 +271,22 @@ def fit_coarse_quantizer(
     build-cost line (SCALE.md ann_pq_res anatomy: 8.2 s of a 24.9 s
     build at sf0.1). Fit it once, inject it everywhere via the
     operators' `coarse=` parameter; production serves it from the
-    persisted-centroids artifact the same way (functions/ann_io.py)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    persisted-centroids artifact the same way (functions/ann_io.py).
 
+    Under the _LOCAL_FIT_CELLS gate the fit is the seeded driver-local
+    Lloyd's (model-sized sample by construction — the FAISS training
+    topology) and the assignment one Arrow scan; above it, the
+    distributed MLlib fit."""
     c = emb.select(
         F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv")
     )
+    centroids = fit_kmeans(c, n_cells, "nv", seed)
+    if centroids is not None:
+        cells_df = assign_cells(c, centroids, "nid", "nv").localCheckpoint()
+        return centroids, cells_df
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
     with_vec = c.withColumn("fv", array_to_vector(F.col("nv")))
     km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
     model = km.fit(with_vec)
@@ -486,7 +615,13 @@ def pq_train(
     as literals (the planes/centroids/SQ8-grid pattern). Codebooks are
     DISTRIBUTIONAL, so at corpus scale train on a sample — pass
     `sampling.hash_sample(emb, id_col, 0.01)` (FAISS trains its
-    quantizers the same way); encoding still scans everything."""
+    quantizers the same way); encoding still scans everything.
+
+    Under the _LOCAL_FIT_CELLS gate the vectors collect ONCE
+    (canonically ordered) and all M sub-space fits run as driver-local
+    seeded Lloyd's — an MLlib fit is ~20 scheduled jobs of latency and
+    this function runs M of them; above the gate, the concurrent
+    distributed fits below."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -496,6 +631,14 @@ def pq_train(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
+    X = _local_fit_sample(
+        emb, vec_col, max(_LOCAL_FIT_CELLS // dim, ks)
+    )
+    if X is not None:
+        return [
+            _kmeans_local(X[:, s * sub : (s + 1) * sub], ks, seed + s)
+            for s in range(m)
+        ]
     v = emb.select(_as_double(F.col(vec_col)).alias("nv")).localCheckpoint(
         eager=True  # M concurrent consumers; slice, don't re-project
     )
@@ -532,29 +675,42 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """(nid, codes: array<tinyint> of length M, dq_norm) — each code is
-    the argmin-distance centroid of its sub-space (ties by centroid id:
-    the (dist, id) struct sort is total). dq_norm = |reconstruction| =
-    sqrt(sum of chosen-centroid squared norms) — precomputed once here so
-    ADC scoring never touches float vectors (the norm-hoisting rule).
+    the argmin-distance centroid of its sub-space (ties by centroid id),
+    dq_norm = |reconstruction| = sqrt(sum of chosen-centroid squared
+    norms) — precomputed once here so ADC scoring never touches float
+    vectors (the norm-hoisting rule).
 
-    The per-centroid distances are CHAINED SCALAR multiply-adds over
-    unpacked vector elements, not zip_with/aggregate lambdas: HOFs are
-    interpreted per element (CLAUDE.md), and this expression evaluates
-    M*Ks*sub_dim terms per row — the unpacked form stays inside
-    whole-stage codegen, the same rewrite embedding_near_dup_pairs
-    measured at 2.4x.
+    Two BIT-IDENTICAL implementations (parity pinned by
+    tests/test_pq_ann.py::test_arrow_chain_encode_parity):
 
-    The candidate score is the EXPANDED form d'_j = Σ_t x_t·(−2c_jt)
-    + |c_j|², not (x−c)² — argmin is invariant to the per-row constant
-    |x_s|² (d_j = |x_s|² + d'_j exactly in real arithmetic), the
-    centroid constants fold at plan time, and the chain is ~half the
-    Catalyst nodes of the squared-difference form: the plan ANALYSIS
-    fixed cost (the dominant term of a PQ build at bench SF — SCALE.md
-    ann_pq anatomy) measured 14.8 s → 6.7 s with codes identical on
-    every fixture vector. Ties still break by centroid id via the
-    (d, j) struct sort."""
+    - ``impl="arrow"`` (default): one Arrow-batched ``mapInPandas``
+      kernel. NumPy replays the chain's exact IEEE accumulation order
+      (elementwise term products, left-to-right adds over the sub-dim,
+      ``argmin`` = first minimum = lowest centroid id), so codes and
+      norms match the chain bit-for-bit. The plan is ONE node — the
+      chain form's ~3k-node expression tree costs ~6.7 s of Catalyst
+      ANALYSIS per query at m=8, ks=16 (a fixed cost repeated per
+      query, the dominant term of a PQ build at bench SF — SCALE.md
+      ann_pq anatomy), which this path removes entirely. The Python
+      crossing is a deliberate trade: the encode is a one-time build
+      pass per corpus, the kernel is vectorized C over Arrow batches
+      (no per-row Python), and peak memory is bounded per sub-space at
+      batch_rows × Ks × sub doubles.
+
+    - ``impl="chain"``: pure-JVM chained scalar multiply-adds over
+      unpacked vector elements (no HOF lambdas — those are interpreted
+      per element, CLAUDE.md) in the EXPANDED form d'_j = Σ_t
+      x_t·(−2c_jt) + |c_j|², not (x−c)²: argmin is invariant to the
+      per-row constant |x_s|², constants fold at plan time, and the
+      chain is ~half the Catalyst nodes of the squared-difference form
+      (analysis 14.8 s → 6.7 s, codes identical). Use where a pipeline
+      must stay inside whole-stage codegen end-to-end (no Arrow
+      serialization of the float vectors)."""
+    if impl == "arrow":
+        return _pq_encode_arrow(emb, codebooks, id_col, vec_col)
     m = len(codebooks)
     ks = len(codebooks[0])
     sub = len(codebooks[0][0])
@@ -590,6 +746,79 @@ def pq_encode(
         dq2 = (F.lit(0.0) + term) if dq2 is None else (dq2 + term)
     return coded.select("nid", "codes", F.sqrt(dq2).alias("dq_norm"))
 
+
+def _pq_encode_arrow(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched PQ encode (see :func:`pq_encode` ``impl="arrow"``).
+
+    Bit-exactness contract with the chain form, term by term:
+    - weights are the SAME Python-folded doubles ``-2.0 * c`` the chain
+      embeds as literals;
+    - per (row, centroid) the products x_t·w_t are elementwise IEEE
+      doubles accumulated LEFT TO RIGHT over t (a Python loop over the
+      sub-dim — never ``np.sum``, whose pairwise blocking changes the
+      rounding), then ``+ |c_j|²`` last, exactly the chain's order;
+    - ``argmin`` returns the FIRST minimum = lowest centroid id, the
+      chain's (d, j) struct-sort tie-break;
+    - dq_norm accumulates ``0.0 + n2[code_0] + n2[code_1] + …`` in
+      sub-space order, then ``sqrt`` (correctly rounded in both IEEE
+      and JVM), matching the chain's lookup chain."""
+    import numpy as np
+
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    # (m, ks, sub) folded weights and (m, ks) squared norms — model-sized
+    # closure state shipped once per task with the serialized function
+    W = np.array(
+        [[[-2.0 * c for c in cent] for cent in book] for book in codebooks],
+        dtype=np.float64,
+    )
+    B = np.array(
+        [[_sqnorm(cent) for cent in book] for book in codebooks],
+        dtype=np.float64,
+    )
+
+    out_schema = (
+        f"nid {emb.schema[id_col].dataType.simpleString()}, "
+        "codes array<tinyint>, dq_norm double"
+    )
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.stack(pdf["v"].to_numpy()).astype(np.float64, copy=False)
+            codes = np.empty((n, m), dtype=np.int64)
+            dq2 = np.zeros(n, dtype=np.float64)  # the chain's leading 0.0
+            for s in range(m):
+                terms = X[:, s * sub : (s + 1) * sub][:, None, :] * W[s][None]
+                acc = terms[:, :, 0].copy()
+                for t in range(1, sub):
+                    acc += terms[:, :, t]
+                acc += B[s][None]
+                codes[:, s] = acc.argmin(axis=1)
+                dq2 = dq2 + B[s][codes[:, s]]
+            codes8 = codes.astype(np.int8)
+            yield pd.DataFrame(
+                {
+                    "nid": pdf["nid"],
+                    "codes": list(codes8),
+                    "dq_norm": np.sqrt(dq2),
+                }
+            )
+
+    src = emb.select(
+        F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("v")
+    )
+    return src.mapInPandas(encode, out_schema)
 
 
 def _adc_sum(m: int, ks: int) -> Column:

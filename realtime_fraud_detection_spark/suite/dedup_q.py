@@ -904,6 +904,13 @@ def _fixture_fingerprint(path: str) -> str:
     return h.hexdigest()[:16]
 
 
+# Bump when the trainer/encoder changes (e.g. the r7 local-Lloyd's
+# quantizer): the content fingerprint only covers FIXTURE staleness; a
+# persisted index built by an older trainer is self-consistent but not
+# what the current code would build.
+_PQ_INDEX_VERSION = 2
+
+
 def _pq_index_dir(sf_dir: str) -> str:
     import os as _os
 
@@ -911,7 +918,7 @@ def _pq_index_dir(sf_dir: str) -> str:
     fp = _fixture_fingerprint(
         _os.path.join(_os.path.abspath(sf_dir), "embeddings.parquet")
     )
-    return f"/tmp/spark_graft_pq_index_{base}_{fp}"
+    return f"/tmp/spark_graft_pq_index_v{_PQ_INDEX_VERSION}_{base}_{fp}"
 
 
 def q_ann_pq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:

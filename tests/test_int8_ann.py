@@ -92,7 +92,10 @@ def test_ivf_int8_composition_recall(spark):
     )
 
     emb = load_table(spark, SF_SMOKE, "embeddings", fan_out=True)
-    queries = emb.filter(F.col("vec_id") < 10)
+    # recall bar re-measured r7 at a balanced coarse quantizer (see
+    # tests/test_pq_ann.py calibration note): n_probe=6/8 measured 0.91
+    # on 25 queries; bar 0.8
+    queries = emb.filter(F.col("vec_id") < 25)
     k = 5
     exact = {
         (r["qid"], r["nid"]) for r in brute_force_topk(emb, queries, k=k).collect()
@@ -100,7 +103,7 @@ def test_ivf_int8_composition_recall(spark):
     got = {
         (r["qid"], r["nid"])
         for r in ivf_int8_topk(
-            emb, queries, k=k, n_cells=8, n_probe=4
+            emb, queries, k=k, n_cells=8, n_probe=6
         ).collect()
     }
     recall = len(exact & got) / len(exact)
@@ -109,7 +112,7 @@ def test_ivf_int8_composition_recall(spark):
     # int8 may only reorder within it, so high agreement is expected
     fl = {
         (r["qid"], r["nid"])
-        for r in ivf_topk(emb, queries, k=k, n_cells=8, n_probe=4).collect()
+        for r in ivf_topk(emb, queries, k=k, n_cells=8, n_probe=6).collect()
     }
     agree = len(fl & got) / len(fl)
     assert agree >= 0.8, agree

@@ -1,8 +1,9 @@
 """Suite-wide plan hygiene: every driver-facing query is pure JVM-side
 expression code — no row-at-a-time Python UDFs and no Arrow boundary
-anywhere in the declared suite (the sanctioned Python crossings —
-stateful ops, model scoring, multimodal decode, BPE encoding — are
-Arrow-batched and documented in SCALE.md's "Python boundary"). This is
+anywhere in the declared suite except the sanctioned Python crossings
+(stateful ops, model scoring, multimodal decode, BPE encoding, and the
+r7 ANN encode/assign kernels), each Arrow-batched, pinned to a single
+node below, and documented in SCALE.md's "Python boundary". This is
 the "stay inside whole-stage codegen" design position, asserted rather
 than assumed."""
 
@@ -23,7 +24,27 @@ PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsI
 # sanctioned Arrow boundary (the tokenizer-apply pandas_udf — real
 # pipelines tokenize in Python workers); its plan is pinned separately
 # below. text_classifier trains eagerly (20 Adagrad iterations).
-EXCLUDE = {"ann_ivf", "ann_pq", "bpe_tokens", "unigram_tokens", "text_classifier"}
+# ann_pq_res / semantic_dedup carry the r7 sanctioned ANN Arrow boundary
+# (PQ encode / cell assignment as one vectorized mapInPandas — the chain
+# form's ~3k-node tree cost ~6.7s of Catalyst analysis PER QUERY);
+# pinned to exactly one MapInPandas below.
+EXCLUDE = {"ann_ivf", "ann_pq", "bpe_tokens", "unigram_tokens", "text_classifier",
+           "ann_pq_res", "semantic_dedup"}
+
+
+@pytest.mark.parametrize("name", ["ann_pq_res", "semantic_dedup"])
+def test_ann_arrow_boundary_is_single_map_in_pandas(spark, name):
+    """The ANN encode/assign crossing is exactly ONE vectorized
+    MapInPandas node — never row-at-a-time, never more than one Arrow
+    boundary per query (cells_df/residual frames are checkpointed, so
+    repeated consumers read the materialized blocks, not a second
+    kernel)."""
+    import re
+
+    df = all_queries()[name](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+    assert "BatchEvalPython" not in plan
 
 
 @pytest.mark.parametrize("name", ["bpe_tokens", "unigram_tokens"])
