@@ -243,12 +243,15 @@ def fit_kmeans(
     k: int,
     vec_col: str = "embedding",
     seed: int = 42,
-    local_cells: int = _LOCAL_FIT_CELLS,
+    local_cells: int | None = None,
 ) -> list[list[float]] | None:
     """Centroids for a k-means quantizer: driver-local seeded Lloyd's
-    under the `local_cells` gate (see _LOCAL_FIT_CELLS), None above it —
+    under the `local_cells` gate (None = the module _LOCAL_FIT_CELLS,
+    read at CALL time so tests can force the fallback), None above it —
     callers fall back to their MLlib path (which also yields the
     assignment frame for free)."""
+    if local_cells is None:
+        local_cells = _LOCAL_FIT_CELLS
     dim = len(df.select(vec_col).first()[0])
     X = _local_fit_sample(df, vec_col, max(local_cells // dim, k))
     return None if X is None else _kmeans_local(X, k, seed)

@@ -572,15 +572,24 @@ def embedding_ingest_writer(
             cent_rows = cent_df.orderBy("cell_id").collect()
             centroids = [list(r["c"]) for r in cent_rows]
         else:  # first batch trains the coarse quantizer
-            from pyspark.ml.clustering import KMeans
-            from pyspark.ml.functions import array_to_vector
+            # k <= points; a small first batch trains fewer cells (later
+            # batches still assign against them). fit_kmeans is the
+            # gated local Lloyd's (ms, not ~20 scheduled MLlib jobs of
+            # micro-batch latency); a first batch above the gate falls
+            # back to MLlib.
+            from ..operators.similarity import fit_kmeans
 
-            # KMeans requires k <= points; a small first batch trains
-            # fewer cells (later batches still assign against them)
             k = max(1, min(n_cells, v.count()))
-            km = KMeans(k=k, seed=seed, featuresCol="fv", predictionCol="cell")
-            model = km.fit(v.withColumn("fv", array_to_vector(F.col("nv"))))
-            centroids = [list(map(float, c)) for c in model.clusterCenters()]
+            centroids = fit_kmeans(v, k, "nv", seed)
+            if centroids is None:
+                from pyspark.ml.clustering import KMeans
+                from pyspark.ml.functions import array_to_vector
+
+                km = KMeans(
+                    k=k, seed=seed, featuresCol="fv", predictionCol="cell"
+                )
+                model = km.fit(v.withColumn("fv", array_to_vector(F.col("nv"))))
+                centroids = [list(map(float, c)) for c in model.clusterCenters()]
             spark.createDataFrame(
                 [(i, c) for i, c in enumerate(centroids)],
                 "cell_id int, c array<double>",

@@ -265,3 +265,27 @@ def test_arrow_encode_plan_is_flat(spark):
     plan = formatted_plan(pq_encode(emb, books, impl="arrow"))
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan
     assert "-2.0" not in plan  # no folded chain literals
+
+
+def test_mllib_fallback_above_local_gate(spark, monkeypatch):
+    """Above the _LOCAL_FIT_CELLS gate every fit falls back to the
+    distributed MLlib path — nothing in the fixtures exercises it by
+    default anymore (they all sit under the gate), so force the gate to
+    0 and pin the fallback end-to-end: coarse fit + assignment, the
+    threaded sub-space codebook fits, and the composed index all keep
+    their contracts."""
+    import realtime_fraud_detection_spark.operators.similarity as S
+
+    monkeypatch.setattr(S, "_LOCAL_FIT_CELLS", 0)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assert S.fit_kmeans(emb, 8) is None  # gate refuses -> caller falls back
+    cents, cells = S.fit_coarse_quantizer(emb, 8)
+    assert len(cents) == 8 and cells.count() == emb.count()
+    books = pq_train(emb, m=2, ks=4)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    out = ivf_pq_topk(
+        emb, emb.filter(F.col("vec_id") < 3), k=3, n_probe=8,
+        m=2, ks=4, rerank=6, coarse=(cents, cells), codebooks=books,
+    ).collect()
+    assert {r["qid"] for r in out} == {0, 1, 2}
+    assert all(1 <= r["rank"] <= 3 for r in out)
