@@ -263,6 +263,7 @@ def fit_coarse_quantizer(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    fit_on: DataFrame | None = None,
 ) -> tuple[list[list[float]], DataFrame]:
     """Fit the IVF coarse quantizer ONCE and return what every IVF-family
     index actually consumes: (centroids, cells_df) where cells_df is the
@@ -279,11 +280,20 @@ def fit_coarse_quantizer(
     Under the _LOCAL_FIT_CELLS gate the fit is the seeded driver-local
     Lloyd's (model-sized sample by construction — the FAISS training
     topology) and the assignment one Arrow scan; above it, the
-    distributed MLlib fit."""
+    distributed MLlib fit. `fit_on` restricts TRAINING to a sample
+    (`sampling.hash_sample`) while assignment still scans `emb` — the
+    production shape when the corpus itself exceeds the gate."""
     c = emb.select(
         F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv")
     )
-    centroids = fit_kmeans(c, n_cells, "nv", seed)
+    train = (
+        c
+        if fit_on is None
+        else fit_on.select(
+            F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv")
+        )
+    )
+    centroids = fit_kmeans(train, n_cells, "nv", seed)
     if centroids is not None:
         cells_df = assign_cells(c, centroids, "nid", "nv").localCheckpoint()
         return centroids, cells_df
@@ -292,7 +302,11 @@ def fit_coarse_quantizer(
 
     with_vec = c.withColumn("fv", array_to_vector(F.col("nv")))
     km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
-    model = km.fit(with_vec)
+    model = km.fit(
+        train.withColumn("fv", array_to_vector(F.col("nv")))
+        if fit_on is not None
+        else with_vec
+    )
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
     cells_df = (
         model.transform(with_vec).select("nid", "cell").localCheckpoint()

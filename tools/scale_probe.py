@@ -301,13 +301,28 @@ def main() -> None:
         # cells scale ~sqrt(N) (the FAISS rule of thumb), probes with them
         n_cells = max(8, int(n_vec ** 0.5 / 10))
         queries = emb0.filter(F.col("vec_id") < 5)
+        # production fit topology: quantizers train on a hash_sample
+        # sized to the local-fit gate (FAISS trains on samples; encoding
+        # still scans everything) and are INJECTED into the index build
+        dim = 64
+        frac = min(1.0, (SIM._LOCAL_FIT_CELLS * 0.75 / dim) / n_vec)
+        from realtime_fraud_detection_spark.operators.sampling import (
+            hash_sample,
+        )
+
+        t0 = time.time()
+        fit_on = hash_sample(emb, "vec_id", frac) if frac < 1.0 else emb
+        coarse = SIM.fit_coarse_quantizer(emb, n_cells, fit_on=fit_on)
+        books = SIM.pq_train(fit_on, m=8, ks=16)
+        t_fit = time.time() - t0
         t0 = time.time()
         top = SIM.ivf_pq_topk(
             emb, queries, k=3, n_cells=n_cells, n_probe=max(3, n_cells // 8),
-            m=8, ks=16, rerank=6,
+            m=8, ks=16, rerank=6, coarse=coarse, codebooks=books,
         )
         n_rows = top.count()
         print(
+            f"ivf_pq_fit={t_fit:.1f}s (sample frac={frac:.3f}) "
             f"ivf_pq_topk={time.time() - t0:.1f}s vectors={n_vec} "
             f"cells={n_cells} rows={n_rows}"
         )
