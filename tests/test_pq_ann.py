@@ -289,3 +289,25 @@ def test_mllib_fallback_above_local_gate(spark, monkeypatch):
     ).collect()
     assert {r["qid"] for r in out} == {0, 1, 2}
     assert all(1 <= r["rank"] <= 3 for r in out)
+
+
+def test_local_fit_is_partition_order_independent(spark):
+    """The local Lloyd's canonicalizes its collected sample (lexsort by
+    vector content) before seeding, so the fitted centroids are
+    BIT-IDENTICAL under any input partitioning/row order — the same
+    "deterministic on any partitioning" contract the DECIMAL-summing
+    trainers keep. Repartition+shuffle the input and compare exactly."""
+    from realtime_fraud_detection_spark.operators.similarity import fit_kmeans
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    base = fit_kmeans(emb, 8)
+    shuffled = fit_kmeans(
+        emb.repartition(17, F.col("vec_id")).sortWithinPartitions(
+            F.desc("vec_id")
+        ),
+        8,
+    )
+    assert base == shuffled
+    books_a = pq_train(emb, m=4, ks=8)
+    books_b = pq_train(emb.repartition(13), m=4, ks=8)
+    assert books_a == books_b
