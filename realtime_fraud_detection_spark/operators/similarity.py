@@ -838,6 +838,117 @@ def _pq_encode_arrow(
     return src.mapInPandas(encode, out_schema)
 
 
+def _pq_query_side(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]] | None = None,
+    n_probe: int | None = None,
+    by_residual: bool = False,
+) -> DataFrame:
+    """Query-side PQ prep in ONE Arrow kernel: (qid, qv, qnorm, lut[,
+    cell, qcbias]) — lut[s*Ks+j] = dot(q_sub_s, centroid_sj), cell the
+    exploded top-n_probe coarse cells, qcbias the per-probed-cell
+    dot(q, c(cell)) the residual ADC needs.
+
+    Exists for DRIVER-side plan-construction cost, not executor speed:
+    the HOF form built m*ks `aggregate(zip_with(...))` columns — ~700
+    py4j lambda round-trips ≈ 5 s of plan building PER QUERY CALL at
+    m=8, ks=16 (the whole serve-path wall at bench SF; the query frame
+    itself is a handful of rows). NumPy replays the fold order of the
+    HOFs it replaces (leading 0.0, left-to-right adds, stable
+    (d, cell) probe order) so values are bit-identical."""
+    import numpy as np
+
+    m = len(codebooks)
+    ks = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    B = np.array(codebooks, dtype=np.float64)  # (m, ks, sub)
+    C = (
+        np.array([[float(x) for x in ctr] for ctr in centroids], np.float64)
+        if centroids is not None
+        else None
+    )
+
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    src = queries.select(
+        F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    fields = [
+        src.schema["qid"],
+        StructField("qv", ArrayType(DoubleType())),
+        StructField("qnorm", DoubleType()),
+        StructField("lut", ArrayType(DoubleType())),
+    ]
+    if C is not None:
+        fields.append(StructField("cell", IntegerType()))
+        if by_residual:
+            fields.append(StructField("qcbias", DoubleType()))
+    out_schema = StructType(fields)
+
+    def prep(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.stack(pdf["qv"].to_numpy()).astype(np.float64, copy=False)
+            dim = X.shape[1]
+            lut = np.empty((n, m * ks), np.float64)
+            for s in range(m):
+                prod = X[:, s * sub : (s + 1) * sub][:, None, :] * B[s][None]
+                acc = np.zeros((n, ks), np.float64)
+                for t in range(sub):
+                    acc = acc + prod[:, :, t]
+                lut[:, s * ks : (s + 1) * ks] = acc
+            qn = np.zeros(n, np.float64)
+            for t in range(dim):
+                qn = qn + X[:, t] * X[:, t]
+            qn = np.sqrt(qn)
+            out = pd.DataFrame(
+                {
+                    "qid": pdf["qid"],
+                    "qv": list(X),
+                    "qnorm": qn,
+                    "lut": list(lut),
+                }
+            )
+            if C is None:
+                yield out
+                continue
+            n_cells = C.shape[0]
+            D = np.zeros((n, n_cells), np.float64)
+            for t in range(dim):
+                diff = X[:, t][:, None] - C[:, t][None]
+                D = D + diff * diff
+            cell_ids = np.arange(n_cells)
+            probes = np.empty((n, n_probe), np.int64)
+            for i in range(n):
+                order = np.lexsort((cell_ids, D[i]))  # (d, cell) asc
+                probes[i] = order[:n_probe]
+            rep = out.loc[out.index.repeat(n_probe)].reset_index(drop=True)
+            rep["cell"] = probes.reshape(-1).astype(np.int32)
+            if by_residual:
+                bias = np.zeros((n, n_cells), np.float64)
+                for t in range(dim):
+                    bias = bias + X[:, t][:, None] * C[:, t][None]
+                rep["qcbias"] = bias[
+                    np.repeat(np.arange(n), n_probe), probes.reshape(-1)
+                ]
+            yield rep
+
+    return src.mapInPandas(prep, out_schema)
+
+
 def _adc_sum(m: int, ks: int) -> Column:
     """Chained-scalar ADC lookup sum over the code bytes: Σ_s
     lut[s*Ks + code_s] — same left-fold order as the aggregate() form it
@@ -892,23 +1003,9 @@ def pq_topk(
         else pq_encode(emb, codebooks, id_col, vec_col)
     )
 
-    qv = _as_double(F.col(vec_col))
-    # lut[s*Ks + j] = dot(q_sub_s, centroid_sj), built on the tiny query side
-    lut = F.array(
-        *[
-            dot(
-                F.slice(F.col("qv"), s * sub + 1, sub),
-                F.array(*[F.lit(x) for x in codebooks[s][j]]),
-            )
-            for s in range(len(codebooks))
-            for j in range(ks)
-        ]
-    )
-    q = (
-        queries.select(F.col(id_col).alias("qid"), qv.alias("qv"))
-        .withColumn("qnorm", l2_norm(F.col("qv")))
-        .withColumn("lut", lut)
-    )
+    # (qid, qv, qnorm, lut) in one Arrow kernel — the HOF form cost ~5 s
+    # of driver-side plan construction per call (see _pq_query_side)
+    q = _pq_query_side(queries, codebooks, id_col, vec_col)
     adc = _adc_sum(len(codebooks), ks) / (F.col("qnorm") * F.col("dq_norm"))
     w = Window.partitionBy("qid").orderBy(F.desc("adc_sim"), F.asc("nid"))
     cands = (
@@ -1056,50 +1153,15 @@ def ivf_pq_topk(
         sub = len(codebooks[0][0])
         corpus = pq_encode(emb, codebooks, id_col, vec_col).join(cells_df, "nid")
 
-    def dist_to(center: list[float]) -> Column:
-        arr = F.array(*[F.lit(x) for x in center])
-        return F.aggregate(
-            F.zip_with(F.col("qv"), arr, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda s_, x: s_ + x,
-        )
-
-    qv = _as_double(F.col(vec_col))
-    lut = F.array(
-        *[
-            dot(
-                F.slice(F.col("qv"), s * sub + 1, sub),
-                F.array(*[F.lit(x) for x in codebooks[s][j]]),
-            )
-            for s in range(m)
-            for j in range(ks)
-        ]
+    # (qid, qv, qnorm, lut, cell[, qcbias]) in one Arrow kernel over the
+    # tiny query frame — the HOF form (m*ks LUT dots + n_cells probe
+    # distances + per-cell residual bias) cost seconds of driver-side
+    # plan construction per call (see _pq_query_side); qcbias carries
+    # dot(q, c(cell)) so ADC adds it for dot(q, x̂) = dot(q, c) + Σ r̂
+    q = _pq_query_side(
+        queries, codebooks, id_col, vec_col,
+        centroids=centroids, n_probe=n_probe, by_residual=by_residual,
     )
-    cells = F.array(
-        *[
-            F.struct(dist_to(ctr).alias("d"), F.lit(i).alias("cell"))
-            for i, ctr in enumerate(centroids)
-        ]
-    )
-    q = (
-        queries.select(F.col(id_col).alias("qid"), qv.alias("qv"))
-        .withColumn("qnorm", l2_norm(F.col("qv")))
-        .withColumn("lut", lut)
-        .withColumn("cell", F.explode(F.slice(F.array_sort(cells), 1, n_probe)["cell"]))
-    )
-    if by_residual:
-        # dot(q, x̂) = dot(q, c(cell)) + Σ_m dot(q_m, r̂_m): the cell term
-        # is one dot per probed (query, cell) row, broadcast-side
-        q = q.withColumn(
-            "qcbias",
-            dot(
-                F.col("qv"),
-                F.element_at(
-                    F.lit([[float(x) for x in ctr] for ctr in centroids]),
-                    F.col("cell") + 1,
-                ),
-            ),
-        )
     adc_dot = _adc_sum(m, ks)
     if by_residual:
         adc_dot = adc_dot + F.col("qcbias")
