@@ -311,3 +311,92 @@ def test_local_fit_is_partition_order_independent(spark):
     books_a = pq_train(emb, m=4, ks=8)
     books_b = pq_train(emb.repartition(13), m=4, ks=8)
     assert books_a == books_b
+
+
+def test_query_side_kernel_matches_hof_form(spark):
+    """_pq_query_side claims bit-identical values to the HOF columns it
+    replaced (driver-side plan cost was the only reason to change).
+    Reconstruct the original aggregate(zip_with(...)) form at small
+    m/ks/n_cells and compare every output column bit-for-bit, including
+    the probe-cell explosion order and the residual qcbias."""
+    from pyspark.sql import functions as F2
+
+    from realtime_fraud_detection_spark.operators.similarity import (
+        _as_double,
+        _pq_query_side,
+        dot,
+        l2_norm,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 7)
+    books = pq_train(emb, m=2, ks=4)
+    sub = 64 // 2
+    from realtime_fraud_detection_spark.operators.similarity import (
+        fit_coarse_quantizer,
+    )
+
+    centroids, _cells = fit_coarse_quantizer(emb, 5)
+    n_probe = 3
+
+    def dist_to(center):
+        arr = F2.array(*[F2.lit(x) for x in center])
+        return F2.aggregate(
+            F2.zip_with(F2.col("qv"), arr, lambda x, y: (x - y) * (x - y)),
+            F2.lit(0.0),
+            lambda s_, x: s_ + x,
+        )
+
+    lut = F2.array(
+        *[
+            dot(
+                F2.slice(F2.col("qv"), s * sub + 1, sub),
+                F2.array(*[F2.lit(x) for x in books[s][j]]),
+            )
+            for s in range(2)
+            for j in range(4)
+        ]
+    )
+    cells = F2.array(
+        *[
+            F2.struct(dist_to(ctr).alias("d"), F2.lit(i).alias("cell"))
+            for i, ctr in enumerate(centroids)
+        ]
+    )
+    hof = (
+        queries.select(F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("qv"))
+        .withColumn("qnorm", l2_norm(F.col("qv")))
+        .withColumn("lut", lut)
+        .withColumn(
+            "cell", F.explode(F.slice(F.array_sort(cells), 1, n_probe)["cell"])
+        )
+        .withColumn(
+            "qcbias",
+            dot(
+                F.col("qv"),
+                F.element_at(
+                    F.lit([[float(x) for x in ctr] for ctr in centroids]),
+                    F.col("cell") + 1,
+                ),
+            ),
+        )
+    )
+    kernel = _pq_query_side(
+        queries, books, "vec_id", "embedding",
+        centroids=centroids, n_probe=n_probe, by_residual=True,
+    )
+
+    def snap(df):
+        return sorted(
+            (
+                r["qid"],
+                r["cell"],
+                float(r["qnorm"]).hex(),
+                float(r["qcbias"]).hex(),
+                tuple(float(x).hex() for x in r["lut"]),
+                tuple(float(x).hex() for x in r["qv"]),
+            )
+            for r in df.collect()
+        )
+
+    assert snap(hof) == snap(kernel)
