@@ -63,6 +63,23 @@ from ..functions.text import normalized_text
 # x ∈ [0,1] and |w| ≤ ~100 fit DECIMAL(28,16) with 12 integer digits.
 _DEC = "decimal(28,16)"
 
+# Driver-local training gate, in feature CELLS ((doc, bucket, x) rows) and
+# docs: under it the Adagrad loop runs as a seeded NumPy replay of the
+# distributed iteration (same quantizer-gate idea as similarity.py's
+# _LOCAL_FIT_CELLS). Rationale: each distributed iteration is ONE shuffle
+# but still ~1 s of pure job-scheduling latency — 20 s for the default 20
+# iterations even on a 500-doc fixture — while the local loop is
+# milliseconds. The gate is the production shape, not a fixture hack:
+# classifier TRAINING sets are annotator-sized (DCLM / FineWeb-Edu distill
+# fastText filters from 100k–500k labeled docs) while the 100 TB side is
+# SCORING, which stays fully distributed (score_logreg /
+# score_one_vs_rest). Above the gate the one-shuffle-per-iteration
+# distributed loop is unchanged. Local-vs-distributed weight parity is
+# pinned at 1e-8 (tests/test_text_classifier.py) — the two differ only by
+# the decimal per-term quantization (≤1e-16/term), np.exp vs Math.exp
+# last-ulp, and float64 vs decimal gradient-sum rounding.
+_LOCAL_TRAIN_CELLS = 8_000_000
+
 
 def hashed_features(
     df: DataFrame,
@@ -300,6 +317,123 @@ def _train_heads(
     return models
 
 
+def _local_train_arrays(feats: DataFrame, labels: DataFrame, n_heads: int, gate: int):
+    """Collect the training inputs under the local gate through Arrow,
+    canonically ordered, or None (caller falls back to the distributed
+    loop). Returns (doc_idx, buckets, xs, Y, n_docs): the long feature
+    table sorted by (doc, bucket) — the SAME canonical order as
+    `_doc_arrays`' sort_array, so the per-doc accumulation order matches
+    the distributed fold — with `doc_idx` pointing into the doc-sorted
+    label rows, and Y the (n_heads, n_docs) label matrix. Feature rows for
+    unlabeled docs are dropped (the `_doc_arrays` left-join semantics);
+    labeled docs with no features get empty segments (margin 0). The
+    gate probe short-circuits the scan; non-numeric doc ids fall back to
+    the distributed path (no canonical numpy order for mixed types)."""
+    import numpy as np
+
+    if gate <= 0:
+        return None
+    if feats.select("doc").limit(gate + 1).count() > gate:
+        return None
+    lt = labels.toArrow()
+    docs = lt.column("doc").to_numpy(zero_copy_only=False)
+    if not np.issubdtype(np.asarray(docs).dtype, np.number):
+        return None
+    docs = np.asarray(docs)
+    order = np.argsort(docs, kind="stable")
+    docs_sorted = docs[order]
+    Y = np.stack(
+        [
+            np.asarray(
+                lt.column(f"y_{k}").to_numpy(zero_copy_only=False),
+                dtype=np.float64,
+            )[order]
+            for k in range(n_heads)
+        ]
+    )
+    ft = feats.select("doc", "bucket", "x").toArrow()
+    fd = np.asarray(ft.column("doc").to_numpy(zero_copy_only=False))
+    fb = np.asarray(
+        ft.column("bucket").to_numpy(zero_copy_only=False), dtype=np.int64
+    )
+    fx = np.asarray(
+        ft.column("x").to_numpy(zero_copy_only=False), dtype=np.float64
+    )
+    idx = np.lexsort((fb, fd))
+    fd, fb, fx = fd[idx], fb[idx], fx[idx]
+    if docs_sorted.size == 0:
+        return None
+    pos = np.searchsorted(docs_sorted, fd)
+    pos_c = np.minimum(pos, docs_sorted.size - 1)
+    mask = docs_sorted[pos_c] == fd
+    return pos_c[mask], fb[mask], fx[mask], Y, int(docs_sorted.size)
+
+
+def _train_heads_local(
+    doc_idx,
+    buckets,
+    xs,
+    Y,
+    n_docs: int,
+    models: list[LogRegModel],
+    iters: int,
+    lr: float,
+    l2: float,
+    eps: float,
+) -> list[LogRegModel]:
+    """The driver-local twin of :func:`_train_heads`: the identical
+    full-batch Adagrad recurrence, vectorized in NumPy over the collected
+    (doc_idx, buckets, xs) long table. Per iteration per head: margins
+    are a bincount segment-sum over docs (sequential C accumulation in
+    the canonical (doc, bucket) order — deterministic on any input
+    partitioning, since the collect is canonically re-sorted), the
+    bucket gradient a bincount over buckets, and the update touches
+    exactly the buckets PRESENT in the data — the same active set the
+    distributed groupBy produces, so a head trained jointly is
+    bit-identical to the same head trained solo (pinned by
+    tests/test_one_vs_rest.py)."""
+    import numpy as np
+
+    K = len(models)
+    nb = models[0].n_buckets
+    active = np.unique(buckets)
+    W = np.zeros((K, nb))
+    G2 = np.zeros((K, nb))
+    bias = np.array([m.bias for m in models], dtype=np.float64)
+    g2b = np.array([m.g2_bias for m in models], dtype=np.float64)
+    for k, m in enumerate(models):
+        for b, v in m.weights.items():
+            W[k, b] = v
+        for b, v in m.g2.items():
+            G2[k, b] = v
+    for _ in range(iters):
+        for k in range(K):
+            mg = np.bincount(
+                doc_idx, weights=xs * W[k][buckets], minlength=n_docs
+            )
+            z = np.clip(mg + bias[k], -36.7, 36.7)
+            err = 1.0 / (1.0 + np.exp(-z)) - Y[k]
+            g = (
+                np.bincount(
+                    buckets, weights=xs * err[doc_idx], minlength=nb
+                )[active]
+                / n_docs
+                + l2 * W[k][active]
+            )
+            G2[k][active] += g * g
+            W[k][active] -= lr * g / np.sqrt(G2[k][active] + eps)
+            bg = float(err.sum()) / n_docs
+            g2b[k] += bg * bg
+            bias[k] -= lr * bg / math.sqrt(g2b[k] + eps)
+    for k, m in enumerate(models):
+        m.bias = float(bias[k])
+        m.g2_bias = float(g2b[k])
+        for b in active:
+            m.weights[int(b)] = float(W[k][b])
+            m.g2[int(b)] = float(G2[k][b])
+    return models
+
+
 def train_logreg(
     feats: DataFrame,
     labels: DataFrame,
@@ -308,6 +442,7 @@ def train_logreg(
     lr: float = 1.0,
     l2: float = 1e-4,
     eps: float = 1e-8,
+    local_cells: int | None = None,
 ) -> LogRegModel:
     """Full-batch Adagrad on logistic loss:
     w ← w − lr·g/√(Σg² + ε), g = ∇ℓ/N + λw.
@@ -331,8 +466,13 @@ def train_logreg(
     n_docs = labels.count()
     if n_docs == 0:
         raise ValueError("empty training set")
+    wide = labels.select("doc", F.col("y").cast("double").alias("y_0"))
+    gate = _LOCAL_TRAIN_CELLS if local_cells is None else local_cells
+    arrs = _local_train_arrays(feats, wide, 1, gate) if n_docs <= gate else None
+    if arrs is not None:
+        return _train_heads_local(*arrs, [model], iters, lr, l2, eps)[0]
     doc_df = (
-        _doc_arrays(feats, labels.select("doc", F.col("y").alias("y_0")))
+        _doc_arrays(feats, wide)
         .coalesce(_doc_parts(n_docs))
         .localCheckpoint(eager=True)
     )
@@ -377,6 +517,7 @@ def train_text_classifier(
     lr: float = 5.0,
     l2: float = 0.0,
     bigrams: bool = False,
+    local_cells: int | None = None,
 ) -> tuple[LogRegModel, DataFrame]:
     """Convenience wrapper: extract features once (materialized for the
     iteration loop), train on `label_col` (numeric 0/1), return the model
@@ -395,7 +536,13 @@ def train_text_classifier(
         F.col(id_col).alias("doc"), F.col(label_col).cast("double").alias("y")
     )
     model = train_logreg(
-        feats, labels, n_buckets=n_buckets, iters=iters, lr=lr, l2=l2
+        feats,
+        labels,
+        n_buckets=n_buckets,
+        iters=iters,
+        lr=lr,
+        l2=l2,
+        local_cells=local_cells,
     )
     return model, feats
 
@@ -410,6 +557,7 @@ def train_one_vs_rest(
     lr: float = 5.0,
     l2: float = 0.0,
     bigrams: bool = False,
+    local_cells: int | None = None,
 ) -> tuple[dict[str, LogRegModel], DataFrame]:
     """Multiclass classifier as one-vs-rest binary heads — fastText's
     own reduction for small class counts. `label_col` is a string class
@@ -443,20 +591,22 @@ def train_one_vs_rest(
     n_docs = labels.count()
     if n_docs == 0:
         raise ValueError("empty training set")
+    heads = [LogRegModel(n_buckets=n_buckets) for _ in classes]
+    gate = _LOCAL_TRAIN_CELLS if local_cells is None else local_cells
+    arrs = (
+        _local_train_arrays(feats, labels, len(classes), gate)
+        if n_docs <= gate
+        else None
+    )
+    if arrs is not None:
+        models = _train_heads_local(*arrs, heads, iters, lr, l2, eps=1e-8)
+        return dict(zip(classes, models)), feats
     doc_df = (
         _doc_arrays(feats, labels)
         .coalesce(_doc_parts(n_docs))
         .localCheckpoint(eager=True)
     )
-    models = _train_heads(
-        doc_df,
-        n_docs,
-        [LogRegModel(n_buckets=n_buckets) for _ in classes],
-        iters,
-        lr,
-        l2,
-        eps=1e-8,
-    )
+    models = _train_heads(doc_df, n_docs, heads, iters, lr, l2, eps=1e-8)
     return dict(zip(classes, models)), feats
 
 

@@ -49,6 +49,26 @@ def test_heads_equal_standalone_binary_models(spark):
     assert solo.bias == models["scany"].bias
 
 
+def test_heads_equal_standalone_binary_distributed(spark):
+    """Same head-equivalence on the ABOVE-GATE path (local_cells=0 forces
+    the distributed one-shuffle loop): the K-column shared-frame iteration
+    must stay coordinate-wise identical to solo binary training."""
+    docs = _labeled(spark).filter("doc_id < 120")
+    models, feats = train_one_vs_rest(
+        docs, "text", "doc_id", "label", n_buckets=256, iters=2, lr=5.0,
+        local_cells=0,
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("doc"),
+        (F.col("label") == "streamy").cast("double").alias("y"),
+    )
+    solo = train_logreg(
+        feats, labels, n_buckets=256, iters=2, lr=5.0, l2=0.0, local_cells=0
+    )
+    assert solo.weights == models["streamy"].weights
+    assert solo.bias == models["streamy"].bias
+
+
 def test_holdout_accuracy_and_determinism(spark):
     docs = _labeled(spark)
     train = docs.filter("doc_id % 5 < 4")

@@ -77,20 +77,67 @@ def _toy_corpus():
 
 @pytest.fixture(scope="module")
 def toy_model(spark):
+    # local_cells=0 forces the DISTRIBUTED loop: this fixture's consumers
+    # pin the decimal-summed one-shuffle iteration (the above-gate path);
+    # the driver-local twin is pinned against it below.
     rows = _toy_corpus()
     df = spark.createDataFrame(rows, "id long, t string, y int")
     feats = hashed_features(df, "t", "id", N_BUCKETS, bigrams=False).localCheckpoint()
     labels = df.select(F.col("id").alias("doc"), F.col("y").cast("double").alias("y"))
-    model = train_logreg(feats, labels, N_BUCKETS, iters=6, lr=2.0, l2=1e-4)
+    model = train_logreg(
+        feats, labels, N_BUCKETS, iters=6, lr=2.0, l2=1e-4, local_cells=0
+    )
     return rows, feats, labels, model
 
 
 def test_training_deterministic(spark, toy_model):
     rows, feats, labels, model = toy_model
-    again = train_logreg(feats, labels, N_BUCKETS, iters=6, lr=2.0, l2=1e-4)
+    again = train_logreg(
+        feats, labels, N_BUCKETS, iters=6, lr=2.0, l2=1e-4, local_cells=0
+    )
     # decimal-summed gradients → identical floats on any partitioning
     assert again.bias == model.bias
     assert again.weights == model.weights
+
+
+def test_local_trainer_matches_distributed(spark, toy_model, monkeypatch):
+    """The gated driver-local Adagrad loop (_train_heads_local — the
+    DEFAULT under _LOCAL_TRAIN_CELLS) reproduces the distributed loop's
+    weights to float64 noise: the two differ only by the decimal per-term
+    quantization (≤1e-16/term), np.exp vs Math.exp last-ulp, and
+    float64-bincount vs decimal gradient sums. Measured max |Δw| ~2e-15
+    on this corpus; the bar is 1e-10 with identical active-bucket sets."""
+    import realtime_fraud_detection_spark.ml.text_classifier as tc
+
+    rows, feats, labels, dist = toy_model
+    # the default path at fixture scale must BE the local one: fail loudly
+    # if the gate ever stops engaging (e.g. a probe regression)
+    monkeypatch.setattr(
+        tc, "_train_heads", lambda *a, **k: pytest.fail("expected local path")
+    )
+    local = train_logreg(feats, labels, N_BUCKETS, iters=6, lr=2.0, l2=1e-4)
+    assert set(local.weights) == set(dist.weights)
+    assert local.bias == pytest.approx(dist.bias, abs=1e-10)
+    for b, w in dist.weights.items():
+        assert local.weights[b] == pytest.approx(w, abs=1e-10)
+
+
+def test_local_trainer_partition_order_independent(spark, toy_model):
+    """The local collect re-sorts canonically by (doc, bucket), so the
+    NumPy accumulation order — hence every weight — is bit-identical on
+    any input partitioning."""
+    rows, feats, labels, _ = toy_model
+    a = train_logreg(feats, labels, N_BUCKETS, iters=6, lr=2.0, l2=1e-4)
+    b = train_logreg(
+        feats.repartition(13),
+        labels.repartition(7),
+        N_BUCKETS,
+        iters=6,
+        lr=2.0,
+        l2=1e-4,
+    )
+    assert a.weights == b.weights
+    assert a.bias == b.bias
 
 
 def test_numpy_replay_matches_distributed_training(toy_model):
