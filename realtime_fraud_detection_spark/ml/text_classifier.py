@@ -342,6 +342,11 @@ def _local_train_arrays(feats: DataFrame, labels: DataFrame, n_heads: int, gate:
     docs = np.asarray(docs)
     order = np.argsort(docs, kind="stable")
     docs_sorted = docs[order]
+    if docs_sorted.size and np.unique(docs_sorted).size != docs_sorted.size:
+        # duplicate label rows: the distributed left join hands each dup
+        # the full feature array, which searchsorted can't express —
+        # fall back rather than silently diverge
+        return None
     Y = np.stack(
         [
             np.asarray(
