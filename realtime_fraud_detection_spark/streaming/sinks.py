@@ -55,34 +55,55 @@ def _write_batch_partition(df: DataFrame, batch_id: int, path: str) -> None:
 def multi_sink_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
     """foreachBatch function: scored batch → {alerts, enriched, features,
     aggregates} parquet tables (stand-ins for Kafka topics / Redis tables;
-    swap the writes for kafka/Delta in production)."""
+    swap the writes for kafka/Delta in production).
+
+    The four writes run CONCURRENTLY off the persisted batch (job
+    submission is thread-safe — the same ThreadPoolExecutor discipline as
+    the parallel MLlib quantizer fits): the fan-out's wall clock is the
+    one enriched-table write instead of four serial job floors, which is
+    most of the per-batch fixed cost at small batch sizes
+    (tools/bench_streaming.py). The batch materializes ONCE before the
+    threads start — concurrent first actions on a cold cache would each
+    recompute the parse→score pipeline. Replay semantics are unchanged:
+    each write is an idempotent dynamic partition overwrite, and ordering
+    across sinks was never part of the contract (the mid-fan-out crash
+    window documented above exists either way; any subset of sinks may
+    now hold the new batch until the replay)."""
+    from concurrent.futures import ThreadPoolExecutor, as_completed
 
     def write(batch: DataFrame, batch_id: int) -> None:
         batch.persist()
         try:
-            _write_batch_partition(
-                P.fraud_alerts(batch), batch_id, os.path.join(out_dir, "fraud_alerts")
-            )
-            _write_batch_partition(
-                batch, batch_id, os.path.join(out_dir, "transaction_enriched")
-            )
-            _write_batch_partition(
-                P.feature_vector(batch).drop("features"),
-                batch_id,
-                os.path.join(out_dir, "transaction_features"),
-            )
-            # A9-style hourly rollup: append-only per-batch partials,
-            # re-aggregated by hourly_rollup_view (Delta MERGE in production)
-            _write_batch_partition(
-                batch.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
-                    F.count("*").alias("tx_count"),
-                    F.sum(F.col("amount").cast("decimal(18,2)"))
-                    .cast("double")
-                    .alias("total_amount"),
+            batch.count()  # materialize once; the 4 writes read the cache
+            sinks = (
+                (P.fraud_alerts(batch), "fraud_alerts"),
+                (batch, "transaction_enriched"),
+                (P.feature_vector(batch).drop("features"), "transaction_features"),
+                # A9-style hourly rollup: append-only per-batch partials,
+                # re-aggregated by hourly_rollup_view (Delta MERGE in
+                # production)
+                (
+                    batch.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+                        F.count("*").alias("tx_count"),
+                        F.sum(F.col("amount").cast("decimal(18,2)"))
+                        .cast("double")
+                        .alias("total_amount"),
+                    ),
+                    "hourly_aggregates",
                 ),
-                batch_id,
-                os.path.join(out_dir, "hourly_aggregates"),
             )
+            with ThreadPoolExecutor(max_workers=len(sinks)) as pool:
+                futs = [
+                    pool.submit(
+                        _write_batch_partition,
+                        df,
+                        batch_id,
+                        os.path.join(out_dir, name),
+                    )
+                    for df, name in sinks
+                ]
+                for f in as_completed(futs):
+                    f.result()  # first failure fails the batch (replayed)
         finally:
             batch.unpersist()
 
