@@ -215,6 +215,24 @@ def main() -> None:
         timings[name] = kept
         remeasured[name] = {"first": first, "kept": kept, "prev": base}
 
+    # end-to-end streaming throughput — the one number directly comparable
+    # to the reference's published claim (BASELINE.md: 15,000 TPS sustained
+    # on its 12-container stack). Same fault isolation as the queries; the
+    # full-size solo measurement lives in tools/bench_streaming.py /
+    # BENCH_STREAMING.json, this inline run is sized to ~15 s.
+    streaming: dict | None = None
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        import bench_streaming
+
+        streaming = bench_streaming.run(
+            spark, n_events=400_000, n_batches=5, files_per_batch=16
+        )
+    except Exception as exc:  # noqa: BLE001 — report, keep the artifact
+        errors["streaming_tps"] = f"{type(exc).__name__}: {exc}"[:300]
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline_queries_total_runtime",
@@ -223,6 +241,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if streaming:
+        out["streaming"] = streaming
     if remeasured:
         out["remeasured"] = remeasured
     if errors:
