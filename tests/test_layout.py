@@ -1,0 +1,139 @@
+"""Z-order layout (operators/layout.py): Morton-code bit interleave
+hand-check, and the operative guarantee — the written files' parquet
+footer min/max stats prune MULTI-column predicates, which a single-column
+sort provably cannot (its secondary columns straddle every file)."""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from realtime_fraud_detection_spark.operators import layout as L
+
+
+def test_zorder_key_interleaves_bits(spark):
+    # k=2, bits=2, domain [0,3] -> identity quantization; Morton code
+    # places bit i of col j at position i*2+j (col order = list order)
+    df = spark.createDataFrame(
+        [(0, 0), (1, 2), (3, 3), (2, 1)], "a int, b int"
+    )
+    out = {
+        (r["a"], r["b"]): r["_zkey"]
+        for r in L.with_zorder_key(
+            df, ["a", "b"], bits=2, bounds={"a": (0, 3), "b": (0, 3)}
+        ).collect()
+    }
+    # a=1 (01), b=2 (10): a0->pos0, b0=0->pos1, a1=0->pos2, b1=1->pos3
+    assert out[(1, 2)] == 0b1001
+    assert out[(0, 0)] == 0
+    assert out[(3, 3)] == 0b1111
+    assert out[(2, 1)] == 0b0110
+
+
+def test_zorder_key_rejects_oversized_budget(spark):
+    df = spark.createDataFrame([(1, 2, 3, 4)], "a int, b int, c int, d int")
+    with pytest.raises(ValueError, match="63-bit"):
+        L.with_zorder_key(df, ["a", "b", "c", "d"], bits=16)
+
+
+def test_nulls_and_constant_columns_quantize_low(spark):
+    df = spark.createDataFrame(
+        [(None, 5), (0, 5), (100, 5)], "a int, c int"
+    )
+    rows = {
+        r["a"]: r["_zkey"]
+        for r in L.with_zorder_key(df, ["a", "c"], bits=4).collect()
+    }
+    assert rows[None] == 0  # NULL clusters into the lowest cells
+    assert rows[0] == 0  # constant column contributes nothing
+    assert rows[100] > 0
+
+
+def _candidates(path: str, box: dict[str, tuple[float, float]]) -> int:
+    """Files whose footer [min, max] intersects the box on EVERY bounded
+    column — exactly the pruning decision a stats-aware reader makes."""
+    n = 0
+    for f in sorted(glob.glob(f"{path}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        keep = True
+        for col, (lo, hi) in box.items():
+            j = names.index(col)
+            mins = [md.row_group(g).column(j).statistics.min for g in range(md.num_row_groups)]
+            maxs = [md.row_group(g).column(j).statistics.max for g in range(md.num_row_groups)]
+            if min(mins) > hi or max(maxs) < lo:
+                keep = False
+                break
+        if keep:
+            n += 1
+    return n
+
+
+@pytest.fixture(scope="module")
+def layouts(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("zorder")
+    # uniform 2-D synthetic: b is a decorrelated permutation of a's domain
+    df = (
+        spark.range(20_000)
+        .select(
+            (F.col("id") % 141).alias("a"),
+            ((F.col("id") * 7919) % 141).alias("b"),
+            F.col("id").alias("payload"),
+        )
+        .localCheckpoint()
+    )
+    zpath, apath = str(base / "z"), str(base / "asort")
+    L.write_zordered(df, zpath, ["a", "b"], n_files=16, bits=8)
+    (
+        df.repartitionByRange(16, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(apath)
+    )
+    return df, zpath, apath
+
+
+def test_zorder_prunes_secondary_dimension(spark, layouts):
+    """The claim single-column sort cannot make: a predicate on the
+    SECOND column alone still skips most files."""
+    _, zpath, apath = layouts
+    box = {"b": (60, 70)}
+    n_z = _candidates(zpath, box)
+    n_a = _candidates(apath, box)
+    assert n_a == 16  # a-sorted files all straddle b — zero pruning
+    assert n_z <= 8, n_z  # z-order: b contributes to every sort level
+
+
+def test_zorder_still_prunes_primary_dimension(spark, layouts):
+    _, zpath, apath = layouts
+    box = {"a": (60, 70)}
+    assert _candidates(apath, box) <= 3  # the layout a-sort is FOR
+    assert _candidates(zpath, box) <= 8  # z keeps most of it
+
+
+def test_zorder_wins_the_mixed_workload_and_preserves_results(spark, layouts):
+    """The honest comparison: a single-column sort wins a box that is
+    tight in ITS dimension; Z-order wins the mixed workload (filters
+    arrive on either column) — total candidate files over {a-box, b-box}
+    must be lower. And layout is physical: the filtered read returns
+    exactly the source rows from every layout."""
+    df, zpath, apath = layouts
+    abox, bbox = {"a": (60.0, 70.0)}, {"b": (60.0, 70.0)}
+    z_total = _candidates(zpath, abox) + _candidates(zpath, bbox)
+    a_total = _candidates(apath, abox) + _candidates(apath, bbox)
+    assert z_total < a_total, (z_total, a_total)
+    # the 2-D box prunes at least as hard as its loosest 1-D face
+    box2 = {"a": (60.0, 70.0), "b": (60.0, 70.0)}
+    assert _candidates(zpath, box2) <= min(
+        _candidates(zpath, abox), _candidates(zpath, bbox)
+    )
+    cond = "a between 60 and 70 and b between 60 and 70"
+    expect = sorted(r["payload"] for r in df.filter(cond).collect())
+    for path in (zpath, apath):
+        got = sorted(
+            r["payload"] for r in spark.read.parquet(path).filter(cond).collect()
+        )
+        assert got == expect
