@@ -55,10 +55,11 @@ def _quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
     the edge cells — correct for pruning, which only needs monotonicity).
     NULLs quantize to 0: they cluster into the lowest files rather than
     scattering everywhere (a NULL-filter then prunes to those files)."""
-    span = hi - lo
     top = (1 << bits) - 1
-    if span <= 0:  # constant column — contributes nothing to the order
+    if lo is None or hi is None or hi - lo <= 0:
+        # all-NULL or constant column — contributes nothing to the order
         return F.lit(0).cast("bigint")
+    span = hi - lo
     q = F.floor((col.cast("double") - F.lit(lo)) / F.lit(span) * F.lit(top + 1))
     # NULL must be handled with an explicit branch: greatest/least SKIP
     # nulls (greatest(0, NULL) = 0 but least(top, NULL) = top — a null
