@@ -16,7 +16,7 @@ candidate-generation blow-up. Results are recorded in SCALE.md.
 
 Usage: python3 tools/scale_probe.py [replicas] [stages]   (default 10, all)
   stages: comma-separated subset of
-  minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,ivfpq,sketch
+  minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,ivfpq,sketch,layout
   (e.g. `100 simhash,cc,ngram,quality` for the 100x top-3-shape probe;
   `graphx` = triangles + k-core over the simhash pair graph; `ivfpq`
   replicates the embeddings fixture — per-replica element rotation, so
@@ -75,13 +75,13 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     all_stages = (
         "minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,"
-        "ivfpq,sketch,hotkey"
+        "ivfpq,sketch,hotkey,layout"
     )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if stages - {"ivfpq", "sketch", "hotkey"}:  # doc-corpus stages requested
+    if stages - {"ivfpq", "sketch", "hotkey", "layout"}:  # doc-corpus stages
         t0 = time.time()
         build_corpus(spark, replicas)
         print(f"corpus: {replicas}x built in {time.time() - t0:.1f}s")
@@ -440,6 +440,49 @@ def main() -> None:
                 f"edges={n_e} dropped_keys={stats['dropped_keys']} "
                 f"est_pairs={stats['est_pairs']:,}"
             )
+
+    if "layout" in stages:
+        # Z-order layout at scale: rows grow with replicas, file count
+        # grows with data (fixed ~rows-per-file target) — write time must
+        # stay linear (one range shuffle + in-task sort) and the footer
+        # skip RATE must hold as both grow. Two decorrelated uniform
+        # dimensions, the worst case for any single-column sort.
+        import glob
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from realtime_fraud_detection_spark.operators import layout as LY
+
+        n_rows = replicas * 500_000
+        n_files = max(replicas * 4, 8)
+        df = spark.range(n_rows).select(
+            (F.col("id") % 10_007).alias("a"),
+            ((F.col("id") * 7919) % 10_007).alias("b"),
+            F.col("id").alias("payload"),
+        )
+        path = "/tmp/spark_graft_scale_layout"
+        t0 = time.time()
+        LY.write_zordered(
+            df, path, ["a", "b"], n_files=n_files,
+            bounds={"a": (0, 10_006), "b": (0, 10_006)},
+        )
+        wall = time.time() - t0
+        lo, hi = 4_000.0, 4_400.0  # ~4% box per dimension
+        cands = 0
+        files = sorted(glob.glob(f"{path}/*.parquet"))
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            j = names.index("b")
+            mn = min(md.row_group(g).column(j).statistics.min for g in range(md.num_row_groups))
+            mx = max(md.row_group(g).column(j).statistics.max for g in range(md.num_row_groups))
+            if mn <= hi and mx >= lo:
+                cands += 1
+        print(
+            f"layout={wall:.1f}s rows={n_rows} files={len(files)} "
+            f"b-box candidates={cands} ({cands / len(files):.0%} scanned)"
+        )
 
     spark.stop()
 
