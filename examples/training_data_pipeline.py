@@ -245,6 +245,27 @@ def main() -> None:
     )
     split_sizes = {k: v.count() for k, v in splits.items()}
 
+    # 10. physical layout: z-order the curated corpus on (lang bucket,
+    # quality score) so downstream per-language / per-band scans prune at
+    # the parquet footer (operators/layout.py)
+    import glob as _glob
+    import tempfile as _tf
+
+    from realtime_fraud_detection_spark.operators.layout import write_zordered
+
+    with_dims = gated.select(
+        "doc_id",
+        "text",
+        (F.crc32(F.col("lang_detected")) % 64).alias("lang_bucket"),
+        F.col("quality").alias("q"),
+    )
+    zdir = _tf.mkdtemp(prefix="tdp_zorder_")
+    write_zordered(
+        with_dims, zdir, ["lang_bucket", "q"], n_files=8,
+        bounds={"lang_bucket": (0, 63), "q": (0.0, 1.0)},  # known domains
+    )
+    n_zfiles = len(_glob.glob(f"{zdir}/*.parquet"))
+
     print(f"documents            {n_docs}")
     print(f"quality-gated        {n_gated}  ({n_docs - n_gated} filtered)")
     print(f"gopher-repetition    {n_gopher}  pass  ({n_docs - n_gopher} repetitious)")
@@ -270,6 +291,7 @@ def main() -> None:
     print(f"bpe tokens           {bpe_stats['tok']}  ({len(merges)} merges, {bpe_stats['chars']} chars in tokens)")
     print(f"one-call curation    {' -> '.join(f'{k}:{v}' for k, v in funnel.items())}")
     print(f"hash splits          {split_sizes}")
+    print(f"z-ordered layout     {n_zfiles}  files clustered on (lang_bucket, quality)")
     print(f"wall clock           {time.time() - t0:.1f}s")
     spark.stop()
 
