@@ -207,7 +207,10 @@ def main() -> None:
         TC.score_logreg(feats, model).write.format("noop").mode("overwrite").save()
         print(f"classifier_feats_score={time.time() - t0:.1f}s")
         # FULL training on the scaled corpus (the one-shuffle-per-iteration
-        # array loop): weak labels + 8 Adagrad iterations
+        # array loop): weak labels + 8 Adagrad iterations. local_cells=0
+        # pins the DISTRIBUTED path — this stage's purpose is the
+        # at-scale trainer's growth curve, and the 10x corpus (~1.5M
+        # cells) would otherwise fall under the local gate
         t0 = time.time()
         labels = docs.select(
             F.col("doc_id").alias("doc"),
@@ -216,7 +219,9 @@ def main() -> None:
         feats_m = TC.hashed_features(
             docs, "text", "doc_id", 1024, bigrams=False
         ).localCheckpoint(eager=True)
-        trained = TC.train_logreg(feats_m, labels, 1024, iters=8, lr=5.0, l2=0.0)
+        trained = TC.train_logreg(
+            feats_m, labels, 1024, iters=8, lr=5.0, l2=0.0, local_cells=0
+        )
         print(
             f"classifier_train8={time.time() - t0:.1f}s "
             f"(active_buckets={len(trained.weights)})"
