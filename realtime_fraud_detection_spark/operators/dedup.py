@@ -524,9 +524,18 @@ def simhash_near_dup_pairs(
     materialize: str = "local_checkpoint",
     materialize_path: str | None = None,
     max_bucket_size: int | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: Hamming distance <= `max_hamming` over
     `bits`-bit signatures, found without an all-pairs comparison.
+
+    `sigs` short-circuits the signature computation with a precomputed
+    (doc, simhash{bits}) frame — the tokenize-once rule applied to
+    signatures (signatures are deterministic md5 votes, so reuse is
+    value-identical; pinned in tests). Production persists the signature
+    table once and every downstream consumer — pair generation,
+    clustering, incremental dedup — reads it instead of re-hashing the
+    corpus.
 
     Pigeonhole blocking (Manku et al., WWW'07 near-dup detection): split
     the signature into `n_bands` contiguous bit bands; two signatures
@@ -551,7 +560,7 @@ def simhash_near_dup_pairs(
             f"n_bands={n_bands} must exceed max_hamming={max_hamming} for the "
             "pigeonhole band guarantee to hold"
         )
-    sig = simhash_signatures(df, text_col, id_col, bits)
+    sig = sigs if sigs is not None else simhash_signatures(df, text_col, id_col, bits)
     sig_col = f"simhash{bits}"
     # band b covers bit positions [lo, lo+width): unsigned shift then mask,
     # so bit 63 (the sign bit) lands in the top band without overflow.

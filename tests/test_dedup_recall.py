@@ -109,3 +109,24 @@ def test_simhash_banded_pairs_bucket_cap(spark):
     assert any(r["doc_a"] < 100 for r in uncapped)  # template pairs present uncapped
     assert all(r["doc_a"] >= 100 for r in capped)  # ...gone under the cap
     assert {(r["doc_a"], r["doc_b"]) for r in capped} == {(100, 101)}
+
+
+def test_simhash_pairs_with_precomputed_sigs_identical(spark):
+    """The `sigs=` short-circuit (the suite's shared signature table) is
+    value-identical to computing signatures in-call — same pairs, same
+    distances, even with extra columns riding on the signature frame."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    fresh = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_near_dup_pairs(
+            docs, "text", "doc_id", bits=64, max_hamming=12
+        ).collect()
+    }
+    shared = D.simhash_signatures(docs, "text", "doc_id", bits=(16, 64))
+    reused = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_near_dup_pairs(
+            docs, "text", "doc_id", bits=64, max_hamming=12, sigs=shared
+        ).collect()
+    }
+    assert fresh == reused
