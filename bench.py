@@ -196,11 +196,22 @@ def main() -> None:
     # drift, so any single-trial query that moved >20% vs the previous
     # recorded bench is re-run twice more in the SAME session and the
     # median of all three is kept, annotated under "remeasured".
+    #
+    # Exception: a query whose OUTPUT is itself a session-cached frame
+    # (q_simhash returns the shared signature table) re-runs as a pure
+    # block read — keeping that median would record ~0s for a query that
+    # really costs a corpus hash. Keep the first (real) sample there.
+    SESSION_CACHED_OUTPUT = {"simhash"}
     prev = _previous_bench()
     remeasured: dict[str, dict[str, float]] = {}
     for name, first in list(timings.items()):
         base = prev.get(name)
-        if name in ITERATIVE or not base or abs(first - base) / base <= 0.20:
+        if (
+            name in ITERATIVE
+            or name in SESSION_CACHED_OUTPUT
+            or not base
+            or abs(first - base) / base <= 0.20
+        ):
             continue
         fn = qs.get(name) or EXTRA[name]
         runs = [first]
