@@ -89,8 +89,8 @@ HEADLINE = [
 
 # Iterative queries (CC / power-iteration loops) have documented ±2 s
 # run-to-run noise on local[32] (SCALE.md) — a single run cannot
-# distinguish noise from regression, so these record the MEDIAN of 3
-# trials within the same session.
+# distinguish noise from regression, so these take 3 trials within the
+# same session (what is KEPT depends on the cache semantics below).
 ITERATIVE = {
     "dedup_clusters",
     "pagerank",
@@ -99,6 +99,39 @@ ITERATIVE = {
     "communities",
     "ngram_lm_serve",
 }
+
+# Uniform timing semantics (round-7 verdict finding 2) — every recorded
+# per-query value is the query's FIRST in-session execution, in bench
+# order, EXCEPT the explicitly-serve-intent entries:
+#
+# - CACHED: coupled to a shared session cache (simhash signature table,
+#   IVF coarse quantizer / PQ codebooks, co-occurrence edge tables —
+#   suite/dedup_q.py:799, suite/graph_q.py:82). The first entry in bench
+#   order that needs a given cache pays its build (cold); later entries
+#   record their warm marginal cost — so the suite TOTAL pays each build
+#   exactly once and no number mixes the two. Extra trials of the
+#   iterative members are recorded under "warm" (median of the warm
+#   re-runs) instead of being folded into the kept value, and CACHED
+#   queries are excluded from the mover re-measure rule (a re-run is
+#   warm, not comparable to the kept cold sample).
+# - SERVE: the metric IS the recurring warm serve cost of a persisted
+#   artifact (docstrings: suite/dedup_q.py q_ann_pq_serve,
+#   suite/textml_q.py q_ngram_lm_serve) — median of 3 so a one-time
+#   build in a cold run doesn't read as the serve cost.
+# - everything else: cold single sample (median of 3 for ITERATIVE),
+#   subject to the mover re-measure rule.
+CACHED = {
+    "simhash",
+    "simhash_pairs",
+    "dedup_clusters",
+    "triangles",
+    "communities",
+    "ann_ivf",
+    "ann_ivf_int8",
+    "ann_pq",
+    "ann_pq_res",
+}
+SERVE = {"ann_pq_serve", "ngram_lm_serve"}
 
 
 def _velocity_sliding_approx(spark, sf_dir):
@@ -121,25 +154,42 @@ EXTRA = {"velocity_sliding_approx": _velocity_sliding_approx}
 
 
 def _previous_bench() -> dict[str, float]:
-    """Per-query timings from the newest BENCH_r*.json next to this file
-    (or $SPARK_GRAFT_BENCH_BASELINE) — the comparison base for the
-    mover re-measure rule. Missing/garbled history just disables it."""
+    """Per-query timings for the mover re-measure rule's baseline:
+    $SPARK_GRAFT_BENCH_BASELINE if set, else the first of
+    [BENCH_LOCAL.json, newest BENCH_r*.json ...] that parses AND was
+    recorded at the CURRENT scale factor (a dev run at sf0.001 must not
+    become the sf0.1 baseline). Missing/garbled history disables it."""
     import glob
 
-    path = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
-    if not path:
-        hist = sorted(glob.glob(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")))
-        path = hist[-1] if hist else None
-    if not path or not os.path.exists(path):
-        return {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
+    if env:
+        candidates = [env]
+    else:
+        candidates = [os.path.join(here, "BENCH_LOCAL.json")] + sorted(
+            glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True
+        )
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
-        with open(path) as f:
-            doc = json.load(f)
-        q = doc.get("parsed", doc).get("queries") or {}
-        return {k: float(v) for k, v in q.items()}
-    except Exception:
-        return {}
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = None
+    for path in candidates:
+        if not os.path.exists(path):
+            continue
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            doc = doc.get("parsed") or doc
+            if str(doc.get("sf")) != sf and doc.get("sf") != sf_num:
+                continue
+            q = doc.get("queries") or {}
+            if not q:  # truncated artifact (r7: "parsed": null) — skip
+                continue
+            return {k: float(v) for k, v in q.items()}
+        except Exception:
+            continue
+    return {}
 
 
 def _quiet_benign_accumulator_errors(spark) -> None:
@@ -177,6 +227,7 @@ def main() -> None:
     # exception). Failures land in "errors" and the process still exits 0
     # with timings for everything that ran.
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs.get(name) or EXTRA[name]
@@ -187,7 +238,13 @@ def main() -> None:
                 t0 = time.time()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 runs.append(round(time.time() - t0, 3))
-            timings[name] = sorted(runs)[len(runs) // 2]  # median
+            if name in CACHED:
+                timings[name] = runs[0]  # first in-session execution
+                if len(runs) > 1:
+                    rest = sorted(runs[1:])
+                    warm[name] = rest[len(rest) // 2]
+            else:
+                timings[name] = sorted(runs)[len(runs) // 2]  # median
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -196,19 +253,15 @@ def main() -> None:
     # drift, so any single-trial query that moved >20% vs the previous
     # recorded bench is re-run twice more in the SAME session and the
     # median of all three is kept, annotated under "remeasured".
-    #
-    # Exception: a query whose OUTPUT is itself a session-cached frame
-    # (q_simhash returns the shared signature table) re-runs as a pure
-    # block read — keeping that median would record ~0s for a query that
-    # really costs a corpus hash. Keep the first (real) sample there.
-    SESSION_CACHED_OUTPUT = {"simhash"}
+    # CACHED queries are excluded — their kept value is the first
+    # in-session execution by definition; a re-run is warm (see above).
     prev = _previous_bench()
     remeasured: dict[str, dict[str, float]] = {}
     for name, first in list(timings.items()):
         base = prev.get(name)
         if (
             name in ITERATIVE
-            or name in SESSION_CACHED_OUTPUT
+            or name in CACHED
             or not base
             or abs(first - base) / base <= 0.20
         ):
@@ -254,11 +307,26 @@ def main() -> None:
     }
     if streaming:
         out["streaming"] = streaming
+    if warm:
+        out["warm"] = warm
     if remeasured:
         out["remeasured"] = remeasured
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Persist locally as well as printing (round-7 verdict finding 1: the
+    # driver's stdout-tail capture truncated the JSON line and the round's
+    # headline number survived only by reconstruction — the printed line
+    # must never be the only copy).
+    art = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    try:
+        with open(art, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:
+        errors["artifact_write"] = str(exc)[:300]
+    print(line)
     spark.stop()
 
 

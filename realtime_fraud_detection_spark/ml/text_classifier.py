@@ -358,6 +358,11 @@ def _local_train_arrays(feats: DataFrame, labels: DataFrame, n_heads: int, gate:
     )
     ft = feats.select("doc", "bucket", "x").toArrow()
     fd = np.asarray(ft.column("doc").to_numpy(zero_copy_only=False))
+    if not np.issubdtype(fd.dtype, np.number):
+        # labels numeric but the FEATURE doc ids are not (mixed-type
+        # inputs): searchsorted below would raise — fall back to the
+        # distributed path like every other unsupported shape
+        return None
     fb = np.asarray(
         ft.column("bucket").to_numpy(zero_copy_only=False), dtype=np.int64
     )

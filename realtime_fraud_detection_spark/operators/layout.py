@@ -56,6 +56,12 @@ def _quantize(col: Column, lo: float, hi: float, bits: int) -> Column:
     NULLs quantize to 0: they cluster into the lowest files rather than
     scattering everywhere (a NULL-filter then prunes to those files)."""
     top = (1 << bits) - 1
+    if lo is not None and hi is not None and hi < lo:
+        # inverted bounds can only come from caller-supplied `bounds` (a
+        # computed min/max always has lo <= hi) — a swapped tuple would
+        # silently flatten this dimension to a constant, destroying its
+        # clustering with no signal, so it's an error, not a degenerate
+        raise ValueError(f"inverted bounds: hi={hi} < lo={lo}")
     if lo is None or hi is None or hi - lo <= 0:
         # all-NULL or constant column — contributes nothing to the order
         return F.lit(0).cast("bigint")

@@ -62,9 +62,13 @@ def _candidates(path: str, box: dict[str, tuple[float, float]]) -> int:
         keep = True
         for col, (lo, hi) in box.items():
             j = names.index(col)
-            mins = [md.row_group(g).column(j).statistics.min for g in range(md.num_row_groups)]
-            maxs = [md.row_group(g).column(j).statistics.max for g in range(md.num_row_groups)]
-            if min(mins) > hi or max(maxs) < lo:
+            stats = [
+                md.row_group(g).column(j).statistics
+                for g in range(md.num_row_groups)
+            ]
+            if any(s is None for s in stats):
+                continue  # stats-less row group: non-prunable on this col
+            if min(s.min for s in stats) > hi or max(s.max for s in stats) < lo:
                 keep = False
                 break
         if keep:
@@ -137,3 +141,14 @@ def test_zorder_wins_the_mixed_workload_and_preserves_results(spark, layouts):
             r["payload"] for r in spark.read.parquet(path).filter(cond).collect()
         )
         assert got == expect
+
+
+def test_inverted_explicit_bounds_raise(spark):
+    """A swapped caller-supplied (hi, lo) tuple must raise, not silently
+    flatten the dimension to a constant (round-7 ADVICE); computed
+    degenerate domains (hi == lo, all-NULL) stay silently constant."""
+    df = spark.createDataFrame([(1, 2)], "a int, b int")
+    with pytest.raises(ValueError, match="inverted"):
+        L.with_zorder_key(
+            df, ["a", "b"], bits=4, bounds={"a": (3.0, 0.0), "b": (0.0, 3.0)}
+        )

@@ -247,3 +247,18 @@ def test_streaming_scoring_matches_batch(spark, toy_model, tmp_path):
     )
     q.awaitTermination(120)
     assert got == batch
+
+
+def test_local_trainer_falls_back_on_nonnumeric_feature_docs(spark):
+    """Mixed doc-id dtypes (string feature docs, numeric label docs):
+    the local collect must return None (distributed fallback) rather
+    than raise inside np.searchsorted (round-7 ADVICE)."""
+    from realtime_fraud_detection_spark.ml.text_classifier import (
+        _local_train_arrays,
+    )
+
+    feats = spark.createDataFrame(
+        [("a", 3, 0.5)], "doc string, bucket int, x double"
+    )
+    labels = spark.createDataFrame([(1, 1.0)], "doc long, y_0 double")
+    assert _local_train_arrays(feats, labels, 1, gate=100) is None

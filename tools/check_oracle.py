@@ -21,6 +21,20 @@ import numpy as np
 import pandas as pd
 
 
+# Rows-only queries whose EMPTY result at a given SF is known-correct
+# (round-7 verdict finding 3: silent zero-rows is a breakage window, so
+# an unexpected empty result now FAILS the preflight instead of warning).
+# communities@sf0.001: the >=2-shared-affinity graph is empty at that
+# scale — pinned non-empty at sf0.01 by tests/test_suite_nonempty.py.
+EXPECTED_EMPTY = {("0.001", "communities")}
+
+
+def _sf_token(sf_dir: str) -> str:
+    import os
+
+    return os.path.basename(os.path.normpath(sf_dir)).removeprefix("sf")
+
+
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in (
@@ -121,10 +135,16 @@ def main() -> int:
             continue
         sql = oracles.get(name)
         if sql is None:
-            status = "rows-only"
-            print(f"OK?   {name}: no oracle ({status}), rows={len(sdf)} [{time.time()-t0:.1f}s]")
-            if len(sdf) == 0:
-                print(f"      WARNING {name}: zero rows")
+            elapsed = f"[{time.time()-t0:.1f}s]"
+            if len(sdf) == 0 and (_sf_token(sf_dir), name) in EXPECTED_EMPTY:
+                print(f"OK?   {name}: no oracle (rows-only), rows=0 "
+                      f"(expected-empty at this SF, pinned) {elapsed}")
+            elif len(sdf) == 0:
+                print(f"FAIL  {name}: rows-only query returned ZERO rows "
+                      f"(not in EXPECTED_EMPTY) {elapsed}")
+                failed.append(name)
+            else:
+                print(f"OK?   {name}: no oracle (rows-only), rows={len(sdf)} {elapsed}")
             continue
         try:
             odf = con.execute(sql).fetchdf()

@@ -480,8 +480,15 @@ def main() -> None:
             md = pq.ParquetFile(f).metadata
             names = [md.schema.column(i).name for i in range(md.num_columns)]
             j = names.index("b")
-            mn = min(md.row_group(g).column(j).statistics.min for g in range(md.num_row_groups))
-            mx = max(md.row_group(g).column(j).statistics.max for g in range(md.num_row_groups))
+            stats = [
+                md.row_group(g).column(j).statistics
+                for g in range(md.num_row_groups)
+            ]
+            if any(s is None for s in stats):
+                cands += 1  # stats-less row group: non-prunable, always read
+                continue
+            mn = min(s.min for s in stats)
+            mx = max(s.max for s in stats)
             if mn <= hi and mx >= lo:
                 cands += 1
         print(
