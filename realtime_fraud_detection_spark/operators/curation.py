@@ -11,9 +11,15 @@ rather than individual operators:
 
 Every stage is one of this repo's tested operators; this module only
 sequences them and counts what each gate removed (driver state = a few
-scalars — the funnel report). Stage counts force one action per stage;
-pass `report=False` to build the plan fully lazily instead (one action
-total downstream, no intermediate counts).
+scalars — the funnel report). Under `report=True` every stage boundary
+is a LAZY localCheckpoint that the funnel count materializes (the
+iterative-loop discipline: one action per stage, no plan growth), and
+stage k−1's blocks are freed once stage k lands — without this, each
+count replayed the ENTIRE upstream gate chain from the scan (the
+round-8 composed-funnel probe measured the replay at ~6× the useful
+work before any data even got large). Pass `report=False` to build the
+plan fully lazily instead (one action total downstream, no intermediate
+counts, no checkpoints).
 """
 
 from __future__ import annotations
@@ -23,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, quality_score
 from . import quality as Q
+from .scaling import RollingCheckpoint
 
 
 def clean_corpus(
@@ -42,13 +49,24 @@ def clean_corpus(
     count (empty when `report=False`). Survivor choice is deterministic
     everywhere (min id per fingerprint / component)."""
     funnel: dict[str, int] = {}
+    chain = RollingCheckpoint(docs.sparkSession)
 
     def note(stage: str, df: DataFrame) -> DataFrame:
         if report:
+            # lazy checkpoint materialized by the funnel count; older
+            # stages freed once this one lands (the returned frame is
+            # always the NEWEST generation, so it stays valid)
+            df = chain.roll(df)
             funnel[stage] = df.count()
+            chain.free_prev()
         return df
 
-    out = note("input", docs)
+    # the input count alone never justifies checkpointing the full raw
+    # corpus — a re-scan is cheaper than doubling the biggest table's
+    # block residency
+    if report:
+        funnel["input"] = docs.count()
+    out = docs
 
     out = note(
         "quality_gate",

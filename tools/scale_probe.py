@@ -75,7 +75,7 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     all_stages = (
         "minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,"
-        "ivfpq,sketch,hotkey,layout"
+        "ivfpq,sketch,hotkey,layout,funnel"
     )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
@@ -234,6 +234,36 @@ def main() -> None:
             fn()
         except Exception as e:  # noqa: BLE001 — probe tool, report + continue
             print(f"{name}=FAILED {type(e).__name__}: {str(e).splitlines()[0][:160]}")
+
+    if "funnel" in stages:
+        # the COMPOSED curation pipeline — one call, every gate that can
+        # discriminate on this corpus. The per-stage probes above bound
+        # each family alone; this row is the interaction test
+        # (checkpointed word tables + the simhash band table + CC rolling
+        # checkpoints coexisting in one heap), which is where composed
+        # pipelines OOM first. c4=False: the fixture docs are single-line
+        # with no terminal punctuation, so C4's >=3-kept-lines rule
+        # degenerates to an empty corpus here (its line-stats COST is
+        # measured in the `quality` stage, which runs c4_line_stats on
+        # the same corpus).
+        from realtime_fraud_detection_spark.operators import curation as CU
+
+        def _funnel():
+            t0 = time.time()
+            clean, funnel = CU.clean_corpus(
+                docs,
+                id_col="doc_id",
+                c4=False,
+                near_dup=True,
+                strip_boilerplate=True,
+            )
+            clean.write.format("noop").mode("overwrite").save()
+            print(
+                f"clean_corpus={time.time() - t0:.1f}s "
+                + " ".join(f"{k}={v}" for k, v in funnel.items())
+            )
+
+        _guarded("clean_corpus", _funnel)
 
     if "graphx" in stages:
         from realtime_fraud_detection_spark.operators import graph as G
