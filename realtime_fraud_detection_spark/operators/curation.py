@@ -41,13 +41,22 @@ def clean_corpus(
     c4: bool = True,
     near_dup: bool = False,
     max_hamming: int = 4,
+    max_bucket_size: int | None = None,
     strip_boilerplate: bool = False,
     boilerplate_min_docs: int = 2,
     report: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """(clean_docs, funnel) — `funnel` maps stage name → surviving doc
     count (empty when `report=False`). Survivor choice is deterministic
-    everywhere (min id per fingerprint / component)."""
+    everywhere (min id per fingerprint / component).
+
+    `max_bucket_size` caps the simhash band buckets of the near-dup
+    stage (passed through to
+    :func:`dedup.simhash_near_dup_pairs`) — None keeps the exhaustive
+    Hamming-ball guarantee; at corpus scale a hot band value (e.g. the
+    all-zero band of very short docs) makes pair generation quadratic in
+    that bucket, so production sets a cap and accepts the deterministic
+    candidate drop (the SCALE.md hot-key rule)."""
     funnel: dict[str, int] = {}
     chain = RollingCheckpoint(docs.sparkSession)
 
@@ -100,7 +109,11 @@ def clean_corpus(
         from . import dedup as D
 
         pairs = D.simhash_near_dup_pairs(
-            out, text_col, id_col, max_hamming=max_hamming
+            out,
+            text_col,
+            id_col,
+            max_hamming=max_hamming,
+            max_bucket_size=max_bucket_size,
         )
         comp = C.connected_components(
             pairs, vertices=out.select(id_col), vertex_col=id_col

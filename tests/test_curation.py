@@ -155,3 +155,17 @@ def test_incremental_curation_via_corpus_diff(spark):
     assert {r["doc_id"] for r in incremental.select("doc_id").collect()} == {
         r["doc_id"] for r in full.select("doc_id").collect()
     }
+
+
+def test_bucket_cap_passthrough(spark):
+    """max_bucket_size reaches the near-dup pair generator: a huge cap is
+    a no-op (same survivors as uncapped); a cap of 1 suppresses every
+    band bucket, so no pairs form and near_dup removes nothing."""
+    docs = _docs(spark)
+    base, f_base = clean_corpus(docs, c4=False, near_dup=True)
+    huge, f_huge = clean_corpus(
+        docs, c4=False, near_dup=True, max_bucket_size=10_000_000
+    )
+    assert f_huge["near_dup"] == f_base["near_dup"]
+    _, f_one = clean_corpus(docs, c4=False, near_dup=True, max_bucket_size=1)
+    assert f_one["near_dup"] == f_one["exact_dedup"]
