@@ -111,6 +111,14 @@ def run(
         steady = progress[1:] or progress
         steady_rows = sum(p["numInputRows"] for p in steady)
         steady_ms = sum(p["durationMs"]["triggerExecution"] for p in steady)
+        # per-micro-batch commit latency (trigger start -> all 4 sinks
+        # committed). NOT the same quantity as the reference's claimed
+        # 85 ms PER-EVENT latency: a micro-batch engine amortizes tens of
+        # thousands of events per commit, so its per-event freshness is
+        # bounded by the batch latency while its throughput is rows/batch
+        # ÷ these numbers. Reported so the latency half of BASELINE.md
+        # has a measured counterpart with the semantics stated.
+        batch_ms = sorted(p["durationMs"]["triggerExecution"] for p in steady)
         return {
             "metric": "streaming_tps",
             "value": round(steady_rows / (steady_ms / 1000.0), 1),
@@ -119,6 +127,9 @@ def run(
             "batches": len(progress),
             "wall_s": round(wall, 2),
             "total_tps": round(rows / wall, 1),
+            "batch_commit_ms_p50": batch_ms[len(batch_ms) // 2],
+            "batch_commit_ms_max": batch_ms[-1],
+            "events_per_batch": round(steady_rows / max(1, len(steady))),
             "reference_claim_tps": 15_000,
             "pipeline": "json-parse -> enrich -> features -> score -> 4-sink fan-out",
         }
@@ -135,6 +146,23 @@ def main() -> None:
     args = [int(a) for a in sys.argv[1:4]]
     n_events, n_batches, files_per_batch = tuple(args) + DEFAULTS[len(args):]
     result = run(spark, n_events, n_batches, files_per_batch)
+    # latency counterpart (BASELINE.md claims 85 ms average end-to-end):
+    # the same topology driven at SMALL batches (1 file/trigger, ~200
+    # events) measures the micro-batch commit floor — the freshness bound
+    # a micro-batch engine offers. Semantics differ from a
+    # record-at-a-time engine's per-event latency and are stated in the
+    # artifact rather than papered over.
+    lat = run(spark, n_events=6_000, n_batches=30, files_per_batch=1)
+    result["latency"] = {
+        "batch_commit_ms_p50": lat["batch_commit_ms_p50"],
+        "batch_commit_ms_max": lat["batch_commit_ms_max"],
+        "events_per_batch": lat["events_per_batch"],
+        "semantics": (
+            "micro-batch commit floor at ~200-event batches (trigger "
+            "start -> all 4 sinks committed); reference's 85 ms claim "
+            "is per-event on a record-at-a-time engine"
+        ),
+    }
     line = json.dumps(result)
     print(line)
     out = os.path.join(
