@@ -18,6 +18,7 @@ visibility is what Delta/Iceberg add in production.)
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 
@@ -25,6 +26,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import pipeline as P
+
+# Target write-task rows for COMPACTION (compact_sink_batches): ~100-200
+# MB parquet at these row widths. Inline write-width management was
+# built, measured, and REJECTED: on the full-size streaming bench
+# (122k-row batches) the natural input-width write runs 34.4k TPS;
+# sizing the write inline cost 22.8k TPS as a coalesce (it collapses the
+# narrow chain, so per-sink projection compute above the cache ran at
+# the write width) and 17.2k TPS as a repartition (one extra exchange +
+# stage per sink per batch — Delta's optimizedWrite shuffle, which pays
+# off only when executors are otherwise busy, not on an idle local box).
+# Micro-batch sinks therefore write at natural width, and the
+# small-files debt (measured: 16 files x 4 sinks per batch, 45 KB alert
+# files — ~1.1M files/day at a 5 s cadence) is retired OFFLINE by
+# compact_sink_batches, the same consume-then-delete maintenance pattern
+# as compact_hourly_rollups. Compaction sizes its output files from the
+# consumed partitions' actual BYTES (the filesystem already knows them —
+# no extra scan), so the target is bytes-true rather than a row proxy.
+SINK_TARGET_FILE_BYTES = 128 << 20
+
+
+def _bytes_width(n_bytes: int) -> int:
+    return max(1, math.ceil(n_bytes / SINK_TARGET_FILE_BYTES))
 
 
 def _read_store(spark, path: str) -> DataFrame | None:
@@ -112,6 +135,70 @@ def multi_sink_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
 
 def _rollup_partitions(path: str) -> list[str]:
     return [d for d in os.listdir(path) if d.startswith("batch_id=")]
+
+
+def compact_sink_batches(
+    spark,
+    out_dir: str,
+    sink: str,
+    max_batch_id: int | None = None,
+    target_file_bytes: int = SINK_TARGET_FILE_BYTES,
+) -> int:
+    """Rewrite a ROW-PRESERVING sink's per-batch partitions (fraud_alerts /
+    transaction_enriched / transaction_features) as one size-targeted
+    compacted generation — the offline answer to the micro-batch
+    small-files debt (see the module-top measurement: inline write-width
+    management cost 34-50% TPS, so the write path stays natural-width and
+    this maintenance job retires the file count periodically).
+
+    Same consume-then-delete contract as :func:`compact_hourly_rollups`:
+    only the partitions that existed when the compaction STARTED (and are
+    ``<= max_batch_id``) are consumed, the result lands as a fresh
+    negative-id partition via directory rename, then only the consumed
+    partitions are deleted — concurrent appends are never lost. Pass the
+    checkpoint's last committed batch id as ``max_batch_id``: a batch the
+    stream could still replay must keep its own partition (replay
+    idempotency is the per-batch dynamic overwrite), while a committed
+    batch is never replayed and may be folded. Prior compaction outputs
+    (negative ids) are re-consumed, so repeated compactions converge to
+    one generation.
+
+    Output width comes from the consumed partitions' actual bytes
+    (``target_file_bytes`` per file, filesystem-stat'd — no extra scan)
+    and the rewrite is a shuffle-free ``coalesce`` (a compaction is pure
+    scan+encode; there is no upstream compute to keep parallel). Returns
+    the number of compacted rows."""
+    import shutil
+
+    path = os.path.join(out_dir, sink)
+    consumed = _rollup_partitions(path)
+    if max_batch_id is not None:
+        consumed = [d for d in consumed if int(d.split("=", 1)[1]) <= max_batch_id]
+    if not consumed:
+        return 0
+    ids = [int(d.split("=", 1)[1]) for d in consumed]
+    gen = min(-1, min(ids) - 1)  # fresh negative id below any prior compaction
+    n_bytes = sum(
+        os.path.getsize(os.path.join(root, f))
+        for d in consumed
+        for root, _, fs in os.walk(os.path.join(path, d))
+        for f in fs
+    )
+    compacted = (
+        spark.read.option("basePath", path)
+        .parquet(*[os.path.join(path, d) for d in consumed])
+        .drop("batch_id")
+        .coalesce(_bytes_width(n_bytes))
+    )
+    tmp = path + ".compacting"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    compacted.write.mode("overwrite").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    os.rename(tmp, os.path.join(path, f"batch_id={gen}"))
+    for d in consumed:
+        shutil.rmtree(os.path.join(path, d))
+    return n
 
 
 def compact_hourly_rollups(spark, out_dir: str, max_batch_id: int | None = None) -> int:

@@ -126,3 +126,75 @@ def test_compaction_respects_committed_batch_ceiling(spark, fraud_data, tmp_path
     write(b1, 1)  # crash-replay of the uncommitted batch
     after = _view_frame(spark, out)
     assert (before["tx_count"] == after["tx_count"]).all()
+
+
+def test_compact_sink_batches_folds_files_and_preserves_rows(
+    spark, fraud_data, tmp_path
+):
+    """The offline small-files answer: per-batch partitions written at
+    natural width fold into ONE size-targeted negative-id generation with
+    identical rows (bit-level content checked on the key column set)."""
+    import glob
+
+    from realtime_fraud_detection_spark.streaming.sinks import (
+        SINK_TARGET_FILE_BYTES,
+        _bytes_width,
+        compact_sink_batches,
+    )
+
+    assert _bytes_width(0) == 1
+    assert _bytes_width(SINK_TARGET_FILE_BYTES) == 1
+    assert _bytes_width(SINK_TARGET_FILE_BYTES + 1) == 2
+
+    out = str(tmp_path / "out")
+    write = multi_sink_writer(out)
+    batch = _scored(fraud_data).repartition(8)  # wide input = many files
+    b0 = batch.filter(F.abs(F.hash("user_id")) % 2 == 0)
+    b1 = batch.filter(F.abs(F.hash("user_id")) % 2 == 1)
+    write(b0, 0)
+    write(b1, 1)
+
+    path = os.path.join(out, "transaction_enriched")
+    before_files = glob.glob(os.path.join(path, "batch_id=*", "part-*"))
+    assert len(before_files) > 2  # the debt exists
+    before = spark.read.parquet(path)
+    before_ids = {r["transaction_id"] for r in before.select("transaction_id").collect()}
+
+    n = compact_sink_batches(spark, out, "transaction_enriched", max_batch_id=1)
+    assert n == len(before_ids)
+    after = spark.read.parquet(path)
+    assert {r["transaction_id"] for r in after.select("transaction_id").collect()} == before_ids
+    parts = os.listdir(path)
+    assert parts == ["batch_id=-1"]
+    assert len(glob.glob(os.path.join(path, "batch_id=-1", "part-*"))) == 1
+
+
+def test_compaction_respects_committed_watermark(spark, fraud_data, tmp_path):
+    """Only batches the checkpoint has committed may be folded: an
+    uncommitted batch keeps its own partition so a crash-replay still
+    overwrites idempotently; a later compaction re-consumes the prior
+    negative generation and converges."""
+    from realtime_fraud_detection_spark.streaming.sinks import (
+        compact_sink_batches,
+    )
+
+    out = str(tmp_path / "out")
+    write = multi_sink_writer(out)
+    batch = _scored(fraud_data)
+    b0 = batch.filter(F.abs(F.hash("user_id")) % 2 == 0)
+    b1 = batch.filter(F.abs(F.hash("user_id")) % 2 == 1)
+    write(b0, 0)
+    write(b1, 1)
+    path = os.path.join(out, "transaction_enriched")
+    total = spark.read.parquet(path).count()
+
+    # only batch 0 is committed; batch 1 might still replay
+    compact_sink_batches(spark, out, "transaction_enriched", max_batch_id=0)
+    assert sorted(os.listdir(path)) == ["batch_id=-1", "batch_id=1"]
+    write(b1, 1)  # crash-replay of the uncommitted batch: converges
+    assert spark.read.parquet(path).count() == total
+
+    # batch 1 commits; the next compaction folds it with generation -1
+    compact_sink_batches(spark, out, "transaction_enriched", max_batch_id=1)
+    assert os.listdir(path) == ["batch_id=-2"]
+    assert spark.read.parquet(path).count() == total
