@@ -132,6 +132,26 @@ def main() -> None:
         f"rings={n_rings}  largest_ring={top['ring_actors']} users  "
         f"distinct-user est (hourly sketches)={du}"
     )
+
+    # maintenance: retire the run's small-files debt offline (the write
+    # path stays natural-width — SCALE.md "sink file sizing"); the
+    # listener's last committed batch id is the replay guard
+    import glob
+
+    from realtime_fraud_detection_spark.streaming.sinks import (
+        compact_sink_batches,
+    )
+
+    committed = max(b["batch_id"] for b in listener.snapshot())
+    enriched_glob = os.path.join(out, "transaction_enriched", "batch_id=*", "part-*")
+    pre_files = len(glob.glob(enriched_glob))
+    n_rows = compact_sink_batches(
+        spark, out, "transaction_enriched", max_batch_id=committed
+    )
+    print(
+        f"compaction: {pre_files} enriched files -> "
+        f"{len(glob.glob(enriched_glob))} ({n_rows} rows, one generation)"
+    )
     spark.stop()
 
 
