@@ -134,6 +134,10 @@ def multi_sink_writer(out_dir: str) -> Callable[[DataFrame, int], None]:
 
 
 def _rollup_partitions(path: str) -> list[str]:
+    # a sink that never received a batch has nothing to compact — the
+    # maintenance jobs are schedulable before first data arrives
+    if not os.path.isdir(path):
+        return []
     return [d for d in os.listdir(path) if d.startswith("batch_id=")]
 
 

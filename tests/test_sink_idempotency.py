@@ -198,3 +198,14 @@ def test_compaction_respects_committed_watermark(spark, fraud_data, tmp_path):
     compact_sink_batches(spark, out, "transaction_enriched", max_batch_id=1)
     assert os.listdir(path) == ["batch_id=-2"]
     assert spark.read.parquet(path).count() == total
+
+
+def test_compaction_on_missing_or_empty_sink_is_noop(spark, tmp_path):
+    from realtime_fraud_detection_spark.streaming.sinks import (
+        compact_sink_batches,
+    )
+
+    out = str(tmp_path / "never_written")
+    assert compact_sink_batches(spark, out, "transaction_enriched") == 0
+    os.makedirs(os.path.join(out, "transaction_enriched"))
+    assert compact_sink_batches(spark, out, "transaction_enriched") == 0
