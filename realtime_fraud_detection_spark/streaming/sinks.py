@@ -146,7 +146,6 @@ def compact_sink_batches(
     out_dir: str,
     sink: str,
     max_batch_id: int | None = None,
-    target_file_bytes: int = SINK_TARGET_FILE_BYTES,
 ) -> int:
     """Rewrite a ROW-PRESERVING sink's per-batch partitions (fraud_alerts /
     transaction_enriched / transaction_features) as one size-targeted
@@ -168,41 +167,16 @@ def compact_sink_batches(
     one generation.
 
     Output width comes from the consumed partitions' actual bytes
-    (``target_file_bytes`` per file, filesystem-stat'd — no extra scan)
-    and the rewrite is a shuffle-free ``coalesce`` (a compaction is pure
-    scan+encode; there is no upstream compute to keep parallel). Returns
-    the number of compacted rows."""
-    import shutil
-
-    path = os.path.join(out_dir, sink)
-    consumed = _rollup_partitions(path)
-    if max_batch_id is not None:
-        consumed = [d for d in consumed if int(d.split("=", 1)[1]) <= max_batch_id]
-    if not consumed:
-        return 0
-    ids = [int(d.split("=", 1)[1]) for d in consumed]
-    gen = min(-1, min(ids) - 1)  # fresh negative id below any prior compaction
-    n_bytes = sum(
-        os.path.getsize(os.path.join(root, f))
-        for d in consumed
-        for root, _, fs in os.walk(os.path.join(path, d))
-        for f in fs
+    (``SINK_TARGET_FILE_BYTES`` per file, filesystem-stat'd — no extra
+    scan) and the rewrite is a shuffle-free ``coalesce`` (a compaction
+    is pure scan+encode; there is no upstream compute to keep parallel).
+    This is the pipeline-sink face of :func:`compact_store` — one
+    mechanism compacts the scoring sinks and the ingest stores (band /
+    fingerprint / vector / clean-docs indexes) alike. Returns the number
+    of compacted rows."""
+    return compact_store(
+        spark, os.path.join(out_dir, sink), max_batch_id=max_batch_id
     )
-    compacted = (
-        spark.read.option("basePath", path)
-        .parquet(*[os.path.join(path, d) for d in consumed])
-        .drop("batch_id")
-        .coalesce(_bytes_width(n_bytes))
-    )
-    tmp = path + ".compacting"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    compacted.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    os.rename(tmp, os.path.join(path, f"batch_id={gen}"))
-    for d in consumed:
-        shutil.rmtree(os.path.join(path, d))
-    return n
 
 
 def compact_hourly_rollups(spark, out_dir: str, max_batch_id: int | None = None) -> int:
@@ -770,7 +744,7 @@ def compact_store(
     spark,
     path: str,
     max_batch_id: int | None = None,
-    target_files: int = 8,
+    target_files: int | None = None,
     distinct: bool = False,
 ) -> int:
     """Row-preserving compaction for the batch-partitioned STORES the
@@ -791,7 +765,10 @@ def compact_store(
     (`distinct=True` additionally drops exact duplicate rows — safe for
     idempotent index tables like band and fingerprint sets, where a
     compaction racing a writer crash can only lose the dedup, never a
-    row). Returns the compacted row count.
+    row). `target_files=None` (the default) sizes the output from the
+    consumed partitions' actual BYTES — SINK_TARGET_FILE_BYTES per file,
+    filesystem-stat'd, no extra scan; pass an explicit count to pin the
+    width instead. Returns the compacted row count.
     """
     import shutil
 
@@ -802,6 +779,15 @@ def compact_store(
         return 0
     ids = [int(d.split("=", 1)[1]) for d in consumed]
     gen = min(-1, min(ids) - 1)
+    if target_files is None:
+        target_files = _bytes_width(
+            sum(
+                os.path.getsize(os.path.join(root, f))
+                for d in consumed
+                for root, _, fs in os.walk(os.path.join(path, d))
+                for f in fs
+            )
+        )
     df = spark.read.option("basePath", path).parquet(
         *[os.path.join(path, d) for d in consumed]
     ).drop("batch_id")
