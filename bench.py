@@ -85,6 +85,8 @@ HEADLINE = [
     # the recurring cost of ngram_lm's build+score; medians 3 runs so
     # the one-time LM build doesn't read as the serve cost)
     "ngram_lm_serve",
+    # round-8: hybrid retrieval (BM25 + brute-force cosine fused by RRF)
+    "hybrid_search",
 ]
 
 # Iterative queries (CC / power-iteration loops) have documented ±2 s

@@ -140,6 +140,83 @@ def bm25_rank(
     )
 
 
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    k: int = 60,
+    top_k: int | None = None,
+    weights: dict[str, float] | None = None,
+    q_col: str = "q_id",
+    doc_col: str = "doc",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion of per-query ranked lists (Cormack, Clarke &
+    Buettcher, SIGIR 2009) — the standard way to combine lexical (BM25) and
+    vector (ANN) retrieval into one hybrid ranking without score
+    calibration:
+
+        rrf(q, d) = Σ_s w_s / (k + rank_s(q, d))
+
+    over the sources s where d appears in q's list; k=60 is the paper's
+    constant. Each input frame is a ranked list (q_col, doc_col, rank_col)
+    with rank unique per (query, doc) within its source — exactly the
+    output shape of :func:`bm25_rank` and `similarity.brute_force_topk`.
+
+    Returns (q_id, doc, rrf_score, rank, <source>_rank...) — fused rank is
+    tie-broken by doc id; a doc missing from one source carries a NULL
+    source rank and simply contributes nothing for it.
+
+    Determinism: each contribution w/(k+rank) is a per-row double rounded
+    into DECIMAL(20,16) before the sum, so the fused score is an exact
+    order-insensitive decimal sum (the suite's decimal-sum rule) — the
+    ranking never depends on float accumulation order across sources or
+    partitions.
+
+    Scale shape: the inputs are already per-query top-k tables (k·|queries|
+    rows, corpus-independent), so fusion is one union + one map-side-
+    combined hash aggregate on (q_id, doc) + a per-query window over ≤
+    Σ_s k_s candidates. The corpus itself is never touched — hybrid search
+    at 100 TB costs whatever the underlying retrievers cost, plus this
+    epsilon.
+    """
+    weights = weights or {}
+    parts = []
+    for name, df in rankings.items():
+        w = float(weights.get(name, 1.0))
+        parts.append(
+            df.select(
+                F.col(q_col).alias("q_id"),
+                F.col(doc_col).alias("doc"),
+                F.lit(name).alias("_src"),
+                F.col(rank_col).cast("int").alias("_rank"),
+                (F.lit(w) / (F.lit(float(k)) + F.col(rank_col)))
+                .cast("decimal(20,16)")
+                .alias("_contrib"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    aggs = [F.sum("_contrib").alias("_score")]
+    for name in rankings:
+        aggs.append(
+            F.min(F.when(F.col("_src") == name, F.col("_rank"))).alias(
+                f"{name}_rank"
+            )
+        )
+    fused = u.groupBy("q_id", "doc").agg(*aggs)
+    w_rank = Window.partitionBy("q_id").orderBy(F.desc("_score"), F.asc("doc"))
+    out = fused.withColumn("rank", F.row_number().over(w_rank))
+    if top_k is not None:
+        out = out.filter(F.col("rank") <= top_k)
+    return out.select(
+        "q_id",
+        "doc",
+        F.round(F.col("_score").cast("double"), 6).alias("rrf_score"),
+        "rank",
+        *[f"{name}_rank" for name in rankings],
+    )
+
+
 def vocab_summary(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """One-row corpus summary: vocabulary size, total tokens, hapax count
     (terms occurring once — the long-tail mass a tokenizer won't merge),

@@ -1060,6 +1060,35 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_rank(docs, queries, top_k=5).orderBy("q_id", "rank")
 
 
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical + brute-force cosine vector ranking fused
+# with reciprocal-rank fusion (operators/corpus.rrf_fuse). Queries are the
+# bm25_search query set (every 97th document), each carrying BOTH its first-4-
+# token text query and its own embedding (doc_id == vec_id in the fixtures).
+# Rows-only (the oracle window is full; BM25 ranks are transcendental-score-
+# derived anyway) — exact-replay parity is pinned by
+# tests/test_hybrid_search.py.
+# ---------------------------------------------------------------------------
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import bm25_rank, rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = docs.filter("doc_id % 97 = 0").selectExpr(
+        "doc_id AS q_id",
+        "concat_ws(' ', slice(split(trim(regexp_replace(lower(text), "
+        "'[^a-z0-9]+', ' ')), ' '), 1, 4)) AS query",
+    )
+    lex = bm25_rank(docs, queries, top_k=20).select("q_id", "doc", "rank")
+    vec = SIM.brute_force_topk(
+        emb, emb.filter("vec_id % 97 = 0"), k=20
+    ).select(
+        F.col("qid").alias("q_id"), F.col("nid").alias("doc"), "rank"
+    )
+    fused = rrf_fuse({"lex": lex, "vec": vec}, k=60, top_k=10)
+    return fused.orderBy("q_id", "rank")
+
+
 # Every oracle-backed query must sit within the driver's 50-entry check
 # window (dict insertion order across suite modules) — the two
 # approximate-by-construction ANN queries are rows-only and go LAST.
@@ -1088,6 +1117,7 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "duplicate_spans": q_duplicate_spans,
     "bm25_search": q_bm25_search,
+    "hybrid_search": q_hybrid_search,
 }
 
 ORACLES = {
