@@ -86,7 +86,9 @@ HEADLINE = [
     # the one-time LM build doesn't read as the serve cost)
     "ngram_lm_serve",
     # round-8: hybrid retrieval (BM25 + brute-force cosine fused by RRF)
+    # and token-budget mixture materialization
     "hybrid_search",
+    "token_budget_mix",
 ]
 
 # Iterative queries (CC / power-iteration loops) have documented ±2 s

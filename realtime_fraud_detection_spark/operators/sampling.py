@@ -111,6 +111,81 @@ def shuffle_rank(id_col: str, epoch: int = 0, seed: str = "shuffle:") -> Column:
     )
 
 
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    group_col: str,
+    token_col: str,
+    id_col: str,
+    default_budget: int = 0,
+    seed: str = "mix:",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Materialize a token-budget mixture: per group (domain / language /
+    source), keep documents in a deterministic pseudo-random order until the
+    group's token budget is reached — how a pretraining mixture spec
+    ("300B tokens web, 30B code, ...") is actually realized over a corpus.
+
+    A document is kept iff the exact token count of the documents BEFORE it
+    in the group's salted-md5 order is still under the budget — so the
+    selection is the minimal prefix reaching >= budget (the whole group if
+    it has fewer tokens), it is integer-exact and engine-independent, and
+    it is nested: a smaller budget's selection is a prefix (subset) of a
+    larger one's, the same reproducibility law as `stratified_sample`.
+
+    Scale shape — exact prefix sums WITHOUT a per-group single-reducer
+    sort: the order key is a 60-bit md5, so its top bits split every group
+    into `n_buckets` hash-ordered sub-ranges. One map-side-combined
+    aggregate computes (group, bucket) token totals (a groups×buckets-row
+    table), a broadcast-sized window turns them into exclusive bucket
+    offsets, and the running sum inside each (group, bucket) window adds
+    the offset — the widest sort is a group's 1/n_buckets slice, not the
+    group. A hot domain at 100 TB therefore spreads over `n_buckets`
+    tasks; raise `n_buckets` (any power of two up to 2^60) to spread it
+    thinner.
+    """
+    if n_buckets < 1 or n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    shift = 60 - n_buckets.bit_length() + 1
+    for k, v in budgets.items():
+        if v < 0:
+            raise ValueError(f"budget for {k!r} must be >= 0, got {v}")
+    h = md5_bigint(F.col(id_col).cast("string"), salt=seed)
+    base = df.withColumn("_h", h).withColumn(
+        "_bucket", F.shiftright(F.col("_h"), shift)
+    )
+    totals = base.groupBy(group_col, "_bucket").agg(
+        F.sum(token_col).alias("_btok")
+    )
+    w_off = (
+        Window.partitionBy(group_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        group_col,
+        "_bucket",
+        F.coalesce(F.sum("_btok").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    budget = F.lit(int(default_budget))
+    for k, v in sorted(budgets.items()):
+        budget = F.when(F.col(group_col) == k, F.lit(int(v))).otherwise(budget)
+    w_run = (
+        Window.partitionBy(group_col, "_bucket")
+        .orderBy(F.asc("_h"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.col("_offset") + F.coalesce(
+        F.sum(token_col).over(w_run), F.lit(0)
+    )
+    return (
+        base.join(F.broadcast(offsets), [group_col, "_bucket"])
+        .withColumn("_prev", prev)
+        .filter(F.col("_prev") < budget)
+        .drop("_h", "_bucket", "_offset", "_prev")
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

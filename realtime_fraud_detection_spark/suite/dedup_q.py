@@ -1089,6 +1089,26 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy("q_id", "rank")
 
 
+# ---------------------------------------------------------------------------
+# Token-budget mixture materialization (operators/sampling.token_budget_sample)
+# — per-language char budgets realized as the minimal hash-ordered prefix.
+# Rows-only (the oracle window is full); bit-exact DuckDB parity of the
+# selection is pinned by tests/test_token_budget.py.
+# ---------------------------------------------------------------------------
+_MIX_BUDGETS = {"en": 20000, "fr": 10000, "de": 8000, "es": 10000, "zh": 6000}
+
+
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import token_budget_sample
+
+    docs = _docs(spark, sf_dir)
+    picked = token_budget_sample(
+        docs, _MIX_BUDGETS, group_col="lang", token_col="n_chars",
+        id_col="doc_id",
+    )
+    return picked.select("doc_id", "lang", "n_chars").orderBy("doc_id")
+
+
 # Every oracle-backed query must sit within the driver's 50-entry check
 # window (dict insertion order across suite modules) — the two
 # approximate-by-construction ANN queries are rows-only and go LAST.
@@ -1118,6 +1138,7 @@ QUERIES = {
     "duplicate_spans": q_duplicate_spans,
     "bm25_search": q_bm25_search,
     "hybrid_search": q_hybrid_search,
+    "token_budget_mix": q_token_budget_mix,
 }
 
 ORACLES = {
