@@ -1197,3 +1197,78 @@ def ivf_pq_topk(
     return exact.withColumn("rank", F.row_number().over(w2)).filter(
         F.col("rank") <= k
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    q_col: str = "qid",
+    doc_col: str = "nid",
+    rel_col: str = "relevance",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking of per-query candidate lists
+    (Carbonell & Goldstein, SIGIR 1998) — the standard post-retrieval
+    diversification step: greedily pick the candidate maximizing
+
+        lam * relevance(d)  -  (1 - lam) * max_{s in selected} cos(d, s)
+
+    so near-duplicate hits are demoted in favor of novel ones. lam=1 is
+    plain relevance order; lam=0 is pure diversity.
+
+    Input: (q_col, doc_col, rel_col, vec_col) — a retriever's top-k table
+    (e.g. `brute_force_topk` output joined back to its vectors, or a
+    `corpus.rrf_fuse` result). Output: (q, doc, relevance, novelty_penalty,
+    mmr_rank) with novelty_penalty = the max cosine to previously selected
+    docs at pick time (0.0 for the first pick).
+
+    The greedy loop is inherently sequential PER QUERY but each group is a
+    candidate list (tens of rows, corpus-independent), so this runs as one
+    `applyInPandas` over query groups — an Arrow-batched crossing sized by
+    |queries| x k, never the corpus; ties break by doc id. At 100 TB the
+    cost lives entirely in the upstream retriever.
+    """
+    import numpy as np
+
+    out_fields = []
+    for f in candidates.schema.fields:
+        if f.name in (q_col, doc_col, rel_col):
+            out_fields.append(f"{f.name} {f.dataType.simpleString()}")
+    schema = (
+        ", ".join(out_fields)
+        + ", novelty_penalty double, mmr_rank int"
+    )
+
+    def _mmr(pdf):
+        pdf = pdf.sort_values(doc_col, kind="mergesort").reset_index(drop=True)
+        v = np.array([np.asarray(x, dtype=np.float64) for x in pdf[vec_col]])
+        norms = np.sqrt((v * v).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        n = len(pdf)
+        selected: list[int] = []
+        penalties: list[float] = []
+        remaining = list(range(n))
+        while remaining and len(selected) < k:
+            best, best_score, best_pen = None, None, 0.0
+            for i in remaining:
+                if selected:
+                    sims = (v[selected] @ v[i]) / (norms[selected] * norms[i])
+                    pen = float(np.max(sims))
+                else:
+                    pen = 0.0
+                score = lam * float(rel[i]) - (1.0 - lam) * pen
+                # strict > keeps the lowest doc id on ties (remaining is
+                # doc-id-ordered)
+                if best is None or score > best_score:
+                    best, best_score, best_pen = i, score, pen
+            selected.append(best)
+            penalties.append(best_pen)
+            remaining.remove(best)
+        out = pdf.iloc[selected][[q_col, doc_col, rel_col]].copy()
+        out["novelty_penalty"] = [round(p, 6) for p in penalties]
+        out["mmr_rank"] = range(1, len(selected) + 1)
+        return out
+
+    return candidates.groupBy(q_col).applyInPandas(_mmr, schema)
