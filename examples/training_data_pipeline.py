@@ -140,6 +140,21 @@ def main() -> None:
     n_sampled = packed.count()
     n_seqs = packed.select("lang", "seq_id").distinct().count()
 
+    # 4c2. the other mixture law: absolute per-language TOKEN budgets
+    # ("the spec says 3k en tokens, 1.5k each otherwise") realized as the
+    # minimal hash-ordered prefix — exact, nested, and skew-proof via
+    # bucketed prefix sums (operators/sampling.token_budget_sample)
+    budgeted = SA.token_budget_sample(
+        toks,
+        {"en": 3000, "de": 1500, "fr": 1500, "es": 1500, "zh": 1500},
+        group_col="lang",
+        token_col="tokens",
+        id_col="doc_id",
+    )
+    n_budgeted, n_budget_toks = budgeted.agg(
+        F.count("*"), F.sum("tokens")
+    ).first()
+
     # 4d. context-window chunking of the packed sample (what an embedding
     # or pretraining consumer reads: bounded windows, stride overlap)
     chunks = SA.chunk_documents(sampled, "text", "doc_id", chunk_tokens=128, stride=96)
@@ -180,6 +195,34 @@ def main() -> None:
     )
     bm25 = bm25_rank(survivors, text_queries, top_k=5)
     n_bm25 = bm25.count()
+
+    # 6b. hybrid retrieval: fuse the lexical hits with each query doc's
+    # own-embedding cosine neighbors by reciprocal-rank fusion, then
+    # diversify the fused list with MMR so near-duplicate hits are demoted
+    from realtime_fraud_detection_spark.operators.corpus import rrf_fuse
+
+    vec_hits = SIM.brute_force_topk(
+        emb, emb.filter("vec_id % 97 = 0"), k=5
+    ).select(F.col("qid").alias("q_id"), F.col("nid").alias("doc"), "rank")
+    hybrid = rrf_fuse(
+        {"lex": bm25.select("q_id", "doc", "rank"), "vec": vec_hits},
+        k=60,
+        top_k=5,
+    )
+    n_hybrid = hybrid.count()
+    diversified = SIM.mmr_rerank(
+        hybrid.join(
+            emb.select(F.col("vec_id").alias("doc"), "embedding"), "doc"
+        ).select(
+            F.col("q_id").alias("qid"),
+            F.col("doc").alias("nid"),
+            F.col("rrf_score").alias("relevance"),
+            "embedding",
+        ),
+        k=3,
+        lam=0.7,
+    )
+    n_mmr = diversified.count()
 
     # 7. distill a weak-supervision rule into a trainable filter (the
     # FineWeb-Edu / DCLM bootstrap: seed labels → hashed-ngram linear
@@ -279,12 +322,15 @@ def main() -> None:
     print(f"lsh near-dups        {n_near}  (jaccard >= 0.8)")
     print(f"pii matches          {n_pii}  (email/phone/ip/ssn/card)")
     print(f"mixture sample       {n_sampled}  docs -> {n_seqs} packed sequences")
+    print(f"token-budget mix     {n_budgeted}  docs ({n_budget_toks} tokens against per-lang budgets)")
     print(f"context chunks       {n_chunks}  (128-token windows, stride 96)")
     print(f"training shards      {n_shard_files}  JSONL files (whole sequences per file)")
     print(f"embedding near-dups  {n_emb}  (cosine >= 0.45)")
     print(f"semantic dups        {n_sem}  pruned (SemDeDup, within-cell cosine)")
     print(f"ann results          {n_ann}  (3 queries x top-3)")
     print(f"bm25 hits            {n_bm25}  (corpus-derived queries, top-5)")
+    print(f"hybrid rrf hits      {n_hybrid}  (BM25 + cosine lists fused, top-5)")
+    print(f"mmr diversified      {n_mmr}  (lambda=0.7, top-3 per query)")
     print(f"classifier holdout   {holdout:.3f}  accuracy (weak-rule distillation, {len(clf.weights)} active buckets)")
     print(f"low-trigram-LM       {n_low_sb}  (bottom 5% Stupid Backoff logprob vs survivor LM)")
     print(f"ccnet buckets        head {buckets.get('head', 0)} / middle {buckets.get('middle', 0)} / tail {buckets.get('tail', 0)}")

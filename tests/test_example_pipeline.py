@@ -37,12 +37,15 @@ EXPECTED_LINES = [
     "duplicate spans",
     "lsh near-dups",
     "mixture sample",
+    "token-budget mix",
     "context chunks",
     "training shards",
     "embedding near-dups",
     "semantic dups",
     "ann results",
     "bm25 hits",
+    "hybrid rrf hits",
+    "mmr diversified",
     "classifier holdout",
     "low-trigram-LM",
     "ccnet buckets",

@@ -26,7 +26,9 @@ Usage: python3 tools/scale_probe.py [replicas] [stages]   (default 10, all)
   cardinality scales with the data — and times the DDSketch quantile and
   Misra-Gries heavy-hitter partial builds + day rollups, reporting the
   stored-partials row counts, which must stay bounded by groups x
-  buckets/capacity while events grow)
+  buckets/capacity while events grow; `mixture` generates replicas x 1M
+  synthetic rows with an 80%-hot domain and times token_budget_sample's
+  bucket-offset prefix sum against the naive one-window-per-group form)
 """
 
 from __future__ import annotations
@@ -75,13 +77,13 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     all_stages = (
         "minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,"
-        "ivfpq,sketch,hotkey,layout,funnel"
+        "ivfpq,sketch,hotkey,layout,funnel,mixture"
     )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if stages - {"ivfpq", "sketch", "hotkey", "layout"}:  # doc-corpus stages
+    if stages - {"ivfpq", "sketch", "hotkey", "layout", "mixture"}:  # doc-corpus stages
         t0 = time.time()
         build_corpus(spark, replicas)
         print(f"corpus: {replicas}x built in {time.time() - t0:.1f}s")
@@ -525,6 +527,67 @@ def main() -> None:
             f"layout={wall:.1f}s rows={n_rows} files={len(files)} "
             f"b-box candidates={cands} ({cands / len(files):.0%} scanned)"
         )
+
+    if "mixture" in stages:
+        # token-budget mixture at replicas x 1M rows with an 80%-hot
+        # domain — the skew case the bucket-offset prefix sum exists for.
+        # naive1 = n_buckets=1 (the whole hot domain in ONE sort
+        # partition); bucketed = the default 256-way decomposition. Both
+        # produce identical selections (pinned in tests/test_token_budget);
+        # the probe measures the wall-clock gap and that selected token
+        # mass lands exactly at the minimal >=budget prefix.
+        from pyspark.sql import functions as F
+
+        from realtime_fraud_detection_spark.operators.sampling import (
+            token_budget_sample,
+        )
+
+        n_rows = replicas * 1_000_000
+        corpus = (
+            spark.range(n_rows)
+            .select(
+                F.col("id").alias("doc_id"),
+                F.when(F.col("id") % 10 < 8, "web")
+                .when(F.col("id") % 10 < 9, "code")
+                .otherwise("wiki")
+                .alias("domain"),
+                (F.lit(200) + F.col("id") % 800).alias("tokens"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # budgets ~30% of each domain's token mass (mean 599.5 tok/doc)
+        budgets = {
+            "web": int(0.8 * n_rows * 600 * 0.3),
+            "code": int(0.1 * n_rows * 600 * 0.3),
+            "wiki": int(0.1 * n_rows * 600 * 0.3),
+        }
+
+        def _mix(label, n_buckets):
+            t0 = time.time()
+            picked = token_budget_sample(
+                corpus, budgets, group_col="domain", token_col="tokens",
+                id_col="doc_id", n_buckets=n_buckets,
+            )
+            got = {
+                r["domain"]: (r["docs"], r["toks"])
+                for r in picked.groupBy("domain")
+                .agg(
+                    F.count("*").alias("docs"), F.sum("tokens").alias("toks")
+                )
+                .collect()
+            }
+            wall = time.time() - t0
+            overshoot = max(
+                got[d][1] - budgets[d] for d in budgets if d in got
+            )
+            print(
+                f"mixture_{label}={wall:.1f}s rows={n_rows} "
+                + " ".join(f"{d}={got[d][0]}/{got[d][1]}" for d in sorted(got))
+                + f" max_overshoot={overshoot}"
+            )
+
+        _guarded("mixture_bucketed", lambda: _mix("bucketed", 256))
+        _guarded("mixture_naive1", lambda: _mix("naive1", 1))
 
     spark.stop()
 
