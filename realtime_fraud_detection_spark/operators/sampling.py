@@ -407,6 +407,61 @@ def temperature_fractions_from_counts(
     }
 
 
+def upsample_by_factor(
+    df: DataFrame,
+    factors: dict[str, float],
+    group_col: str,
+    id_col: str,
+    default: float = 1.0,
+    seed: str = "upsample:",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic fractional repetition — the upsampling half of a
+    mixture spec ("repeat Wikipedia 2.4x, books 1.5x", the LLaMA /
+    DoReMi-style domain weighting that `stratified_sample`'s keep-only
+    fractions cannot express). Each row of group s appears
+    floor(f_s) times, plus one more iff its salted md5 falls below
+    frac(f_s) of the bucket space — so the realized group size is exactly
+    n_s*floor(f_s) + |{rows: h < frac}|, within quantization of the
+    expectation n_s*f_s, reproducible on any layout/engine, and monotone:
+    raising f_s only ever adds copies (same law as nested fractions in
+    `stratified_sample`; f_s < 1 degenerates to plain downsampling).
+
+    Output rows carry `epoch_col` (0..copies-1) distinguishing the copies,
+    feeding :func:`shuffle_rank`'s per-epoch reshuffle so repeated docs
+    spread across the training order instead of clumping.
+
+    Scale shape: a pure projection + `explode` of a row-local sequence —
+    no shuffle, no state; the generator expression is O(copies) per output
+    row (the cheap-generator case of the Generate rule).
+    """
+    for k, v in factors.items():
+        if v < 0:
+            raise ValueError(f"factor for {k!r} must be >= 0, got {v}")
+    if default < 0:
+        raise ValueError(f"default must be >= 0, got {default}")
+
+    def _branches(value_of):
+        out = F.lit(value_of(default))
+        for k, v in sorted(factors.items()):
+            out = F.when(F.col(group_col) == k, F.lit(value_of(v))).otherwise(out)
+        return out
+
+    whole = _branches(lambda f: int(f))
+    extra_thr = _branches(lambda f: int(round((f - int(f)) * SAMPLE_BUCKETS)))
+    h = md5_bigint(F.col(id_col).cast("string"), salt=seed) % SAMPLE_BUCKETS
+    copies = whole + (h < extra_thr).cast("int")
+    return (
+        df.withColumn("_copies", copies)
+        .filter(F.col("_copies") > 0)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0), F.col("_copies") - 1)),
+        )
+        .drop("_copies")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,
