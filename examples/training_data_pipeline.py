@@ -155,6 +155,14 @@ def main() -> None:
         F.count("*"), F.sum("tokens")
     ).first()
 
+    # 4c3. ...and the upsampling half: repeat factors >1 duplicate
+    # low-resource docs across epochs (LLaMA/DoReMi-style), each copy
+    # tagged for per-epoch reshuffling
+    upsampled = SA.upsample_by_factor(
+        toks, {"de": 2.4, "zh": 2.0}, group_col="lang", id_col="doc_id"
+    )
+    n_upsampled = upsampled.count()
+
     # 4d. context-window chunking of the packed sample (what an embedding
     # or pretraining consumer reads: bounded windows, stride overlap)
     chunks = SA.chunk_documents(sampled, "text", "doc_id", chunk_tokens=128, stride=96)
@@ -323,6 +331,7 @@ def main() -> None:
     print(f"pii matches          {n_pii}  (email/phone/ip/ssn/card)")
     print(f"mixture sample       {n_sampled}  docs -> {n_seqs} packed sequences")
     print(f"token-budget mix     {n_budgeted}  docs ({n_budget_toks} tokens against per-lang budgets)")
+    print(f"upsampled epochs     {n_upsampled}  rows (de x2.4, zh x2.0 repeat factors)")
     print(f"context chunks       {n_chunks}  (128-token windows, stride 96)")
     print(f"training shards      {n_shard_files}  JSONL files (whole sequences per file)")
     print(f"embedding near-dups  {n_emb}  (cosine >= 0.45)")

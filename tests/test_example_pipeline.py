@@ -38,6 +38,7 @@ EXPECTED_LINES = [
     "lsh near-dups",
     "mixture sample",
     "token-budget mix",
+    "upsampled epochs",
     "context chunks",
     "training shards",
     "embedding near-dups",
