@@ -583,6 +583,92 @@ def run_quality_gated_ingest(
     )
 
 
+def budget_admission_writer(
+    out_dir: str,
+    budgets: dict[str, int],
+    group_col: str = "lang",
+    token_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function for BUDGET-CAPPED streaming corpus admission:
+    the streaming half of `operators.sampling.token_budget_sample` — stop
+    admitting a group's documents once its token budget is met, so a
+    live ingest realizes a mixture spec without a batch re-pass.
+
+    Per micro-batch: (1) sum the persisted per-group admitted-token tally
+    (a group-sized table — the model-sized-state rule), (2) admit this
+    batch's rows with `token_budget_sample` against the REMAINING budgets
+    (within-batch deterministic hash-order prefix), (3) append admitted
+    rows and the batch's per-group token sums to their stores.
+
+    Semantics vs the batch operator: admission is ARRIVAL-ORDERED —
+    earlier batches fill the budget first, and only the final partial
+    batch is hash-prefix-selected; a batch `token_budget_sample` over the
+    union instead picks the globally smallest hashes. Both land within
+    one document of the budget: each group's cumulative admitted mass
+    exceeds its budget at most once (the batch that crosses it), after
+    which `remaining` is 0 and every later batch admits nothing — so
+    total overshoot is < one max document per group for the stream's
+    lifetime, the same minimal-prefix law as the batch form.
+
+    Replay: both writes are dynamic partition overwrites keyed by
+    batch_id and the tally read excludes the current batch_id — replaying
+    a batch recomputes the same remaining budgets and the same admission
+    (module replay contract).
+    """
+    from ..operators.sampling import token_budget_sample
+
+    admit_dir = os.path.join(out_dir, "admitted")
+    tally_dir = os.path.join(out_dir, "tally")
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        raw = _read_store(spark, tally_dir)
+        spent: dict[str, int] = {}
+        if raw is not None:
+            spent = {
+                r["g"]: int(r["toks"])
+                for r in raw.filter(F.col("batch_id") != batch_id)
+                .groupBy(F.col(group_col).alias("g"))
+                .agg(F.sum("toks").alias("toks"))
+                .collect()
+            }
+        remaining = {
+            g: max(0, int(b) - spent.get(g, 0)) for g, b in budgets.items()
+        }
+        picked = token_budget_sample(
+            batch, remaining, group_col=group_col, token_col=token_col,
+            id_col=id_col,
+        ).localCheckpoint()  # two consumers below
+        _write_batch_partition(picked, batch_id, admit_dir)
+        tally = picked.groupBy(group_col).agg(
+            F.sum(token_col).alias("toks")
+        )
+        _write_batch_partition(tally, batch_id, tally_dir)
+
+    return write
+
+
+def run_budget_admission_stream(
+    stream: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    budgets: dict[str, int],
+    **kwargs,
+):
+    """Assemble the budgeted ingest: document stream → per-batch remaining-
+    budget admission + tally accounting. Stateless foreachBatch, so
+    availableNow terminates normally."""
+    return (
+        stream.writeStream.foreachBatch(
+            budget_admission_writer(out_dir, budgets, **kwargs)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ingest_funnel_view(spark, out_dir: str) -> DataFrame:
     """Corpus-lifetime funnel from the streamed per-batch counts: stage →
     total docs surviving that stage across all ingested batches (counts
