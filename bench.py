@@ -134,6 +134,9 @@ CACHED = {
     "ann_ivf_int8",
     "ann_pq",
     "ann_pq_res",
+    # round-8: shared BM25 doc-term table (suite/dedup_q.py:_bm25_dt)
+    "bm25_search",
+    "hybrid_search",
 }
 SERVE = {"ann_pq_serve", "ngram_lm_serve"}
 

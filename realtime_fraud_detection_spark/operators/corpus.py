@@ -51,6 +51,21 @@ def top_k_terms(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     )
 
 
+def doc_term_table(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, term, _tf_dt) — the tokenized corpus behind BM25 (and any
+    other term-level search signal). Expensive relative to everything
+    downstream (the corpus body shuffles once here), so callers serving
+    several searches build it once, checkpoint, and pass it to
+    :func:`bm25_rank` via `dt=` (the shared-word-table rule)."""
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.split(F.trim(normalized_text(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).filter(F.length("term") > 0)
+    return words.groupBy("doc", "term").agg(F.count("*").alias("_tf_dt"))
+
+
 def bm25_rank(
     df: DataFrame,
     queries: DataFrame,
@@ -61,6 +76,7 @@ def bm25_rank(
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 10,
+    dt: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 ranking of every document against a query table —
     full-text search over the corpus (Robertson & Zaragoza, "The
@@ -83,20 +99,13 @@ def bm25_rank(
     is a per-query window over candidates that matched at least one query
     term — never the whole corpus.
     """
-    words = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.split(F.trim(normalized_text(F.col(text_col))), r"\s+")
-        ).alias("term"),
-    ).filter(F.length("term") > 0)
     # four consumers (lens, dft, stats, the candidate join) — materialize
     # the doc-term table so the corpus tokenize+shuffle runs ONCE, not per
-    # consumer subtree (a DAG has no sharing across join inputs)
-    dt = (
-        words.groupBy("doc", "term")
-        .agg(F.count("*").alias("_tf_dt"))
-        .localCheckpoint(eager=False)
-    )
+    # consumer subtree (a DAG has no sharing across join inputs). Callers
+    # running several searches over one corpus pass a prebuilt `dt`
+    # (doc_term_table) so it is not rebuilt per call either.
+    if dt is None:
+        dt = doc_term_table(df, text_col, id_col).localCheckpoint(eager=False)
     lens = dt.groupBy("doc").agg(F.sum("_tf_dt").alias("_dl"))
     dft = dt.groupBy("term").agg(F.count("*").alias("_df"))
     stats = lens.agg(
