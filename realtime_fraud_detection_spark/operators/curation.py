@@ -137,3 +137,65 @@ def clean_corpus(
         )
 
     return out, funnel
+
+
+def leakage_free_splits(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    clusters: DataFrame | None = None,
+    seed: str = "split:",
+    max_hamming: int = 4,
+    max_bucket_size: int | None = 2000,
+) -> dict[str, DataFrame]:
+    """Train/val/test splits that near-duplicates cannot straddle.
+
+    `sampling.split_by_hash` on the doc id sends two near-identical
+    documents to independent splits with probability 1 − Σ w² — at corpus
+    scale that reliably plants near-copies of held-out documents in the
+    training split (the train/test leakage Lee et al. ACL'22 §6.2 measure
+    on C4). The fix is to split on the near-dup CLUSTER id: every member
+    of a cluster shares one hash draw, so a cluster lands whole in exactly
+    one split, while singleton documents (their own cluster) split exactly
+    as the plain doc-id split would — same weights law, same determinism
+    guarantees, disjoint and exhaustive.
+
+    `clusters` is a (doc, cluster) frame — pass the one a prior
+    `clean_corpus`/`dedup_clusters` run already computed, or leave None to
+    derive it here (SimHash Hamming pairs → connected components, the
+    clean_corpus stage). Docs absent from `clusters` fall back to their
+    own id as the split key.
+
+    Scale shape: clustering is the capped SimHash + CC machinery with its
+    measured 100× bounds; the split adds ONE equi join on the id to tag
+    each doc with its cluster, then pure range filters per split — no
+    further shuffle.
+    """
+    from . import clustering as C
+    from . import dedup as D
+    from .sampling import split_by_hash
+
+    if clusters is None:
+        pairs = D.simhash_near_dup_pairs(
+            df, text_col, id_col,
+            max_hamming=max_hamming, max_bucket_size=max_bucket_size,
+        )
+        clusters = C.connected_components(
+            pairs, vertices=df.select(id_col), vertex_col=id_col
+        )
+    tagged = (
+        df.join(
+            clusters.select(F.col("doc").alias(id_col), "cluster"),
+            id_col,
+            "left",
+        )
+        .withColumn("_split_key", F.coalesce(F.col("cluster"), F.col(id_col)))
+        .drop("cluster")
+    )
+    return {
+        name: part.drop("_split_key")
+        for name, part in split_by_hash(
+            tagged, "_split_key", weights, seed=seed
+        ).items()
+    }
