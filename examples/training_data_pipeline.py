@@ -287,12 +287,18 @@ def main() -> None:
 
     # 9. the productized form: one-call curation funnel + named hash
     # splits (everything above, sequenced by operators/curation.py)
-    from realtime_fraud_detection_spark.operators.curation import clean_corpus
-    from realtime_fraud_detection_spark.operators.sampling import split_by_hash
+    from realtime_fraud_detection_spark.operators.curation import (
+        clean_corpus,
+        leakage_free_splits,
+    )
 
     cleaned, funnel = clean_corpus(docs, c4=False)  # word-salad corpus: no C4 punctuation
-    splits = split_by_hash(
-        cleaned, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    # split on the near-dup CLUSTER id (components computed at 3c) so a
+    # near-copy of a test doc can never land in train (Lee ACL'22 §6.2)
+    splits = leakage_free_splits(
+        cleaned,
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        clusters=clusters,
     )
     split_sizes = {k: v.count() for k, v in splits.items()}
 
