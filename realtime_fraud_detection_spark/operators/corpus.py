@@ -187,6 +187,10 @@ def rrf_fuse(
     at 100 TB costs whatever the underlying retrievers cost, plus this
     epsilon.
     """
+    if not rankings:
+        raise ValueError("rankings must contain at least one source")
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (k + rank divides), got {k}")
     weights = weights or {}
     parts = []
     for name, df in rankings.items():

@@ -112,6 +112,15 @@ def test_rrf_top_k_truncates_per_query(spark):
     assert sorted(r.rank for r in fused) == [1, 2, 3, 4]
 
 
+def test_bad_inputs_raise(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        rrf_fuse({}, k=60)
+    with pytest.raises(ValueError):
+        rrf_fuse({"lex": _lists_df(spark, [(1, 10, 1)])}, k=0)
+
+
 def test_hybrid_search_suite_query(spark):
     from realtime_fraud_detection_spark.suite.dedup_q import q_hybrid_search
 
