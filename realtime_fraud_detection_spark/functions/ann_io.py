@@ -66,3 +66,16 @@ def load_pq_codebooks(path: str) -> tuple[list[list[list[float]]], bool]:
     art = read_artifact(path, "pq-codebooks", _FORMATS)
     books = [[list(map(float, c)) for c in book] for book in art["codebooks"]]
     return books, bool(art["by_residual"])
+
+
+def save_pca(mean: list[float], components: list[list[float]], path: str) -> None:
+    atomic_write(path, {"format": FORMAT, "version": 1, "kind": "pca",
+                        "mean": mean, "components": components})
+
+
+def load_pca(path: str) -> tuple[list[float], list[list[float]]]:
+    art = read_artifact(path, "pca", _FORMATS)
+    return (
+        [float(x) for x in art["mean"]],
+        [list(map(float, w)) for w in art["components"]],
+    )

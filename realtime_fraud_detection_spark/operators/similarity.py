@@ -1272,3 +1272,120 @@ def mmr_rerank(
         return out
 
     return candidates.groupBy(q_col).applyInPandas(_mmr, schema)
+
+
+def _pca_sign_fix(components):
+    """Deterministic eigenvector orientation: each component's
+    largest-|w| element is positive (ties -> lowest index). eigh returns
+    an arbitrary sign per vector; without a convention, two equally
+    correct fits produce different codes downstream."""
+    import numpy as np
+
+    out = []
+    for w in components:
+        w = np.asarray(w, dtype=np.float64)
+        j = int(np.argmax(np.abs(w)))
+        out.append((-w if w[j] < 0 else w).tolist())
+    return out
+
+
+def pca_fit(
+    emb: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    local_cells: int | None = None,
+    fit_on: DataFrame | None = None,
+) -> tuple[list[float], list[list[float]]]:
+    """PCA for embedding columns — the FAISS pre-transform (PCAR) that
+    makes high-dimensional ANN affordable: project d-dim vectors onto the
+    top-k principal directions before SQ8/PQ coding, trading a measured
+    recall haircut for a k/d scan-cost factor.
+
+    Returns (mean, components) with components a k×d row matrix, ready
+    for :func:`pca_project` and the functions/ann_io artifact.
+
+    Under the `_LOCAL_FIT_CELLS` gate: the canonical-order float64 sample
+    collects once through Arrow and NumPy eigh solves the d×d covariance
+    (model-sized by construction — the FAISS training topology; pass
+    `fit_on` a hash_sample to stay under the gate on a big corpus).
+    Above it: ONE distributed pass of d + d(d+1)/2 DECIMAL sum aggregates
+    (map-side combinable, order-insensitive — bit-deterministic on any
+    partitioning, the suite's decimal-sum rule), then the same driver-side
+    eigh on the assembled d×d matrix. The distributed path is guarded to
+    d <= 128 (d² aggregate columns); beyond that, sample via `fit_on`.
+    Either way the eigendecomposition is driver-side on a model-sized
+    matrix, and components are sign-fixed (largest-|w| element positive)
+    so the model is unique.
+    """
+    import numpy as np
+
+    train = emb if fit_on is None else fit_on
+    c = train.select(_as_double(F.col(vec_col)).alias("nv"))
+    dim = len(c.first()[0])
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+    if local_cells is None:
+        local_cells = _LOCAL_FIT_CELLS
+    X = _local_fit_sample(c, "nv", max(local_cells // dim, k))
+    if X is not None:
+        mean = X.mean(axis=0)
+        Xc = X - mean
+        cov = (Xc.T @ Xc) / len(X)
+    else:
+        if dim > 128:
+            raise ValueError(
+                f"distributed pca_fit is bounded to dim <= 128 "
+                f"(d^2 aggregate columns); got dim={dim} — pass fit_on= a "
+                f"hash_sample under the local gate instead"
+            )
+        dec = "decimal(38,18)"
+        aggs = [F.count("*").alias("_n")]
+        aggs += [
+            F.sum(F.col("nv")[i].cast(dec)).alias(f"_s{i}")
+            for i in range(dim)
+        ]
+        aggs += [
+            F.sum((F.col("nv")[i] * F.col("nv")[j]).cast(dec)).alias(
+                f"_p{i}_{j}"
+            )
+            for i in range(dim)
+            for j in range(i, dim)
+        ]
+        row = c.agg(*aggs).first()
+        n = row["_n"]
+        s = np.array([float(row[f"_s{i}"]) for i in range(dim)])
+        S = np.zeros((dim, dim))
+        for i in range(dim):
+            for j in range(i, dim):
+                S[i, j] = S[j, i] = float(row[f"_p{i}_{j}"])
+        mean = s / n
+        cov = S / n - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    components = _pca_sign_fix(vecs[:, order].T)
+    return [float(m) for m in mean], components
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto a fitted PCA basis as a pure scalar chain:
+    out_j = Σ_i x_i·w_ji − b_j with the bias b_j = Σ_i mean_i·w_ji FOLDED
+    to one literal per output dim (the constant-folding rule from the PQ
+    encode chain). d×k literal multiply-adds, codegen'd, no Python, no
+    shuffle — a scan-side projection whatever the corpus size."""
+    d = len(mean)
+    exprs = []
+    for w in components:
+        if len(w) != d:
+            raise ValueError("component length != mean length")
+        bias = sum(m * wi for m, wi in zip(mean, w))
+        term = F.col(vec_col)[0] * float(w[0])
+        for i in range(1, d):
+            term = term + F.col(vec_col)[i] * float(w[i])
+        exprs.append(term - F.lit(float(bias)))
+    return df.withColumn(out_col, F.array(*exprs))
