@@ -77,13 +77,13 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     all_stages = (
         "minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,"
-        "ivfpq,sketch,hotkey,layout,funnel,mixture"
+        "ivfpq,sketch,hotkey,layout,funnel,mixture,pca"
     )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if stages - {"ivfpq", "sketch", "hotkey", "layout", "mixture"}:  # doc-corpus stages
+    if stages - {"ivfpq", "sketch", "hotkey", "layout", "mixture", "pca"}:  # doc-corpus stages
         t0 = time.time()
         build_corpus(spark, replicas)
         print(f"corpus: {replicas}x built in {time.time() - t0:.1f}s")
@@ -588,6 +588,45 @@ def main() -> None:
 
         _guarded("mixture_bucketed", lambda: _mix("bucketed", 256))
         _guarded("mixture_naive1", lambda: _mix("naive1", 1))
+
+    if "pca" in stages:
+        # distributed PCA fit (the Arrow int64-partials path; local gate
+        # forced off) + the projection scan, on replicas x 1M synthetic
+        # 64-dim vectors generated scan-side (no materialization — the
+        # probe measures the operator, not a checkpoint). SCALE.md holds
+        # the 3-strategy comparison this path won.
+        from realtime_fraud_detection_spark.operators import (
+            similarity as SIMX,
+        )
+        from pyspark.sql import functions as F
+
+        n_rows = replicas * 1_000_000
+
+        def _vecs():
+            return spark.range(n_rows).select(
+                F.col("id").alias("vec_id"),
+                F.array(
+                    *[
+                        F.sin(F.col("id") * float(0.1 + 0.013 * i))
+                        for i in range(64)
+                    ]
+                ).alias("embedding"),
+            )
+
+        def _pca():
+            t0 = time.time()
+            mean, comps = SIMX.pca_fit(_vecs(), k=16, local_cells=0)
+            t_fit = time.time() - t0
+            t0 = time.time()
+            SIMX.pca_project(_vecs(), mean, comps).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            print(
+                f"pca_fit={t_fit:.1f}s pca_project={time.time() - t0:.1f}s "
+                f"rows={n_rows} dims=64 k=16"
+            )
+
+        _guarded("pca", _pca)
 
     spark.stop()
 
