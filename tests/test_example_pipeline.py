@@ -44,6 +44,7 @@ EXPECTED_LINES = [
     "embedding near-dups",
     "semantic dups",
     "ann results",
+    "pca 64->16 dims",
     "bm25 hits",
     "hybrid rrf hits",
     "mmr diversified",
