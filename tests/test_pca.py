@@ -123,3 +123,28 @@ def test_artifact_roundtrip(tmp_path, fitted):
     p = str(tmp_path / "pca.json")
     save_pca(mean, comps, p)
     assert load_pca(p) == (mean, comps)
+
+
+def test_pca_then_pq_full_recipe(spark, emb, fitted):
+    """The FAISS serving recipe end-to-end: PCA 64->16, PQ(m=4, ks=16)
+    over the PROJECTED vectors, ADC search with exact re-rank in the
+    projected space. Code scan cost: 4 bytes/vector vs 64 floats — a 64x
+    reduction. Recall is bounded above by the PCA projection's own
+    brute-force recall (the PQ stage can only lose candidates the
+    projection kept), so the pin is relative: the composed recipe
+    retains >= 70% of what exact search in the projected space finds."""
+    mean, comps = fitted
+    proj = SIM.pca_project(emb, mean, comps).select(
+        "vec_id", F.col("pca").alias("embedding")
+    ).localCheckpoint()
+    q = proj.filter("vec_id < 20")
+    proj_exact = {
+        (r.qid, r.nid)
+        for r in SIM.brute_force_topk(proj, q, k=10).collect()
+    }
+    pq = {
+        (r.qid, r.nid)
+        for r in SIM.pq_topk(proj, q, k=10, m=4, ks=16, rerank=4).collect()
+    }
+    retained = len(proj_exact & pq) / len(proj_exact)
+    assert retained >= 0.7, retained
