@@ -669,6 +669,84 @@ def run_budget_admission_stream(
     )
 
 
+def jdbc_exactly_once_writer(
+    url: str,
+    table: str,
+    batch_size: int = 10_000,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function for a replay-idempotent RELATIONAL sink (the
+    reference's S10 store fed from the stream): the module's
+    dynamic-partition-overwrite contract translated to SQL. Per batch,
+    one driver-side `DELETE WHERE batch_id = N` (a no-op on the first
+    write of N; on replay or after a half-written crash it clears
+    whatever landed), then the batch appends tagged with its batch_id —
+    so any number of replays converges to exactly the batch's rows:
+    Structured Streaming's at-least-once redelivery becomes
+    effectively-exactly-once in the store.
+
+    The DELETE runs on the driver through java.sql (same JVM — works
+    against embedded Derby in tests and any JDBC URL in production); the
+    INSERT is the ordinary parallel `write_jdbc` append. The two are NOT
+    one transaction — they don't need to be: a crash between them replays
+    the batch, the DELETE runs again, and the end state is identical
+    (idempotent convergence, not atomicity, is the contract — same as
+    the parquet sinks in this module).
+    """
+    from ..sources.jdbc import write_jdbc
+
+    def _delete_batch(spark, batch_id: int) -> None:
+        jvm = spark._sc._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            # DELETE on a not-yet-created table raises — probe the
+            # catalog first (Derby/most stores uppercase unquoted names)
+            rs = conn.getMetaData().getTables(None, None, table.upper(), None)
+            exists = rs.next()
+            rs.close()
+            if exists:
+                st = conn.createStatement()
+                # Spark's JDBC writer quotes COLUMN identifiers (they stay
+                # case-sensitive lowercase) while an unquoted dbtable name
+                # case-folds — quote the column, leave the table as given
+                st.executeUpdate(
+                    f'DELETE FROM {table} WHERE "batch_id" = {int(batch_id)}'
+                )
+                st.close()
+        finally:
+            conn.close()
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        _delete_batch(batch.sparkSession, batch_id)
+        write_jdbc(
+            batch.withColumn("batch_id", F.lit(batch_id).cast("long")),
+            url,
+            table,
+            mode="append",
+            batch_size=batch_size,
+        )
+
+    return write
+
+
+def run_jdbc_stream(
+    stream: DataFrame,
+    url: str,
+    table: str,
+    checkpoint: str,
+    **kwargs,
+):
+    """Assemble the relational sink: stream → replay-idempotent JDBC
+    appends. Stateless foreachBatch, so availableNow terminates."""
+    return (
+        stream.writeStream.foreachBatch(
+            jdbc_exactly_once_writer(url, table, **kwargs)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def ingest_funnel_view(spark, out_dir: str) -> DataFrame:
     """Corpus-lifetime funnel from the streamed per-batch counts: stage →
     total docs surviving that stage across all ingested batches (counts
