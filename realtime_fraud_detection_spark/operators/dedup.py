@@ -729,3 +729,42 @@ def semantic_dedup(
             (F.col(id_col) == F.col("cluster")).alias("is_survivor"),
         )
     )
+
+
+def lsh_collision_prob(s: float, bands: int, rows: int) -> float:
+    """P(two docs with MinHash similarity s share >= 1 LSH band) —
+    the S-curve 1 - (1 - s^rows)^bands (Leskovec/Rajaraman/Ullman,
+    Mining of Massive Datasets ch. 3)."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def lsh_plan(
+    threshold: float, num_perm: int
+) -> tuple[int, int, float]:
+    """Pick (bands, rows) for `minhash_lsh_candidates` from a target
+    Jaccard threshold: among the factorizations bands*rows = num_perm,
+    choose the one whose S-curve midpoint (1/bands)^(1/rows) — the
+    similarity at ~50% collision probability — lands closest to the
+    target. Returns (bands, rows, midpoint).
+
+    This replaces the folklore guesswork with the MMDS closed form: more
+    rows per band → higher midpoint (precision config, misses borderline
+    pairs deterministically); more bands → lower midpoint (recall
+    config, more candidate verification). The choice changes CANDIDATE
+    cost only — verification filters exactly either way.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_perm < 1:
+        raise ValueError(f"num_perm must be >= 1, got {num_perm}")
+    best = None
+    for rows in range(1, num_perm + 1):
+        if num_perm % rows:
+            continue
+        bands = num_perm // rows
+        mid = (1.0 / bands) ** (1.0 / rows) if bands > 1 else 1.0
+        cand = (abs(mid - threshold), rows, bands, mid)
+        if best is None or cand < best:
+            best = cand
+    _, rows, bands, mid = best
+    return bands, rows, mid

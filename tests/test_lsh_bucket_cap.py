@@ -4,6 +4,8 @@ identical-template case in O(B)) while normal near-dup pairs survive."""
 
 from __future__ import annotations
 
+import pytest
+
 from realtime_fraud_detection_spark.operators import dedup as D
 
 TEMPLATE = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"
@@ -47,3 +49,26 @@ def test_capped_drops_template_keeps_near_dups(spark):
 
 def test_cap_above_bucket_sizes_is_noop(spark):
     assert _pairs(spark, max_bucket_size=1000) == _pairs(spark)
+
+
+def test_lsh_plan_closed_form():
+    from realtime_fraud_detection_spark.operators.dedup import (
+        lsh_collision_prob,
+        lsh_plan,
+    )
+
+    # num_perm=16, target 0.8: candidates r=4/b=4 (mid 0.707) vs r=8/b=2
+    # (mid 0.917) — 0.707 is closer
+    bands, rows, mid = lsh_plan(0.8, 16)
+    assert (bands, rows) == (4, 4)
+    assert abs(mid - 0.25**0.25) < 1e-12
+    # a low threshold wants many bands of few rows (recall config)
+    bands_lo, rows_lo, _ = lsh_plan(0.3, 16)
+    assert rows_lo < rows
+    # S-curve sanity: collision prob increases with similarity and is
+    # ~50% at the midpoint
+    assert lsh_collision_prob(mid, bands, rows) == pytest.approx(
+        1 - (1 - 0.25) ** 4
+    )
+    assert lsh_collision_prob(0.95, bands, rows) > 0.9
+    assert lsh_collision_prob(0.2, bands, rows) < 0.01
