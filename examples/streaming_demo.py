@@ -152,6 +152,25 @@ def main() -> None:
         f"compaction: {pre_files} enriched files -> "
         f"{len(glob.glob(enriched_glob))} ({n_rows} rows, one generation)"
     )
+
+    # serve alerts to the RELATIONAL store (embedded Derby — a real JDBC
+    # database in this container) through the replay-idempotent sink:
+    # the deliberate double-write below converges instead of duplicating
+    from realtime_fraud_detection_spark.sources.jdbc import read_jdbc
+    from realtime_fraud_detection_spark.streaming.sinks import (
+        jdbc_exactly_once_writer,
+    )
+
+    url = f"jdbc:derby:{out}/derby;create=true"
+    jdbc_writer = jdbc_exactly_once_writer(url, "fraud_alerts")
+    alerts_df = spark.read.parquet(os.path.join(out, "fraud_alerts"))
+    jdbc_writer(alerts_df, 0)
+    jdbc_writer(alerts_df, 0)  # redelivery: DELETE-then-append converges
+    served = read_jdbc(spark, url, "fraud_alerts").count()
+    print(
+        f"relational store: {served} alert rows after a replayed write "
+        f"(= {alerts} streamed alerts, no duplicates)"
+    )
     spark.stop()
 
 
