@@ -192,6 +192,10 @@ def rrf_fuse(
     if k < 1:
         raise ValueError(f"k must be >= 1 (k + rank divides), got {k}")
     weights = weights or {}
+    unknown = set(weights) - set(rankings)
+    if unknown:
+        # a typo'd weight key would otherwise silently weight nothing
+        raise ValueError(f"weights for unknown sources: {sorted(unknown)}")
     parts = []
     for name, df in rankings.items():
         w = float(weights.get(name, 1.0))

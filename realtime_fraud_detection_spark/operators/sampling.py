@@ -150,6 +150,8 @@ def token_budget_sample(
     for k, v in budgets.items():
         if v < 0:
             raise ValueError(f"budget for {k!r} must be >= 0, got {v}")
+    if default_budget < 0:
+        raise ValueError(f"default_budget must be >= 0, got {default_budget}")
     h = md5_bigint(F.col(id_col).cast("string"), salt=seed)
     base = df.withColumn("_h", h).withColumn(
         "_bucket", F.shiftright(F.col("_h"), shift)

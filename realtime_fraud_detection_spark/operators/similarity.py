@@ -1323,7 +1323,10 @@ def pca_fit(
 
     train = emb if fit_on is None else fit_on
     c = train.select(_as_double(F.col(vec_col)).alias("nv"))
-    dim = len(c.first()[0])
+    probe = c.first()
+    if probe is None:
+        raise ValueError("pca_fit: training input has no rows")
+    dim = len(probe[0])
     if not 1 <= k <= dim:
         raise ValueError(f"k must be in [1, {dim}], got {k}")
     if local_cells is None:

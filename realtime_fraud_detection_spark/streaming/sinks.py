@@ -618,6 +618,9 @@ def budget_admission_writer(
     """
     from ..operators.sampling import token_budget_sample
 
+    if not budgets:
+        # {} would silently drop EVERY row (unlisted groups get budget 0)
+        raise ValueError("budgets must name at least one group")
     admit_dir = os.path.join(out_dir, "admitted")
     tally_dir = os.path.join(out_dir, "tally")
 

@@ -93,3 +93,34 @@ def test_token_budget_minimal_prefix_model(tokens, budget):
             assert total - kept[-1] < budget  # dropping the last dips under
     else:
         assert kept == tokens
+
+
+def test_round8_input_validation(spark):
+    """The hardening pass: misuses raise instead of silently degrading."""
+    import pytest
+
+    from realtime_fraud_detection_spark.operators.corpus import rrf_fuse
+    from realtime_fraud_detection_spark.operators.sampling import (
+        token_budget_sample,
+    )
+    from realtime_fraud_detection_spark.operators.similarity import pca_fit
+    from realtime_fraud_detection_spark.streaming.sinks import (
+        budget_admission_writer,
+    )
+
+    lst = spark.createDataFrame([(1, 10, 1)], "q_id long, doc long, rank int")
+    with pytest.raises(ValueError, match="unknown sources"):
+        rrf_fuse({"lex": lst}, weights={"vce": 2.0})  # typo'd key
+    docs = spark.createDataFrame(
+        [(1, "en", 10)], "doc_id long, lang string, n_chars long"
+    )
+    with pytest.raises(ValueError, match="default_budget"):
+        token_budget_sample(
+            docs, {"en": 5}, group_col="lang", token_col="n_chars",
+            id_col="doc_id", default_budget=-1,
+        )
+    with pytest.raises(ValueError, match="at least one group"):
+        budget_admission_writer("/tmp/x", {})
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="no rows"):
+        pca_fit(empty, k=2)
