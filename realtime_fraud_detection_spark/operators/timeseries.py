@@ -235,3 +235,52 @@ def time_weighted_avg(
             F.sum(weight_us).alias("covered_us"),
         )
     )
+
+
+def time_decayed_sum(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+    half_life: str = "1 hour",
+    out_col: str = "decayed_sum",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exponentially time-decayed running aggregate over IRREGULAR event
+    times — the recency-weighted refinement of a fixed-window velocity
+    counter (an event 3 half-lives ago contributes 1/8th, not 1 or 0):
+
+        v(t_i) = Σ_{j <= i} x_j · 2^(−(t_i − t_j) / half_life)
+
+    `value_col=None` sums 1 per event (a decayed COUNT). Appends
+    `out_col` to every input row.
+
+    Shape: NO recurrence and NO Python — the prefix factorization
+    v(t_i) = 2^(−(t_i−t0)/H) · Σ_{j<=i} x_j·2^((t_j−t0)/H), with t0 the
+    key's first event, turns the decay into ONE unbounded-preceding
+    running sum over the same per-key sort every other window feature
+    shares (incremental frame — the cheap direction; the forward-looking
+    O(n²) trap does not apply). At 100 TB this is one shuffle on the key,
+    identical to last_n/rolling_profile.
+
+    Numerics: the staged exponent is bounded by (key's time span)/H —
+    doubles overflow past ~1023 half-lives of span (e.g. H=1 hour → 42
+    days). Size H to the feature's horizon, or pre-bucket epochs, for
+    longer histories. Rows at equal (key, ts) need `tiebreak_cols` for a
+    fully deterministic accumulation order.
+    """
+    h_us = float(_parse_step_us(half_life))
+    ticks = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
+    w_all = Window.partitionBy(key)
+    w_run = (
+        Window.partitionBy(key)
+        .orderBy(*ticks)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double")
+    rel = (t - F.min(t).over(w_all)) / F.lit(h_us)
+    x = F.lit(1.0) if value_col is None else F.col(value_col).cast("double")
+    staged = x * F.pow(F.lit(2.0), rel)
+    return df.withColumn(
+        out_col, F.pow(F.lit(2.0), -rel) * F.sum(staged).over(w_run)
+    )
