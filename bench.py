@@ -89,6 +89,8 @@ HEADLINE = [
     # and token-budget mixture materialization
     "hybrid_search",
     "token_budget_mix",
+    # round-8: recency-weighted velocity (time-decayed running sums)
+    "decayed_velocity",
 ]
 
 # Iterative queries (CC / power-iteration loops) have documented ±2 s

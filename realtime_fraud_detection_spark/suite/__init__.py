@@ -28,6 +28,7 @@ from . import (
     relational,
     sketches_q,
     textml_q,
+    timeseries_q,
     windows_q,
 )
 
@@ -45,6 +46,7 @@ _MODULES = [
     sketches_q,
     graph_q,
     dimensions_q,
+    timeseries_q,
 ]
 
 

@@ -117,6 +117,9 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # tests/test_dimensions.py (the as-of kernel itself is oracled
         # via the asof_join entry)
         "scd2_enrich",
+        # time-decayed running sums — transcendental 2^x weights;
+        # brute-force replay parity in tests/test_time_decay.py
+        "decayed_velocity",
     }
     missing = set(QUERIES) - set(ORACLES) - approximate
     assert not missing, f"queries without oracle: {missing}"
