@@ -25,6 +25,47 @@ ENSEMBLE_WEIGHTS = {
 }
 
 
+def rule_score_terms(
+    prior_score: Column,
+    user_risk_score: Column,
+    is_new_account: Column,
+    is_kyc_verified: Column,
+    merchant_risk_level: Column,
+    merchant_is_blacklisted: Column,
+    merchant_fraud_rate: Column,
+    is_high_risk_category: Column,
+    is_large_for_user: Column,
+    is_new_device: Column,
+    is_night_time: Column,
+    within_merchant_hours: Column,
+) -> dict[str, Column]:
+    """M1's individual weighted rule terms, NAMED — the factor decomposition
+    that feeds both :func:`rule_based_score` (their sum) and the per-row
+    explanation (:func:`contribution_explanation`). Dict order IS the
+    reference's summation order (TransactionProcessor.java:327-439); keep it —
+    the oracled `rule_score` hash depends on the float fold order."""
+    b = F.lit(0.0)
+    return {
+        "prior_score": 0.5 * prior_score,
+        "user_risk": user_risk_score * 0.2,
+        "new_account": F.when(is_new_account, 0.10).otherwise(b),
+        "kyc_unverified": F.when(~is_kyc_verified, 0.15).otherwise(b),
+        "merchant_risk_level": F.when(merchant_risk_level == "high", 0.20)
+        .when(merchant_risk_level == "medium", 0.10)
+        .otherwise(b),
+        "merchant_blacklisted": F.when(merchant_is_blacklisted, 0.40).otherwise(b),
+        # fraud-rate term only fires above 5% (TransactionProcessor.java:399-401)
+        "merchant_fraud_rate": F.when(
+            merchant_fraud_rate > 0.05, 2.0 * merchant_fraud_rate
+        ).otherwise(b),
+        "high_risk_category": F.when(is_high_risk_category, 0.15).otherwise(b),
+        "large_for_user": F.when(is_large_for_user, 0.15).otherwise(b),
+        "new_device": F.when(is_new_device, 0.10).otherwise(b),
+        "night_time": F.when(is_night_time, 0.05).otherwise(b),
+        "outside_merchant_hours": F.when(~within_merchant_hours, 0.10).otherwise(b),
+    }
+
+
 def rule_based_score(
     prior_score: Column,
     user_risk_score: Column,
@@ -39,26 +80,57 @@ def rule_based_score(
     is_night_time: Column,
     within_merchant_hours: Column,
 ) -> Column:
-    """M1 — weighted rule score, clamped to [0,1] (TransactionProcessor.java:327-439)."""
-    b = F.lit(0.0)
-    score = (
-        0.5 * prior_score
-        + user_risk_score * 0.2
-        + F.when(is_new_account, 0.10).otherwise(b)
-        + F.when(~is_kyc_verified, 0.15).otherwise(b)
-        + F.when(merchant_risk_level == "high", 0.20)
-        .when(merchant_risk_level == "medium", 0.10)
-        .otherwise(b)
-        + F.when(merchant_is_blacklisted, 0.40).otherwise(b)
-        # fraud-rate term only fires above 5% (TransactionProcessor.java:399-401)
-        + F.when(merchant_fraud_rate > 0.05, 2.0 * merchant_fraud_rate).otherwise(b)
-        + F.when(is_high_risk_category, 0.15).otherwise(b)
-        + F.when(is_large_for_user, 0.15).otherwise(b)
-        + F.when(is_new_device, 0.10).otherwise(b)
-        + F.when(is_night_time, 0.05).otherwise(b)
-        + F.when(~within_merchant_hours, 0.10).otherwise(b)
+    """M1 — weighted rule score, clamped to [0,1] (TransactionProcessor.java:327-439).
+    Left-to-right fold over :func:`rule_score_terms` in dict order — bit-identical
+    to the original inline sum."""
+    terms = rule_score_terms(
+        prior_score,
+        user_risk_score,
+        is_new_account,
+        is_kyc_verified,
+        merchant_risk_level,
+        merchant_is_blacklisted,
+        merchant_fraud_rate,
+        is_high_risk_category,
+        is_large_for_user,
+        is_new_device,
+        is_night_time,
+        within_merchant_hours,
     )
+    score = None
+    for t in terms.values():
+        score = t if score is None else score + t
     return clamp(score, 0.0, 1.0)
+
+
+def contribution_explanation(terms: dict[str, Column], top_n: int = 5) -> Column:
+    """Per-row prediction explanation — the reference's top-contributing-factor
+    report (ensemble_predictor.py:371-435: sort factor contributions, keep the
+    top slice) as ONE pure array expression, no Python crossing:
+
+        array<struct<factor: string, contribution: double>>
+
+    sorted by contribution DESC with factor-name ASC tie-break (deterministic),
+    zero-contribution terms dropped, sliced to `top_n`. Negated contributions
+    are sorted ascending so struct comparison yields (contribution desc,
+    factor asc) in one sort_array pass; codegen'd end-to-end."""
+    pairs = F.array(
+        *[
+            F.struct(
+                (-c).cast("double").alias("_neg"), F.lit(name).alias("factor")
+            )
+            for name, c in terms.items()
+        ]
+    )
+    ordered = F.slice(
+        F.filter(F.sort_array(pairs), lambda s: s["_neg"] != 0.0), 1, top_n
+    )
+    return F.transform(
+        ordered,
+        lambda s: F.struct(
+            s["factor"].alias("factor"), (-s["_neg"]).alias("contribution")
+        ),
+    )
 
 
 def category_score_combine(
@@ -100,6 +172,45 @@ def ensemble_weighted_average(scores: dict[str, Column]) -> Column:
 def ensemble_confidence(prob: Column) -> Column:
     """confidence = 2×|p − 0.5| (ensemble_predictor.py:325-342)."""
     return clamp(2.0 * F.abs(prob - 0.5), 0.0, 1.0)
+
+
+# Per-model confidence multipliers (ensemble_predictor.py:324-341 — unknown
+# models fall back to 0.5). Keys match ENSEMBLE_WEIGHTS' short names.
+MODEL_CONFIDENCE_MULTIPLIER = {
+    "xgboost": 1.0,
+    "lstm": 0.8,
+    "bert": 0.7,
+    "gnn": 0.6,
+    "isolation_forest": 0.5,
+}
+
+
+def model_confidence(prediction: Column, model: str) -> Column:
+    """Per-model confidence = min(1, |p − 0.5| × 2 × model_multiplier)
+    (ensemble_predictor.py:324-341: distance from the decision boundary,
+    scaled by how much the model is trusted)."""
+    mult = MODEL_CONFIDENCE_MULTIPLIER.get(model, 0.5)
+    return F.least(F.abs(prediction - 0.5) * 2.0 * mult, F.lit(1.0))
+
+
+def ensemble_stacking(scores: dict[str, Column]) -> tuple[Column, Column]:
+    """M3 stacking strategy (ensemble_predictor.py:305-323): the simplified
+    meta-learner weights each model's prediction by its OWN confidence —
+    prob = Σ pᵢ·confᵢ / Σ confᵢ, confidence = Σ confᵢ / n — falling back to
+    the weighted-average strategy when total confidence is zero (every model
+    sitting exactly on the 0.5 boundary). Returns (prob, confidence); pure
+    column arithmetic, fold order = dict order (deterministic)."""
+    weighted = None
+    total_conf = None
+    for m, col in scores.items():
+        c = model_confidence(col, m)
+        t = col * c
+        weighted = t if weighted is None else weighted + t
+        total_conf = c if total_conf is None else total_conf + c
+    prob = F.when(total_conf > 0.0, weighted / total_conf).otherwise(
+        ensemble_weighted_average(scores)
+    )
+    return prob, total_conf / float(len(scores))
 
 
 def risk_level(

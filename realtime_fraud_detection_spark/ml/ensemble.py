@@ -20,9 +20,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.scoring import (
+    ENSEMBLE_WEIGHTS,
     ensemble_confidence,
     ensemble_decision,
+    ensemble_stacking,
     ensemble_weighted_average,
+    model_confidence,
 )
 from ..operators.windows import first_seen_flag
 
@@ -72,6 +75,49 @@ def apply_ensemble(scored: DataFrame, model_scores: dict[str, F.Column]) -> Data
                 )
             ),
         )
+    )
+
+
+def apply_stacking(scored: DataFrame, model_scores: dict[str, F.Column]) -> DataFrame:
+    """M3 stacking strategy end-to-end (ensemble_predictor.py:305-323):
+    confidence-weighted meta-combine + decision, same shape as
+    :func:`apply_ensemble` so strategy selection is a function swap."""
+    prob, conf = ensemble_stacking(model_scores)
+    return (
+        scored.withColumn("stacking_prob", prob)
+        .withColumn("stacking_confidence", conf)
+        .withColumn(
+            "stacking_decision",
+            F.when(F.col("m_is_blacklisted"), "DECLINE").otherwise(
+                ensemble_decision(
+                    F.col("stacking_prob"), F.col("stacking_confidence")
+                )
+            ),
+        )
+    )
+
+
+def model_contributions(model_scores: dict[str, F.Column]) -> F.Column:
+    """The reference explanation's model_contributions block
+    (ensemble_predictor.py:371-391): per model its prediction, configured
+    weight, contribution = p·w/Σw, and confidence — as one
+    array<struct<model,prediction,weight,contribution,confidence>> column in
+    dict order. Pure expressions; pairs with
+    functions.scoring.contribution_explanation for the key-factors block."""
+    total_w = round(sum(ENSEMBLE_WEIGHTS[m] for m in model_scores), 9)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("model"),
+                p.cast("double").alias("prediction"),
+                F.lit(ENSEMBLE_WEIGHTS[m]).alias("weight"),
+                (p * (ENSEMBLE_WEIGHTS[m] / total_w)).cast("double").alias(
+                    "contribution"
+                ),
+                model_confidence(p, m).cast("double").alias("confidence"),
+            )
+            for m, p in model_scores.items()
+        ]
     )
 
 

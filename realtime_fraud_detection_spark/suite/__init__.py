@@ -25,6 +25,7 @@ from . import (
     features_q,
     graph_q,
     joins_q,
+    mlops_q,
     relational,
     sketches_q,
     textml_q,
@@ -47,6 +48,7 @@ _MODULES = [
     graph_q,
     dimensions_q,
     timeseries_q,
+    mlops_q,
 ]
 
 

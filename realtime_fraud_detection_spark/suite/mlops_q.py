@@ -1,0 +1,68 @@
+"""MLOps-surface queries — the §2.8 tail closed in round 9: the M3 stacking
+strategy (ensemble_predictor.py:305-323) and the per-row prediction
+explanation (ensemble_predictor.py:371-435), driven over the events fixture.
+
+Rows-only (the driver's 50-slot oracle window is full): the combine
+arithmetic and the explanation ranking are replay-parity-pinned in
+tests/test_explain.py, and the query itself is value-pinned by
+tools/check_determinism.py (two fresh sessions, bit-exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import scoring as S
+from ..ml.ensemble import model_contributions
+from ..sources.testdata import load_table
+
+
+def q_ensemble_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stacking combine + decision + two explanation blocks per event: the
+    model-contribution array and the top-5 rule-factor array — all pure
+    column expressions (zero Python crossings, zero shuffles: one projection
+    over the scan, the 100-TB shape of a per-prediction explainer)."""
+    ev = load_table(spark, sf_dir, "events")
+    # pseudo model scores, same key-derived construction as ensemble_decision
+    p = {
+        "xgboost": ((F.col("event_id") * 37) % 1000) / 1000.0,
+        "lstm": ((F.col("event_id") * 59) % 1000) / 1000.0,
+        "bert": ((F.col("event_id") * 83) % 1000) / 1000.0,
+        "gnn": ((F.col("event_id") * 101) % 1000) / 1000.0,
+        "isolation_forest": ((F.col("event_id") * 131) % 1000) / 1000.0,
+    }
+    prob, conf = S.ensemble_stacking(p)
+    prob_r = F.round(prob, 6)
+    conf_r = F.round(conf, 6)
+    terms = S.rule_score_terms(
+        prior_score=F.col("value") / 500.0,
+        user_risk_score=(F.col("user_id") % 100).cast("double") / 100.0,
+        is_new_account=F.col("user_id") % 5 == 0,
+        is_kyc_verified=F.col("user_id") % 7 != 0,
+        merchant_risk_level=F.when(F.col("event_type") == "error", "high")
+        .when(F.col("event_type") == "signup", "medium")
+        .otherwise("low"),
+        merchant_is_blacklisted=F.col("event_type") == "error",
+        merchant_fraud_rate=(F.col("user_id") % 40).cast("double") / 400.0,
+        is_high_risk_category=F.col("event_type") == "purchase",
+        is_large_for_user=F.col("value") > 400,
+        is_new_device=F.col("event_id") % 11 == 0,
+        is_night_time=(F.hour("ts") <= 6) | (F.hour("ts") >= 22),
+        within_merchant_hours=F.hour("ts").between(6, 22),
+    )
+    return ev.select(
+        "event_id",
+        prob_r.alias("stacking_prob"),
+        conf_r.alias("stacking_confidence"),
+        S.ensemble_decision(prob_r, conf_r).alias("decision"),
+        S.contribution_explanation(terms, top_n=5).alias("top_factors"),
+        model_contributions(p).alias("model_contributions"),
+    )
+
+
+QUERIES = {
+    "ensemble_explain": q_ensemble_explain,
+}
+
+ORACLES: dict[str, str] = {}

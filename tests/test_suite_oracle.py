@@ -120,6 +120,10 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # time-decayed running sums — transcendental 2^x weights;
         # brute-force replay parity in tests/test_time_decay.py
         "decayed_velocity",
+        # stacking combine + nested explanation arrays — array<struct>
+        # output has no flat DuckDB twin; hand-computed + Python-replay
+        # parity in tests/test_explain.py
+        "ensemble_explain",
     }
     missing = set(QUERIES) - set(ORACLES) - approximate
     assert not missing, f"queries without oracle: {missing}"

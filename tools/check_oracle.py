@@ -46,6 +46,20 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _freeze(v):
+    """Deep-convert nested values to hashable, orderable tuples: numpy
+    arrays / lists → tuples, structs (rendered as dicts by Arrow toPandas)
+    → (key, value) tuples — so sort_values/factorize work on
+    array<struct<...>> columns."""
+    if hasattr(v, "tolist"):
+        v = v.tolist()
+    if isinstance(v, dict):
+        return tuple((k, _freeze(x)) for k, x in v.items())
+    if isinstance(v, (list, tuple)):
+        return tuple(_freeze(x) for x in v)
+    return v
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1).copy()
     for c in df.columns:
@@ -54,9 +68,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = col.astype("datetime64[us]")
         elif col.dtype == object:
             df[c] = col.map(
-                lambda v: tuple(v.tolist())
-                if hasattr(v, "tolist")
-                else (tuple(v) if isinstance(v, (list, tuple)) else v)
+                lambda v: _freeze(v)
+                if hasattr(v, "tolist") or isinstance(v, (dict, list, tuple))
+                else v
             )
         elif pd.api.types.is_bool_dtype(col):
             df[c] = col.astype("boolean")
