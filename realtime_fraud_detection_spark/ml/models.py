@@ -226,3 +226,60 @@ def text_model_score(text_col):
     for pattern in KEYWORD_FLAGS.values():
         score = score + F.when(text_col.rlike(pattern), 0.2).otherwise(F.lit(0.0))
     return F.least(score, F.lit(1.0))
+
+
+# ---------------------------------------------------------------------------
+# M9 — model manager / hot reload (model_manager.py:82-307,348-380): models
+# are versioned JSON artifacts; a running stream re-reads the artifact
+# between micro-batches and RE-BROADCASTS when the version stamp changes
+# (streaming/sinks.reloading_scorer_writer drives this).
+# ---------------------------------------------------------------------------
+LINEAR_SCORER_KIND = "linear_scorer"
+
+
+def save_linear_scorer(
+    path: str, weights: dict[str, float], bias: float = 0.0, version: int = 1
+) -> None:
+    """Persist a linear scoring model as a versioned JSON artifact
+    (atomic write-then-rename, same mechanics as the tokenizer/ANN
+    artifacts — a reader never observes a half-written model, which is
+    what makes mid-stream swap safe)."""
+    from ..functions.artifacts import FORMAT, atomic_write
+
+    atomic_write(
+        path,
+        {
+            "format": FORMAT,
+            "kind": LINEAR_SCORER_KIND,
+            "version": int(version),
+            "bias": float(bias),
+            "weights": {k: float(v) for k, v in weights.items()},
+        },
+    )
+
+
+def load_linear_scorer(path: str) -> dict:
+    from ..functions.artifacts import FORMAT, read_artifact
+
+    return read_artifact(path, LINEAR_SCORER_KIND, (FORMAT,))
+
+
+def linear_scorer_udf(bc, feature_cols: list[str]):
+    """Arrow-batched scorer against a BROADCAST model artifact — the same
+    executor-distribution shape as isolation_forest_udf. score = Σ wᵢ·xᵢ + b
+    folded left-to-right in the artifact's weight order (replay-
+    deterministic). Swapping the broadcast between micro-batches is the
+    reference's hot reload (model_manager.py:348-366)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def score(*cols: pd.Series) -> pd.Series:
+        art = bc.value
+        acc = None
+        for (name, w), c in zip(art["weights"].items(), cols):
+            t = c.to_numpy(dtype="float64") * w
+            acc = t if acc is None else acc + t
+        return pd.Series(acc + art["bias"])
+
+    return score(*[F.col(c) for c in feature_cols])

@@ -265,9 +265,12 @@ def time_decayed_sum(
 
     Numerics: the staged exponent is bounded by (key's time span)/H —
     doubles overflow past ~1023 half-lives of span (e.g. H=1 hour → 42
-    days). Size H to the feature's horizon, or pre-bucket epochs, for
-    longer histories. Rows at equal (key, ts) need `tiebreak_cols` for a
-    fully deterministic accumulation order.
+    days). The limit is ENFORCED, not just documented: a per-key span
+    check (max−min over the same key window the factorization already
+    computes — no extra job, no extra sort) raises with guidance instead
+    of silently emitting inf/NaN rows. Size H to the feature's horizon,
+    or pre-bucket epochs, for longer histories. Rows at equal (key, ts)
+    need `tiebreak_cols` for a fully deterministic accumulation order.
     """
     h_us = float(_parse_step_us(half_life))
     ticks = [F.col(ts_col)] + [F.col(c) for c in (tiebreak_cols or [])]
@@ -279,8 +282,21 @@ def time_decayed_sum(
     )
     t = F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double")
     rel = (t - F.min(t).over(w_all)) / F.lit(h_us)
+    span = (F.max(t).over(w_all) - F.min(t).over(w_all)) / F.lit(h_us)
+    # assert_true returns NULL when the predicate holds and raises the
+    # message otherwise — the when() keeps it in the plan per row without
+    # perturbing the output value or type
+    guard = F.assert_true(
+        span <= 1000.0,
+        F.lit(
+            f"time_decayed_sum: a key's time span exceeds 1000 half-lives "
+            f"(half_life={half_life}) — the staged 2^x term would overflow "
+            f"double to inf. Use a larger half_life or segment epochs."
+        ),
+    )
     x = F.lit(1.0) if value_col is None else F.col(value_col).cast("double")
     staged = x * F.pow(F.lit(2.0), rel)
     return df.withColumn(
-        out_col, F.pow(F.lit(2.0), -rel) * F.sum(staged).over(w_run)
+        out_col,
+        F.when(guard.isNull(), F.pow(F.lit(2.0), -rel) * F.sum(staged).over(w_run)),
     )

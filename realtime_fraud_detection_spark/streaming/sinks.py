@@ -639,15 +639,22 @@ def budget_admission_writer(
         remaining = {
             g: max(0, int(b) - spent.get(g, 0)) for g, b in budgets.items()
         }
+        # persist (NOT localCheckpoint) for the two consumers below:
+        # checkpoint blocks are never freed while the session lives, so a
+        # long-running ingest would leak storage per batch — persist scopes
+        # the blocks to this batch and unpersist releases them
         picked = token_budget_sample(
             batch, remaining, group_col=group_col, token_col=token_col,
             id_col=id_col,
-        ).localCheckpoint()  # two consumers below
-        _write_batch_partition(picked, batch_id, admit_dir)
-        tally = picked.groupBy(group_col).agg(
-            F.sum(token_col).alias("toks")
-        )
-        _write_batch_partition(tally, batch_id, tally_dir)
+        ).persist()
+        try:
+            _write_batch_partition(picked, batch_id, admit_dir)
+            tally = picked.groupBy(group_col).agg(
+                F.sum(token_col).alias("toks")
+            )
+            _write_batch_partition(tally, batch_id, tally_dir)
+        finally:
+            picked.unpersist()
 
     return write
 
@@ -668,6 +675,68 @@ def run_budget_admission_stream(
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
+        .start()
+    )
+
+
+def reloading_scorer_writer(
+    model_path: str,
+    out_dir: str,
+    score_col: str = "model_score",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function with MID-STREAM MODEL RELOAD — M9's hot swap
+    (model_manager.py:82-307,348-380) in Spark's execution model: before
+    each micro-batch the versioned JSON artifact is re-read (driver-side,
+    one small file); when its version stamp differs from the one currently
+    serving, the old broadcast is unpersisted and the new model is
+    RE-BROADCAST, so batch k scores with version v and batch k+1 with v+1
+    without restarting the query. The reference's reload endpoint becomes
+    "atomically replace the artifact file" (ml.models.save_linear_scorer's
+    write-then-rename guarantees no reader sees a half-written model).
+
+    Every output row carries `model_version` — the replay contract is
+    per-(batch, version): a replayed batch rewrites its partition with
+    whatever version the artifact THEN holds, exactly like the reference
+    re-serving a request after a reload. Scoring is Arrow-batched against
+    the broadcast (ml.models.linear_scorer_udf); feature columns come from
+    the artifact's weight keys, so a model update can even change the
+    feature set between batches."""
+    from ..ml.models import linear_scorer_udf, load_linear_scorer
+
+    state: dict = {"version": None, "bc": None}
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        art = load_linear_scorer(model_path)
+        if art["version"] != state["version"]:
+            if state["bc"] is not None:
+                state["bc"].unpersist()
+            state["bc"] = batch.sparkSession.sparkContext.broadcast(art)
+            state["version"] = art["version"]
+        scored = batch.withColumn(
+            score_col, linear_scorer_udf(state["bc"], list(art["weights"]))
+        ).withColumn("model_version", F.lit(int(art["version"])))
+        _write_batch_partition(scored, batch_id, out_dir)
+
+    return write
+
+
+def run_reloading_scorer_stream(
+    stream: DataFrame,
+    model_path: str,
+    out_dir: str,
+    checkpoint: str,
+    trigger_seconds: float = 0.5,
+    **kwargs,
+):
+    """Assemble the hot-reload scoring sink. processingTime trigger (NOT
+    availableNow): the point is a LONG-RUNNING query that picks up model
+    swaps between micro-batches."""
+    return (
+        stream.writeStream.foreachBatch(
+            reloading_scorer_writer(model_path, out_dir, **kwargs)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
         .start()
     )
 
@@ -694,27 +763,68 @@ def jdbc_exactly_once_writer(
     the batch, the DELETE runs again, and the end state is identical
     (idempotent convergence, not atomicity, is the contract — same as
     the parquet sinks in this module).
+
+    Store portability: the not-yet-created-table probe consults the
+    catalog under EVERY unquoted-identifier case fold (as-given, UPPER
+    for Derby/Oracle/DB2, lower for PostgreSQL), splitting a schema
+    qualifier into getTables' schema argument — a store that folds the
+    other way must not silently skip the DELETE and degrade to
+    at-least-once. The batch_id column is quoted with the DRIVER'S OWN
+    identifierQuoteString (MySQL backtick, ANSI double-quote elsewhere).
+    The table name is validated against a strict identifier pattern at
+    writer construction (it is interpolated into SQL).
     """
+    import re
+
     from ..sources.jdbc import write_jdbc
+
+    if not re.fullmatch(
+        r"[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)?", table
+    ):
+        raise ValueError(
+            f"table name {table!r} must be a plain (optionally "
+            "schema-qualified) SQL identifier"
+        )
+
+    def _table_exists(md) -> bool:
+        schema, _, name = table.rpartition(".")
+        # dict-as-ordered-set: probe each distinct fold exactly once
+        name_folds = list(dict.fromkeys([name, name.upper(), name.lower()]))
+        schema_folds = (
+            list(dict.fromkeys([schema, schema.upper(), schema.lower()]))
+            if schema
+            else [None]
+        )
+        for s in schema_folds:
+            for n in name_folds:
+                rs = md.getTables(None, s, n, None)
+                try:
+                    if rs.next():
+                        return True
+                finally:
+                    rs.close()
+        return False
 
     def _delete_batch(spark, batch_id: int) -> None:
         jvm = spark._sc._jvm
         conn = jvm.java.sql.DriverManager.getConnection(url)
         try:
             # DELETE on a not-yet-created table raises — probe the
-            # catalog first (Derby/most stores uppercase unquoted names)
-            rs = conn.getMetaData().getTables(None, None, table.upper(), None)
-            exists = rs.next()
-            rs.close()
-            if exists:
-                st = conn.createStatement()
+            # catalog first, under every case fold (see docstring)
+            md = conn.getMetaData()
+            if _table_exists(md):
+                q = md.getIdentifierQuoteString() or '"'
                 # Spark's JDBC writer quotes COLUMN identifiers (they stay
                 # case-sensitive lowercase) while an unquoted dbtable name
                 # case-folds — quote the column, leave the table as given
-                st.executeUpdate(
-                    f'DELETE FROM {table} WHERE "batch_id" = {int(batch_id)}'
-                )
-                st.close()
+                st = conn.createStatement()
+                try:
+                    st.executeUpdate(
+                        f"DELETE FROM {table} "
+                        f"WHERE {q}batch_id{q} = {int(batch_id)}"
+                    )
+                finally:
+                    st.close()
         finally:
             conn.close()
 

@@ -78,3 +78,31 @@ def test_assembled_stream(spark, tmp_path, derby_url):
     q = SK.run_jdbc_stream(stream, derby_url, "txs", str(tmp_path / "ck"))
     q.awaitTermination(180)
     assert len(_rows(spark, derby_url, "txs")) == 8
+
+
+def test_schema_qualified_table_replay_converges(spark, derby_url):
+    """A schema-qualified table name must still be found by the existence
+    probe (the qualifier goes into getTables' schema argument) — a probe
+    miss would silently skip the DELETE and duplicate rows on replay."""
+    writer = SK.jdbc_exactly_once_writer(derby_url, "APP.qual_txs")
+    writer(_batch(spark, 0, 4), 0)
+    writer(_batch(spark, 0, 4), 0)  # replay
+    assert _rows(spark, derby_url, "APP.qual_txs") == {(i, 0) for i in range(4)}
+
+
+def test_mixed_case_table_replay_converges(spark, derby_url):
+    """Derby upper-folds unquoted names; the probe must find the table
+    whatever fold the caller wrote (lower-folding stores are the mirror
+    case the multi-fold probe exists for)."""
+    writer = SK.jdbc_exactly_once_writer(derby_url, "MiXeD_case")
+    writer(_batch(spark, 0, 3), 0)
+    writer(_batch(spark, 0, 3), 0)
+    assert _rows(spark, derby_url, "MiXeD_case") == {(i, 0) for i in range(3)}
+
+
+def test_table_name_validated_at_construction():
+    """The table name is interpolated into SQL — anything beyond a plain
+    (optionally schema-qualified) identifier is refused up front."""
+    for bad in ("txs; DROP TABLE x", 'a"b', "sch.tab.extra", "1tab", "a-b", ""):
+        with pytest.raises(ValueError):
+            SK.jdbc_exactly_once_writer("jdbc:derby:memory:x", bad)

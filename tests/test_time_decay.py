@@ -103,3 +103,33 @@ def test_decayed_count(spark):
         ).collect()
     }
     assert out[_ts(60)] == pytest.approx(1.5)  # 1 + 0.5, values ignored
+
+
+def test_span_overflow_guard_raises(spark):
+    """A key spanning > 1000 half-lives must RAISE with guidance, not emit
+    inf/NaN rows (the staged 2^x factorization overflows double past
+    ~1023 half-lives)."""
+    rows = [
+        ("u", _ts(0), 1.0),
+        ("u", _ts(1001 * 60), 1.0),  # 1001 hours later at 1-minute ticks
+    ]
+    df = time_decayed_sum(_df(spark, rows), "user", half_life="1 minute")
+    with pytest.raises(Exception, match="1000 half-lives"):
+        df.collect()
+
+
+def test_span_guard_boundary_passes(spark):
+    """At exactly 1000 half-lives the guard still passes and the value is
+    finite (2^1000 is representable; only ~1024 overflows)."""
+    import math
+
+    rows = [("u", _ts(0), 1.0), ("u", _ts(1000), 1.0)]
+    out = {
+        r.ts: r.decayed_sum
+        for r in time_decayed_sum(
+            _df(spark, rows), "user", half_life="1 minute"
+        ).collect()
+    }
+    v = out[_ts(1000)]
+    assert math.isfinite(v)
+    assert v == pytest.approx(1.0)  # the 1000-half-life-old event decayed away
