@@ -61,8 +61,32 @@ def q_ensemble_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text → in-engine hashed n-gram embedding → exact cosine top-5 —
+    the text ANN loop with no external model (round-9 parity item; the
+    IVF/PQ composition over the same embeddings is pinned in
+    tests/test_text_embed.py). Rows-only: md5-derived values + tie-broken
+    ranking make it bit-deterministic, but the embedding array has no flat
+    DuckDB twin. Shape: explode+groupBy hashing (two shuffles) + a
+    broadcast-query cross join — corpus-linear, 100-TB-safe."""
+    from ..operators.similarity import brute_force_topk
+    from ..operators.text_embed import hashed_text_embeddings
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select(
+        "doc_id", "text"
+    )
+    emb = hashed_text_embeddings(docs, dim=64).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return brute_force_topk(emb, queries, k=5, id_col="vec_id").select(
+        "qid", "nid", "cosine_sim", "rank"
+    )
+
+
 QUERIES = {
     "ensemble_explain": q_ensemble_explain,
+    "text_embed_ann": q_text_embed_ann,
 }
 
 ORACLES: dict[str, str] = {}

@@ -124,6 +124,9 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # output has no flat DuckDB twin; hand-computed + Python-replay
         # parity in tests/test_explain.py
         "ensemble_explain",
+        # hashed-n-gram embedding pipeline — arrays have no flat DuckDB
+        # twin; hash-replay parity + recall pins in tests/test_text_embed.py
+        "text_embed_ann",
     }
     missing = set(QUERIES) - set(ORACLES) - approximate
     assert not missing, f"queries without oracle: {missing}"
