@@ -130,6 +130,36 @@ def majority_vote(model_scores: dict[str, F.Column], threshold: float = 0.5) -> 
     return (votes * 2 > len(model_scores)).alias("vote_fraud")
 
 
+def score_distinct(df: DataFrame, feature_cols: list[str], scorer) -> DataFrame:
+    """The reference's prediction cache (ensemble_predictor.py:437-471: a
+    5-minute TTL dict keyed by the feature vector, so repeated vectors skip
+    the model) re-expressed set-oriented: rows sharing a feature vector are
+    scored ONCE per batch — distinct → score → null-safe equi-join back.
+
+    `scorer` maps a DataFrame of the distinct `feature_cols` rows to the
+    same rows plus score columns. The join is null-safe (a NULL feature is
+    a cache key, not a dropped row — the reference's dict keys str(None)
+    the same way). Within a plan, `persist()` on the scored frame is the
+    TTL-cache analog ACROSS consuming queries; this function is the
+    WITHIN-batch repeat-vector dedupe. At scale both sides shuffle on the
+    feature columns (or broadcast when the distinct side is small — AQE
+    decides from the actual build size)."""
+    from functools import reduce
+
+    feats = df.select(*feature_cols).distinct()
+    scored = scorer(feats).alias("_s")
+    extra = [c for c in scored.columns if c not in feature_cols]
+    d = df.alias("_d")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"_d.{c}").eqNullSafe(F.col(f"_s.{c}")) for c in feature_cols],
+    )
+    return d.join(scored, cond, "left").select(
+        *[F.col(f"_d.{c}") for c in df.columns],
+        *[F.col(f"_s.{c}") for c in extra],
+    )
+
+
 def ab_variant(user_id: F.Column, treatment_pct: int = 50) -> F.Column:
     """M10 — deterministic hash-based A/B assignment (ab_testing.py:49-120)."""
     return F.when(
