@@ -38,10 +38,10 @@ HEADLINE = [
     "gap_fill",
     "text_features",
     "doc_fingerprint",
-    "minhash_signature",
-    "lsh_near_dups",
-    "simhash",
-    "simhash_pairs",
+    # round-9 merges: doc_signatures = minhash_signature + simhash,
+    # near_dup_pairs = lsh_near_dups + simhash_pairs (oracle-window density)
+    "doc_signatures",
+    "near_dup_pairs",
     "dedup_clusters",
     "quality_filters",
     "sample_pack",
@@ -127,8 +127,8 @@ ITERATIVE = {
 # - everything else: cold single sample (median of 3 for ITERATIVE),
 #   subject to the mover re-measure rule.
 CACHED = {
-    "simhash",
-    "simhash_pairs",
+    "doc_signatures",
+    "near_dup_pairs",
     "dedup_clusters",
     "triangles",
     "communities",

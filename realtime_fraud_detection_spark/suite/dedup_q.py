@@ -171,65 +171,29 @@ FROM documents GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
-# MinHash signatures (shingle → salted-md5 min per permutation)
+# Per-doc signature panel: MinHash (shingle → salted-md5 min per
+# permutation) joined with the 16+64-bit SimHash signatures on doc_id —
+# one driver row verifies both signature families (former minhash_signature
+# + simhash queries, merged to keep the 50-entry oracle window dense; all
+# six signature columns are still hash-checked per doc).
 # ---------------------------------------------------------------------------
-def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return D.minhash_signatures(docs, "text", "doc_id", num_perm=4).withColumnRenamed(
+    mh = D.minhash_signatures(docs, "text", "doc_id", num_perm=4).withColumnRenamed(
         "doc", "doc_id"
     )
-
-
-SQL_MINHASH_SIGNATURE = f"WITH {_SQL_SIG} SELECT doc_id, mh0, mh1, mh2, mh3 FROM sig"
-
-
-# ---------------------------------------------------------------------------
-# MinHash-LSH near-dup pairs: band buckets → candidate self-join → exact
-# n-gram Jaccard filter.
-# ---------------------------------------------------------------------------
-def q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    cands = D.minhash_lsh_candidates(docs, "text", "doc_id", num_perm=4, band_size=2)
-    sim = D.ngram_jaccard(docs, cands, "text", "doc_id", 3)
-    return sim.select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
-    ).filter(F.col("jaccard") >= 0.8)
-
-
-SQL_LSH_NEAR_DUPS = f"""
-WITH {_SQL_SIG},
-bands AS (
-  SELECT doc_id, 0 AS band, md5('0' || '_' || mh0 || '_' || mh1) AS bucket FROM sig
-  UNION ALL
-  SELECT doc_id, 1 AS band, md5('1' || '_' || mh2 || '_' || mh3) AS bucket FROM sig
-),
-cand AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
-),
-sh AS (
-  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s
-  FROM (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents)
-)
-SELECT doc_a, doc_b,
-       ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE, 6) AS jaccard
-FROM cand JOIN sh a ON cand.doc_a = a.doc_id JOIN sh b ON cand.doc_b = b.doc_id
-WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE, 6) >= 0.8
-"""
+    sh = _simhash_sigs(spark, sf_dir).withColumnRenamed("doc", "doc_id")
+    return mh.join(sh, "doc_id")
 
 
 # ---------------------------------------------------------------------------
-# SimHash signatures — 16-bit (compact oracle form) AND full 64-bit
-# production form from ONE scan + shuffle (simhash_signatures with a width
-# tuple). The 64-bit form uses full two's-complement word hashes so bits
-# 60-63 actually vote; bit 63 is handled without shift masks on both
+# SimHash oracle building blocks — 16-bit (compact oracle form) AND full
+# 64-bit production form from ONE scan + shuffle (simhash_signatures with a
+# width tuple). The 64-bit form uses full two's-complement word hashes so
+# bits 60-63 actually vote; bit 63 is handled without shift masks on both
 # engines: h < 0 tests the sign bit, and setting it adds Long.MIN_VALUE
 # (1 << 63 overflows BIGINT in DuckDB and LongType in Spark alike).
 # ---------------------------------------------------------------------------
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _simhash_sigs(spark, sf_dir).withColumnRenamed("doc", "doc_id")
-
-
 _SIMHASH_H = md5_bigint_sql("w", salt="simhash:")
 _SIMHASH_H64 = md5_bigint64_sql("w", salt="simhash:")
 # the 64-bit signature expression over a word-hash list column `hs`
@@ -241,45 +205,93 @@ _SQL_SIMHASH64_SIG = """CAST(list_sum(list_transform(range(0, 63), j ->
   + CASE WHEN list_sum(list_transform(hs, h ->
            CASE WHEN h < 0 THEN 1 ELSE -1 END)) > 0
          THEN (-9223372036854775807 - 1) ELSE 0 END"""
-SQL_SIMHASH = rf"""
-WITH hw AS (
+# DuckDB twin of the merged signature panel: the MinHash CTE joined with
+# the 16+64-bit SimHash vote sums on doc_id.
+SQL_DOC_SIGNATURES = rf"""
+WITH {_SQL_SIG},
+hw AS (
   SELECT doc_id,
          list_transform(list_distinct({_SQL_WORDS}), w -> {_SIMHASH_H}) AS hs16,
          list_transform(list_distinct({_SQL_WORDS}), w -> {_SIMHASH_H64}) AS hs
   FROM documents
+),
+simsig AS (
+  SELECT doc_id,
+    CAST(list_sum(list_transform(range(0, 16), j ->
+      CASE WHEN list_sum(list_transform(hs16, h ->
+             CASE WHEN (h & (1::BIGINT << j)) <> 0 THEN 1 ELSE -1 END)) > 0
+           THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash16,
+    {_SQL_SIMHASH64_SIG} AS simhash64
+  FROM hw
 )
-SELECT doc_id,
-  CAST(list_sum(list_transform(range(0, 16), j ->
-    CASE WHEN list_sum(list_transform(hs16, h ->
-           CASE WHEN (h & (1::BIGINT << j)) <> 0 THEN 1 ELSE -1 END)) > 0
-         THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash16,
-  {_SQL_SIMHASH64_SIG} AS simhash64
-FROM hw
+SELECT sig.doc_id, mh0, mh1, mh2, mh3, simhash16, simhash64
+FROM sig JOIN simsig USING (doc_id)
 """
 
 
 # ---------------------------------------------------------------------------
-# SimHash Hamming-distance near-dup pairs (pigeonhole bit-banding in Spark —
-# exhaustive for the bound, so the all-pairs DuckDB oracle must match
-# EXACTLY, pairs and distances both).
+# Near-dup candidate pairs, both banding families in one driver row (former
+# lsh_near_dups + simhash_pairs queries, merged to keep the oracle window
+# dense — pairs, methods, and scores all still hash-checked):
+#   * MinHash-LSH band buckets → candidate self-join → exact n-gram Jaccard
+#     filter (score = jaccard, 6 dp);
+#   * SimHash pigeonhole bit-banding, exhaustive for the Hamming bound
+#     (score = hamming distance) — so the all-pairs DuckDB oracle must
+#     match EXACTLY, pairs and distances both.
 # ---------------------------------------------------------------------------
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    return D.simhash_near_dup_pairs(
+    cands = D.minhash_lsh_candidates(docs, "text", "doc_id", num_perm=4, band_size=2)
+    lsh = (
+        D.ngram_jaccard(docs, cands, "text", "doc_id", 3)
+        .select(
+            F.lit("lsh_jaccard").alias("method"),
+            "doc_a",
+            "doc_b",
+            F.round("jaccard", 6).alias("score"),
+        )
+        .filter(F.col("score") >= 0.8)
+    )
+    sh = D.simhash_near_dup_pairs(
         docs, "text", "doc_id", bits=64, max_hamming=4,
         sigs=_simhash_sigs(spark, sf_dir).select("doc", "simhash64"),
+    ).select(
+        F.lit("simhash_hamming").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("double").alias("score"),
     )
+    return lsh.unionByName(sh)
 
 
-SQL_SIMHASH_PAIRS = rf"""
-WITH hw AS (
+SQL_NEAR_DUP_PAIRS = rf"""
+WITH {_SQL_SIG},
+bands AS (
+  SELECT doc_id, 0 AS band, md5('0' || '_' || mh0 || '_' || mh1) AS bucket FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, md5('1' || '_' || mh2 || '_' || mh3) AS bucket FROM sig
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+shingled AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s
+  FROM (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents)
+),
+hw AS (
   SELECT doc_id, list_transform(list_distinct({_SQL_WORDS}), w -> {_SIMHASH_H64}) AS hs
   FROM documents
 ), sigs AS (
   SELECT doc_id, {_SQL_SIMHASH64_SIG} AS sig FROM hw
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+SELECT 'lsh_jaccard' AS method, doc_a, doc_b,
+       ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE, 6) AS score
+FROM cand JOIN shingled a ON cand.doc_a = a.doc_id JOIN shingled b ON cand.doc_b = b.doc_id
+WHERE ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE, 6) >= 0.8
+UNION ALL
+SELECT 'simhash_hamming' AS method, a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS DOUBLE) AS score
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= 4
 """
@@ -1032,14 +1044,57 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Exact duplicate-span detection (Lee et al. ACL'22 substring dedup).
-# Rows-only here (the 50-entry oracle window is full); bit-exact DuckDB
-# parity is pinned by tests/test_duplicate_spans.py.
+# Oracled (promoted into the driver window in round 9 after the signature /
+# pair-query merges freed two slots): the DuckDB twin below is the same
+# independent formulation tests/test_duplicate_spans.py has pinned
+# bit-exact since round 5 — duplicated k-gram hashes, gap-≥k islands,
+# per-island span boundaries.
 # ---------------------------------------------------------------------------
 def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.spans import duplicate_spans
 
     docs = _docs(spark, sf_dir)
     return duplicate_spans(docs, "text", "doc_id", k=8).orderBy("doc", "span_start")
+
+
+_SPAN_K = 8
+_SPAN_H = md5_bigint_sql("s")
+_SPAN_LEADS = ", ".join(f"lead(tok, {i}) OVER win AS l{i}" for i in range(1, _SPAN_K))
+_SPAN_CAT = (
+    "concat_ws(' ', tok, " + ", ".join(f"l{i}" for i in range(1, _SPAN_K)) + ")"
+)
+SQL_DUPLICATE_SPANS = rf"""
+WITH ws AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), '\s+') AS w
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(w) AS tok, unnest(range(len(w))) AS pos FROM ws),
+gr AS (
+  SELECT doc_id, pos, {_SPAN_CAT} AS s
+  FROM (SELECT doc_id, pos, tok, {_SPAN_LEADS}
+        FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+  WHERE l{_SPAN_K - 1} IS NOT NULL
+),
+g AS (SELECT doc_id, pos, {_SPAN_H} AS h FROM gr),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+m AS (SELECT doc_id, pos FROM g JOIN dup USING (h)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER win2 >= {_SPAN_K} THEN 1 ELSE 0 END AS b
+  FROM m WINDOW win2 AS (PARTITION BY doc_id ORDER BY pos)
+),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS sp
+  FROM brk
+)
+SELECT doc_id AS doc, min(pos) AS span_start, max(pos) + {_SPAN_K - 1} AS span_end,
+       max(pos) + {_SPAN_K - 1} - min(pos) + 1 AS span_tokens,
+       count(*) AS n_dup_grams
+FROM isl GROUP BY doc_id, sp
+ORDER BY doc, span_start
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1110,8 +1165,10 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Token-budget mixture materialization (operators/sampling.token_budget_sample)
 # — per-language char budgets realized as the minimal hash-ordered prefix.
-# Rows-only (the oracle window is full); bit-exact DuckDB parity of the
-# selection is pinned by tests/test_token_budget.py.
+# Oracled (promoted into the driver window in round 9): the DuckDB twin is
+# the single per-group-window sequential rendering the distributed
+# bucket-offset prefix-sum form must equal exactly — the same formulation
+# tests/test_token_budget.py has pinned bit-exact.
 # ---------------------------------------------------------------------------
 _MIX_BUDGETS = {"en": 20000, "fr": 10000, "de": 8000, "es": 10000, "zh": 6000}
 
@@ -1127,6 +1184,27 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select("doc_id", "lang", "n_chars").orderBy("doc_id")
 
 
+_MIX_H = md5_bigint_sql("CAST(doc_id AS VARCHAR)", salt="mix:")
+_MIX_CASE = "".join(
+    f"WHEN lang = '{k}' THEN {v} " for k, v in sorted(_MIX_BUDGETS.items())
+)
+SQL_TOKEN_BUDGET_MIX = rf"""
+WITH base AS (
+  SELECT doc_id, lang, n_chars, {_MIX_H} AS h
+  FROM documents
+),
+cum AS (
+  SELECT *, COALESCE(SUM(n_chars) OVER (
+    PARTITION BY lang ORDER BY h, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM base
+)
+SELECT doc_id, lang, n_chars FROM cum
+WHERE prev < CASE {_MIX_CASE}ELSE 0 END
+ORDER BY doc_id
+"""
+
+
 # Every oracle-backed query must sit within the driver's 50-entry check
 # window (dict insertion order across suite modules) — the two
 # approximate-by-construction ANN queries are rows-only and go LAST.
@@ -1134,16 +1212,16 @@ QUERIES = {
     "text_features": q_text_features,
     "doc_fingerprint": q_doc_fingerprint,
     "exact_dedup": q_exact_dedup,
-    "minhash_signature": q_minhash_signature,
-    "lsh_near_dups": q_lsh_near_dups,
-    "simhash": q_simhash,
+    "doc_signatures": q_doc_signatures,
+    "near_dup_pairs": q_near_dup_pairs,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_topk": q_ann_topk,
     "winnow_pairs": q_winnow_pairs,
-    "simhash_pairs": q_simhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "quality_filters": q_quality_filters,
     "sample_pack": q_sample_pack,
+    "duplicate_spans": q_duplicate_spans,
+    "token_budget_mix": q_token_budget_mix,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_int8": q_ann_int8,
@@ -1153,25 +1231,23 @@ QUERIES = {
     "ann_pq_res": q_ann_pq_res,
     "semantic_dedup": q_semantic_dedup,
     "doc_chunks": q_doc_chunks,
-    "duplicate_spans": q_duplicate_spans,
     "bm25_search": q_bm25_search,
     "hybrid_search": q_hybrid_search,
-    "token_budget_mix": q_token_budget_mix,
 }
 
 ORACLES = {
     "text_features": SQL_TEXT_FEATURES,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "exact_dedup": SQL_EXACT_DEDUP,
-    "minhash_signature": SQL_MINHASH_SIGNATURE,
-    "lsh_near_dups": SQL_LSH_NEAR_DUPS,
-    "simhash": SQL_SIMHASH,
+    "doc_signatures": SQL_DOC_SIGNATURES,
+    "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "ann_topk": SQL_ANN_TOPK,
     "winnow_pairs": SQL_WINNOW_PAIRS,
-    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "quality_filters": SQL_QUALITY_FILTERS,
     "sample_pack": SQL_SAMPLE_PACK,
+    "duplicate_spans": SQL_DUPLICATE_SPANS,
+    "token_budget_mix": SQL_TOKEN_BUDGET_MIX,
     # ann_lsh / ann_ivf: approximate by construction → rows-only check
 }

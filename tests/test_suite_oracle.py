@@ -44,8 +44,6 @@ def test_entry_contract(spark):
 
 
 def test_every_query_has_oracle_or_is_declared_approximate():
-    # duplicate_spans is exact but outside the full 50-entry window —
-    # bit-exact DuckDB parity lives in tests/test_duplicate_spans.py;
     # bm25_search idf is transcendental — tolerance parity in test_corpus.py
     approximate = {
         "ann_lsh",
@@ -65,16 +63,11 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         "ann_pq_res",
         "semantic_dedup",
         "doc_chunks",
-        "duplicate_spans",
         "bm25_search",
         # RRF fusion of BM25 + cosine lists — rank inputs derive from
         # transcendental scores (the bm25 class); bit-exact pure-Python
         # replay parity in tests/test_hybrid_search.py
         "hybrid_search",
-        # budgeted mixture materialization — integer-exact, bit-exact
-        # DuckDB parity in tests/test_token_budget.py (oracle window
-        # full; rows-only here)
-        "token_budget_mix",
         # iterative distributed training — no SQL form; NumPy-replay
         # parity + holdout accuracy in tests/test_text_classifier.py
         "text_classifier",

@@ -33,7 +33,7 @@ import sys
 
 ITERATIVE = {"dedup_clusters", "pagerank", "semantic_dedup", "communities"}
 CACHED = {
-    "simhash", "simhash_pairs", "dedup_clusters", "triangles",
+    "doc_signatures", "near_dup_pairs", "dedup_clusters", "triangles",
     "communities", "ann_ivf", "ann_ivf_int8", "ann_pq", "ann_pq_res",
 }
 ABS_FLOOR_SEC = 0.5
