@@ -486,6 +486,116 @@ def heavy_hitters_view(
     )
 
 
+def cm_partial_writer(
+    out_dir: str,
+    item_col: str = "user_id",
+    ts_col: str = "ts",
+    key_cols: list[str] | None = None,
+    width: int = 1024,
+    depth: int = 4,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink for streaming point-frequency rollups — the
+    Count-Min dual of `frequent_items_writer`: each micro-batch lands its
+    d×w counter partials (operators/count_min.py) under its own batch_id
+    partition (idempotent replay by dynamic partition overwrite). Unlike
+    MG compression, CM merging is LOSSLESS across batch boundaries —
+    counters on the same (depth, col) grid just add — so the streamed
+    store is bit-identical to a batch build at every grain, and the error
+    bound depends only on the merged window's mass, never on how the
+    stream was batched. Per-batch state crossing the sink boundary is at
+    most groups × d × w counter rows."""
+    path = os.path.join(out_dir, "cm_partials")
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.count_min import cm_partials
+
+        partials = cm_partials(
+            batch, item_col, ts_col=ts_col, key_cols=key_cols,
+            width=width, depth=depth,
+        )
+        _write_batch_partition(partials, batch_id, path)
+
+    return write
+
+
+def cm_rollup_view(
+    spark,
+    out_dir: str,
+    grain: str,
+    items: DataFrame,
+    item_col: str = "user_id",
+    key_cols: list[str] | None = None,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Current per-`grain` frequency UPPER bounds for `items` from the
+    streamed partials: sum counters cell-wise across batches (hours
+    straddle micro-batches), merge to `grain`, probe. Bit-identical to a
+    batch-built sketch of the same events (pinned in
+    tests/test_count_min_stream.py) — replays overwrite their batch
+    partition, so the view is idempotent under redelivery."""
+    from ..operators.count_min import cm_estimate, merge_cm
+
+    keys = list(key_cols or [])
+    partials = (
+        spark.read.parquet(os.path.join(out_dir, "cm_partials"))
+        .groupBy(*keys, "hour", "depth", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    merged = merge_cm(partials, grain, key_cols=keys).withColumnRenamed(
+        grain, "hour"
+    )
+    return cm_estimate(
+        merged, items, item_col, [*keys, "hour"], width=width, depth=depth
+    ).withColumnRenamed("hour", grain)
+
+
+def search_index_writer(
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink maintaining a full-text search index INCREMENTALLY:
+    each micro-batch tokenizes ONLY ITS OWN documents into doc-term rows
+    (operators/corpus.doc_term_table) and lands them under its own batch_id
+    partition (idempotent replay by dynamic partition overwrite). The
+    already-indexed corpus is never re-tokenized and never reshuffled —
+    the same never-touch-the-old-corpus shape as
+    `minhash_lsh_candidates_incremental`, applied to retrieval: at 100 TB
+    the index grows by the batch's terms, not by a corpus rebuild.
+
+    Corpus-level BM25 statistics (N, avgdl, df) are NOT stored — they are
+    group-sized aggregates of the stored doc-term table and are derived
+    fresh inside `search_index_view`, so they are exact for whatever the
+    store currently holds (a stored IDF would go stale with every batch).
+
+    Contract: append-only corpus of immutable documents (the training-data
+    ingest shape). Redelivery of a batch_id overwrites its own partition;
+    the same doc arriving under TWO batch_ids would double-count — dedupe
+    upstream (exact_dedup / incremental_dedup_writer) before indexing."""
+    path = os.path.join(out_dir, "doc_terms")
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.corpus import doc_term_table
+
+        dt = doc_term_table(batch, text_col, id_col)
+        _write_batch_partition(dt, batch_id, path)
+
+    return write
+
+
+def search_index_view(spark, out_dir: str) -> DataFrame:
+    """The streamed doc-term table, ready to serve ranked search via
+    `bm25_rank(..., dt=search_index_view(...))`: bit-identical rows to a
+    batch `doc_term_table` over the same documents (term counts are exact
+    integers and each doc lives in exactly one batch partition), so BM25
+    scores over the incremental index equal a from-scratch batch build —
+    pinned in tests/test_search_index_stream.py."""
+    return spark.read.parquet(os.path.join(out_dir, "doc_terms")).select(
+        "doc", "term", "_tf_dt"
+    )
+
+
 def quality_gated_ingest_writer(
     out_dir: str,
     text_col: str = "text",

@@ -69,10 +69,32 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.orderBy("day", F.col("cnt").desc(), "item")
 
 
+# Per-hour Count-Min grids rolled to daily point-frequency UPPER bounds
+# for a deterministic probe set — the fourth stored-partials sketch and
+# the dual of q_heavy_hitters (MG stores lower bounds for the items it
+# kept; CM upper-bounds ANY item, so together they bracket every count).
+# Integer+md5 only → bit-exact DuckDB twin pinned in
+# tests/test_count_min.py (rows-only here only because the driver's
+# 50-entry oracle window is full).
+def q_cm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.count_min import cm_estimate, cm_partials, merge_cm
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = cm_partials(ev, "user_id", ts_col="ts", grain="hour")
+    daily = merge_cm(hourly, "day").withColumnRenamed("day", "hour")
+    probe = ev.select("user_id").distinct().filter(F.col("user_id") % 20 == 0)
+    return (
+        cm_estimate(daily, probe, "user_id", ["hour"])
+        .withColumnRenamed("hour", "day")
+        .orderBy("day", "user_id")
+    )
+
+
 QUERIES = {
     "sketch_rollup": q_sketch_rollup,
     "quantile_rollup": q_quantile_rollup,
     "heavy_hitters": q_heavy_hitters,
+    "cm_rollup": q_cm_rollup,
 }
 
 ORACLES: dict[str, str] = {}
