@@ -94,6 +94,10 @@ HEADLINE = [
     "token_budget_mix",
     # round-8: recency-weighted velocity (time-decayed running sums)
     "decayed_velocity",
+    # round-9: per-row ensemble explanation (pure-expression top-factors)
+    # and the in-engine text-embedding -> IVF,PQ ANN loop
+    "ensemble_explain",
+    "text_embed_ann",
 ]
 
 # Iterative queries (CC / power-iteration loops) have documented ±2 s

@@ -559,3 +559,111 @@ def kfold_splits(
     return [
         (df.filter(fold != i), df.filter(fold == i)) for i in range(k)
     ]
+
+
+def negative_samples(
+    positives: DataFrame,
+    corpus: DataFrame,
+    query_col: str = "q_id",
+    pos_col: str = "doc",
+    id_col: str = "doc_id",
+    k: int = 4,
+    margin: int = 2,
+    n_buckets: int | None = None,
+    seed: str = "neg:",
+) -> DataFrame:
+    """Deterministic random negatives for contrastive training pairs:
+    for every query in `positives`, up to `k` corpus documents that are
+    NOT among that query's positives, drawn reproducibly (salted md5 —
+    same inputs, same negatives, on any partitioning, any session).
+
+    The scale problem this shape avoids: "pick k random docs per query"
+    naively needs either a global dense index (a full sort) or a
+    per-query scan of the corpus (|Q|×N). Instead the corpus is hashed
+    once into `n_buckets` buckets (default ≈ N/16, so ~16 docs each,
+    computed from a cheap count), and each (query, attempt i) probe
+    equi-joins its pseudo-random bucket h(seed, q, i) mod n_buckets and
+    keeps that bucket's min-hash doc under a per-probe draw — k·margin
+    probes per query, join fan-out ≈ probes × 16 rows, never the corpus.
+    Collisions with positives / duplicate picks are dropped afterwards
+    and the first k survivors (in attempt order) are kept — `margin`
+    oversamples attempts so k survive with high probability (guaranteed
+    short only when the corpus itself is nearly exhausted by positives;
+    callers needing exactly-k raise `margin`).
+
+    Output: (query_col, id_col, neg_rank) with neg_rank in 1..k.
+    """
+    if k <= 0 or margin < 1:
+        raise ValueError(f"need k > 0 and margin >= 1, got k={k} margin={margin}")
+    if n_buckets is None:
+        n_buckets = max(int(corpus.count()) // 16, 1)
+    q = F.col(query_col).cast("string")
+    buckets = corpus.select(
+        F.col(id_col),
+        (md5_bigint(F.col(id_col).cast("string"), salt=seed + "b:") % n_buckets).alias(
+            "_b"
+        ),
+    )
+    attempts = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k * margin - 1)),
+            lambda i: F.struct(
+                i.alias("_i"),
+                F.pmod(
+                    md5_bigint(F.concat(q, F.lit("#"), i.cast("string")), salt=seed),
+                    F.lit(n_buckets),
+                ).alias("_b"),
+            ),
+        )
+    )
+    probes = (
+        positives.select(query_col).distinct().select(query_col, attempts.alias("_a"))
+        .select(query_col, F.col("_a._i").alias("_i"), F.col("_a._b").alias("_b"))
+    )
+    # within each probed bucket: one deterministic draw per (query, attempt)
+    draw = md5_bigint(
+        F.concat(q, F.lit("#"), F.col("_i").cast("string"), F.lit("#"),
+                 F.col(id_col).cast("string")),
+        salt=seed + "d:",
+    )
+    cand = (
+        probes.join(buckets, "_b")
+        .withColumn("_d", draw)
+        .withColumn(
+            "_pick",
+            F.row_number().over(
+                Window.partitionBy(query_col, "_i").orderBy(
+                    F.col("_d").asc(), F.col(id_col).asc()
+                )
+            ),
+        )
+        .filter(F.col("_pick") == 1)
+        .select(query_col, "_i", id_col)
+    )
+    # drop positives and duplicate picks, keep the first k by attempt order
+    not_pos = cand.join(
+        positives.select(
+            F.col(query_col), F.col(pos_col).alias(id_col)
+        ).distinct(),
+        [query_col, id_col],
+        "left_anti",
+    )
+    dedup = (
+        not_pos.withColumn(
+            "_first",
+            F.row_number().over(
+                Window.partitionBy(query_col, id_col).orderBy(F.col("_i").asc())
+            ),
+        )
+        .filter(F.col("_first") == 1)
+        .drop("_first")
+    )
+    ranked = dedup.withColumn(
+        "neg_rank",
+        F.row_number().over(
+            Window.partitionBy(query_col).orderBy(F.col("_i").asc())
+        ),
+    )
+    return ranked.filter(F.col("neg_rank") <= k).select(
+        query_col, id_col, "neg_rank"
+    )

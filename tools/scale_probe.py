@@ -77,7 +77,7 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     all_stages = (
         "minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,"
-        "ivfpq,sketch,hotkey,layout,funnel,mixture,pca"
+        "ivfpq,sketch,hotkey,layout,funnel,mixture,pca,embed"
     )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
@@ -236,6 +236,34 @@ def main() -> None:
             fn()
         except Exception as e:  # noqa: BLE001 — probe tool, report + continue
             print(f"{name}=FAILED {type(e).__name__}: {str(e).splitlines()[0][:160]}")
+
+    if "embed" in stages:
+        # hashed char-n-gram embeddings (operators/text_embed.py): the
+        # build is explode(grams) + two hash-keyed aggregates — the
+        # minhash/simhash shape — so runtime must grow ~linearly with
+        # corpus size (per-doc gram counts are fixture-fixed)
+        from pyspark.sql import functions as F
+
+        from realtime_fraud_detection_spark.operators.text_embed import (
+            hashed_text_embeddings,
+        )
+
+        def _embed():
+            t0 = time.time()
+            emb = hashed_text_embeddings(
+                docs, "text", "doc_id", dim=64
+            ).select("doc_id", "embedding").localCheckpoint()
+            n_e = emb.count()
+            n_nz = emb.filter(
+                F.aggregate(
+                    "embedding", F.lit(0.0), lambda a, x: a + F.abs(x)
+                ) > 0
+            ).count()
+            print(
+                f"text_embed={time.time() - t0:.1f}s docs={n_e} nonzero={n_nz}"
+            )
+
+        _guarded("embed", _embed)
 
     if "funnel" in stages:
         # the COMPOSED curation pipeline — one call, every gate that can
@@ -441,6 +469,44 @@ def main() -> None:
             )
 
         _guarded("heavy_hitters", _hh)
+
+        def _cm():
+            # the CM grid saturates instead of growing: stored rows per
+            # (hour) window are capped at d*w = 4096 however many events
+            # land in the window (the replica-offset ids push cell
+            # occupancy toward the cap as replicas grow)
+            from realtime_fraud_detection_spark.operators import (
+                count_min as CM,
+            )
+
+            t0 = time.time()
+            partials = CM.cm_partials(
+                ev, "user_id", ts_col="ts"
+            ).localCheckpoint()
+            n_p = partials.count()
+            cap = (
+                partials.groupBy("hour")
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+            )
+            probe = ev.select("user_id").distinct().filter(
+                F.col("user_id") % 50 == 0
+            )
+            daily = CM.cm_estimate(
+                CM.merge_cm(partials, "day").withColumnRenamed("day", "hour"),
+                probe,
+                "user_id",
+                ["hour"],
+            )
+            n_d = daily.count()
+            print(
+                f"count_min={time.time() - t0:.1f}s events={n_ev} "
+                f"stored_rows={n_p} max_cells_per_window={cap} "
+                f"(bound 4096) probes={n_d}"
+            )
+
+        _guarded("count_min", _cm)
 
     if "hotkey" in stages:
         # The skewed-key shape the co-occurrence graph cap exists for: a
