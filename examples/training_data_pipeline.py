@@ -253,6 +253,19 @@ def main() -> None:
     )
     n_mmr = diversified.count()
 
+    # 6c. contrastive training pairs from the retrieval output: each
+    # query's BM25 top hit is its positive; k deterministic negatives
+    # come from bucket-probe sampling (never a corpus scan per query)
+    from realtime_fraud_detection_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    contrastive_pos = bm25.filter(F.col("rank") == 1).select("q_id", "doc")
+    negs = negative_samples(
+        contrastive_pos, survivors.select("doc_id"), k=3
+    )
+    n_negs = negs.count()
+
     # 7. distill a weak-supervision rule into a trainable filter (the
     # FineWeb-Edu / DCLM bootstrap: seed labels → hashed-ngram linear
     # model), trained entirely as DataFrame ops
@@ -368,6 +381,7 @@ def main() -> None:
     print(f"bm25 hits            {n_bm25}  (corpus-derived queries, top-5)")
     print(f"hybrid rrf hits      {n_hybrid}  (BM25 + cosine lists fused, top-5)")
     print(f"mmr diversified      {n_mmr}  (lambda=0.7, top-3 per query)")
+    print(f"contrastive negs     {n_negs}  (3 bucket-probe negatives per BM25 positive)")
     print(f"classifier holdout   {holdout:.3f}  accuracy (weak-rule distillation, {len(clf.weights)} active buckets)")
     print(f"low-trigram-LM       {n_low_sb}  (bottom 5% Stupid Backoff logprob vs survivor LM)")
     print(f"ccnet buckets        head {buckets.get('head', 0)} / middle {buckets.get('middle', 0)} / tail {buckets.get('tail', 0)}")

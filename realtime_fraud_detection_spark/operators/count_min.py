@@ -165,3 +165,47 @@ def cm_estimate(
         .agg(F.min("cnt").alias("est"))
         .withColumnRenamed("_item", item_col)
     )
+
+
+def count_brackets(
+    mg_summary: DataFrame,
+    cm_store: DataFrame,
+    window_cols: list[str],
+    item_col: str = "item",
+    width: int = DEFAULT_WIDTH,
+    depth: int = DEFAULT_DEPTH,
+) -> DataFrame:
+    """Two-sided count certification from the two stored sketch families:
+    for every item a Misra–Gries summary kept, attach the Count-Min
+    upper bound built over the same windows, yielding
+    (window…, item, cnt_lb, cnt_ub, n) with cnt_lb ≤ true ≤ cnt_ub —
+    MG undercounts by at most the compression mass it subtracted, CM
+    overcounts by at most the window's colliding mass. The bracket WIDTH
+    is itself a data-quality signal: it bounds the maximum estimation
+    error either store can have made, without touching the events.
+
+    Inputs are the two families' stored-partials tables at the SAME
+    grain (operators/heavy_hitters.merge_frequent_items and
+    :func:`merge_cm` outputs, window column names aligned by the
+    caller). MG sentinel rows (item NULL) carry n and are excluded from
+    bracketing. Shape: the probe side is the MG store — bounded at
+    groups × capacity rows — so the CM probe join broadcasts it; the
+    events are never rescanned.
+    """
+    kept = mg_summary.filter(F.col(item_col).isNotNull()).select(
+        *window_cols,
+        F.col(item_col),
+        F.col("cnt").alias("cnt_lb"),
+        "n",
+    )
+    ub = cm_estimate(
+        cm_store,
+        kept.select(item_col).distinct(),
+        item_col,
+        window_cols,
+        width=width,
+        depth=depth,
+    ).withColumnRenamed("est", "cnt_ub")
+    return kept.join(ub, [*window_cols, item_col]).select(
+        *window_cols, item_col, "cnt_lb", "cnt_ub", "n"
+    )

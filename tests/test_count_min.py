@@ -147,3 +147,40 @@ def test_duckdb_parity_bit_exact(spark):
     ).fetchall()
     want = {(r[0], r[1]): r[2] for r in want_rows}
     assert got == want
+
+
+def test_count_brackets_contain_truth(spark):
+    """MG lower / CM upper brackets built from the two stored-partials
+    tables contain the exact count for every MG-kept item, at day grain."""
+    from realtime_fraud_detection_spark.operators.count_min import (
+        count_brackets,
+    )
+    from realtime_fraud_detection_spark.operators.heavy_hitters import (
+        frequent_items_partials,
+        merge_frequent_items,
+    )
+
+    ev = _events(spark)
+    mg = merge_frequent_items(
+        frequent_items_partials(ev, "ts", "user_id", capacity=16),
+        "day",
+        capacity=16,
+    ).withColumnRenamed("day", "hour")
+    cm = merge_cm(
+        cm_partials(ev, "user_id", ts_col="ts"), "day"
+    ).withColumnRenamed("day", "hour")
+    br = count_brackets(mg, cm, ["hour"], item_col="item").collect()
+    assert br, "no brackets produced"
+
+    exact_rows = (
+        ev.select(F.date_trunc("day", "ts").alias("d"), "user_id").collect()
+    )
+    exact: dict = {}
+    for r in exact_rows:
+        exact[(r["d"], r["user_id"])] = exact.get((r["d"], r["user_id"]), 0) + 1
+    for r in br:
+        true = exact[(r["hour"], r["item"])]
+        assert r["cnt_lb"] <= true <= r["cnt_ub"], (
+            r["item"], r["cnt_lb"], true, r["cnt_ub"],
+        )
+        assert r["cnt_ub"] - r["cnt_lb"] <= r["n"], r["item"]

@@ -48,6 +48,7 @@ EXPECTED_LINES = [
     "bm25 hits",
     "hybrid rrf hits",
     "mmr diversified",
+    "contrastive negs",
     "classifier holdout",
     "low-trigram-LM",
     "ccnet buckets",
