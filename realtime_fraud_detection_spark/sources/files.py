@@ -72,3 +72,50 @@ def read_jsonl(
     good = df.filter(~bad).drop(CORRUPT_COL)
     quarantined = df.filter(bad).select(F.col(CORRUPT_COL).alias("raw_line"))
     return good, quarantined
+
+
+def read_delimited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str,
+    sep: str = ",",
+    header: bool = True,
+    quarantine: bool = True,
+    multiline: bool = False,
+) -> tuple[DataFrame, DataFrame | None]:
+    """(good, quarantine) from a CSV/TSV drop — the delimited twin of
+    :func:`read_jsonl`, same lossless-ingest policy: a row whose fields
+    cannot bind to the schema (wrong arity, type mismatch under the CSV
+    parser) lands in the quarantine frame with its raw text intact
+    instead of failing the job or vanishing.
+
+    Scale notes: Spark's CSV reader (Univocity) is JVM-side and
+    splittable for single-line records, so parallelism is byte-range
+    bound exactly like JSONL. ``multiline=True`` (quoted newlines)
+    makes files non-splittable — one task per file — so corpus drops
+    that need it should arrive pre-sharded; the flag is surfaced rather
+    than defaulted for that reason. The same SPARK-21610 corrupt-column
+    staging discipline as JSONL applies.
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("sep", sep)
+        .option("header", str(header).lower())
+        .option("multiLine", str(multiline).lower())
+        .option("enforceSchema", "false")
+        .csv(path)
+    )
+    bad = F.col(CORRUPT_COL).isNotNull()
+    if not quarantine:
+        return df.filter(~bad).drop(CORRUPT_COL), None
+    df = df.localCheckpoint(eager=False)
+    good = df.filter(~bad).drop(CORRUPT_COL)
+    quarantined = df.filter(bad).select(F.col(CORRUPT_COL).alias("raw_line"))
+    return good, quarantined
