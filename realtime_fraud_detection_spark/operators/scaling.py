@@ -157,3 +157,67 @@ def scaled_shuffle(
         yield target
     finally:
         spark.conf.set(_KEY, str(cur))
+
+
+def skew_report(
+    df,
+    key_cols: list[str],
+    top_k: int = 20,
+    min_share: float = 0.01,
+):
+    """(summary, heavy_keys) — the pre-flight diagnostic for a planned
+    groupBy/join key at scale: every shuffle keyed on a skewed column
+    serializes its hottest key into one reduce task, and the time to find
+    that out should be one aggregate, not a production incident.
+
+    summary (one row): row/key counts, the max single-key share (the
+    straggler bound: a key with share s keeps one task busy ~s·N rows
+    regardless of parallelism), and approximate p50/p90/p99/max of
+    per-key mass. heavy_keys: up to `top_k` keys above `min_share`,
+    descending, ties broken by key — feed them to a salting or
+    AQE-skew-join decision, or to `graph.shared_key_edges`' bucket cap.
+
+    Shape: ONE map-side-combined count shuffle keyed on the candidate
+    key (the exact shuffle being evaluated, so the probe costs what one
+    round of the real job would); everything after runs on the
+    key-cardinality-sized count table — percentiles are approximate
+    (percentile_approx) so no single reducer ever holds the key table.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_rows"))
+    counts = counts.localCheckpoint(eager=False)  # two consumers below
+    summary = counts.agg(
+        F.sum("key_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("key_rows").alias("max_key_rows"),
+        F.percentile_approx("key_rows", [0.5, 0.9, 0.99]).alias("key_rows_pcts"),
+    ).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        F.round(F.col("max_key_rows") / F.col("n_rows"), 6).alias("max_share"),
+        F.col("key_rows_pcts")[0].alias("p50_key_rows"),
+        F.col("key_rows_pcts")[1].alias("p90_key_rows"),
+        F.col("key_rows_pcts")[2].alias("p99_key_rows"),
+    )
+    total = counts.agg(F.sum("key_rows").alias("_n"))
+    ranked = (
+        counts.join(F.broadcast(total))
+        .withColumn("share", F.round(F.col("key_rows") / F.col("_n"), 6))
+        .filter(F.col("share") >= min_share)
+        # global window AFTER the share filter: its input is bounded at
+        # 1/min_share keys (<=100 at the default) whatever the cardinality
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("key_rows").desc(), *[F.col(c).asc() for c in key_cols]
+                )
+            ),
+        )
+        .filter(F.col("rank") <= top_k)
+        .select(*key_cols, "key_rows", "share", "rank")
+    )
+    return summary, ranked

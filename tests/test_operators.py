@@ -193,3 +193,35 @@ def test_feature_statistics(spark):
     assert out.loc["a", "null_count"] == 1
     assert abs(out.loc["a", "mean"] - 2.0) < 1e-12
     assert out.loc["b", "min"] == 10.0 and out.loc["b", "max"] == 10.0
+
+
+def test_skew_report_flags_hot_key(spark):
+    from pyspark.sql import functions as F
+
+    from realtime_fraud_detection_spark.operators.scaling import skew_report
+
+    # 1000 rows on key 'hot', 100 singleton keys
+    df = spark.range(1100).select(
+        F.when(F.col("id") < 1000, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), F.col("id")))
+        .alias("k")
+    )
+    summary, heavy = skew_report(df, ["k"], min_share=0.05)
+    s = summary.collect()[0]
+    assert s["n_rows"] == 1100 and s["n_keys"] == 101
+    assert s["max_key_rows"] == 1000
+    assert abs(s["max_share"] - round(1000 / 1100, 6)) < 1e-9
+    h = heavy.collect()
+    assert len(h) == 1 and h[0]["k"] == "hot" and h[0]["rank"] == 1
+
+
+def test_skew_report_uniform_keys_empty_heavy_list(spark):
+    from pyspark.sql import functions as F
+
+    from realtime_fraud_detection_spark.operators.scaling import skew_report
+
+    df = spark.range(2000).select((F.col("id") % 500).alias("k"))
+    summary, heavy = skew_report(df, ["k"], min_share=0.01)
+    s = summary.collect()[0]
+    assert s["n_keys"] == 500 and s["p50_key_rows"] == 4
+    assert heavy.count() == 0
