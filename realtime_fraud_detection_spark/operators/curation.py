@@ -199,3 +199,44 @@ def leakage_free_splits(
             tagged, "_split_key", weights, seed=seed
         ).items()
     }
+
+
+def cell_balanced_sample(
+    docs: DataFrame,
+    emb: DataFrame,
+    total_tokens: int,
+    n_cells: int = 16,
+    id_col: str = "doc_id",
+    token_col: str = "n_chars",
+    vec_id_col: str = "vec_id",
+) -> DataFrame:
+    """Topic-balanced token budgeting: split a total token budget evenly
+    across embedding-space cells (IVF coarse quantizer — the SemDeDup
+    cell structure reused for MIXTURE SHAPING instead of dedup) and
+    materialize each cell's budget as its minimal hash-ordered doc
+    prefix. The anti-majority-topic dual of per-language budgets: a
+    corpus dominated by one topic cluster cannot spend more than
+    total/n_cells tokens on it, and small clusters are kept whole.
+
+    Returns docs' rows (plus `cell`) for the selected prefix. Shapes:
+    the quantizer fit is model-sized (driver-local under the fit gate,
+    MLlib above), cell assignment is one Arrow scan, the budget
+    realization is sampling.token_budget_sample's bucket-offset exact
+    prefix sum — nothing here scans more than the corpus once.
+    """
+    from .sampling import token_budget_sample
+    from .similarity import fit_coarse_quantizer
+
+    if total_tokens <= 0 or n_cells <= 0:
+        raise ValueError(
+            f"need positive budget/cells, got {total_tokens}/{n_cells}"
+        )
+    _, cells = fit_coarse_quantizer(emb, n_cells, id_col=vec_id_col)
+    tagged = docs.join(
+        cells.select(F.col("nid").alias(id_col), "cell"), id_col
+    )
+    per_cell = total_tokens // n_cells
+    budgets = {c: per_cell for c in range(n_cells)}
+    return token_budget_sample(
+        tagged, budgets, group_col="cell", token_col=token_col, id_col=id_col
+    )

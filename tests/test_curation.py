@@ -169,3 +169,54 @@ def test_bucket_cap_passthrough(spark):
     assert f_huge["near_dup"] == f_base["near_dup"]
     _, f_one = clean_corpus(docs, c4=False, near_dup=True, max_bucket_size=1)
     assert f_one["near_dup"] == f_one["exact_dedup"]
+
+
+def test_cell_balanced_sample_budget_law(spark):
+    from pyspark.sql import functions as F
+
+    from realtime_fraud_detection_spark.operators.curation import (
+        cell_balanced_sample,
+    )
+    from realtime_fraud_detection_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents", fan_out=True)
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    total, cells = 40_000, 8
+    picked = cell_balanced_sample(docs, emb, total, n_cells=cells)
+    rows = picked.select("doc_id", "cell", "n_chars").collect()
+    assert rows and all(0 <= r["cell"] < cells for r in rows)
+    assert len({r["doc_id"] for r in rows}) == len(rows)  # no duplicates
+
+    # per-cell mass: either reached the cell budget (minimal prefix) or
+    # the cell was exhausted
+    per_cell_budget = total // cells
+    sel_mass: dict = {}
+    for r in rows:
+        sel_mass[r["cell"]] = sel_mass.get(r["cell"], 0) + r["n_chars"]
+    # recompute each cell's total corpus mass via the same assignment
+    from realtime_fraud_detection_spark.operators.similarity import (
+        fit_coarse_quantizer,
+    )
+
+    _, cells_df = fit_coarse_quantizer(emb, cells)
+    corpus_mass = {
+        r["cell"]: r["m"]
+        for r in docs.join(
+            cells_df.select(F.col("nid").alias("doc_id"), "cell"), "doc_id"
+        )
+        .groupBy("cell")
+        .agg(F.sum("n_chars").alias("m"))
+        .collect()
+    }
+    for c, m in sel_mass.items():
+        assert m >= per_cell_budget or m == corpus_mass[c], (c, m)
+
+    # determinism: same inputs -> identical selection
+    again = {
+        (r["doc_id"], r["cell"])
+        for r in cell_balanced_sample(docs, emb, total, n_cells=cells)
+        .select("doc_id", "cell")
+        .collect()
+    }
+    assert again == {(r["doc_id"], r["cell"]) for r in rows}
