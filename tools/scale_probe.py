@@ -77,13 +77,13 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     all_stages = (
         "minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,"
-        "ivfpq,sketch,hotkey,layout,funnel,mixture,pca,embed"
+        "ivfpq,sketch,hotkey,layout,funnel,mixture,pca,embed,negs,index"
     )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if stages - {"ivfpq", "sketch", "hotkey", "layout", "mixture", "pca"}:  # doc-corpus stages
+    if stages - {"ivfpq", "sketch", "hotkey", "layout", "mixture", "pca", "negs"}:  # doc-corpus stages
         t0 = time.time()
         build_corpus(spark, replicas)
         print(f"corpus: {replicas}x built in {time.time() - t0:.1f}s")
@@ -264,6 +264,85 @@ def main() -> None:
             )
 
         _guarded("embed", _embed)
+
+    if "negs" in stages:
+        # bucket-probe negative sampling: replicas x 100k-doc synthetic
+        # corpus, 1k queries x k=4 — cost must track the ONE corpus
+        # bucket shuffle + probes x ~16-doc bucket fan-out, not |Q| x N
+        from pyspark.sql import functions as F
+
+        from realtime_fraud_detection_spark.operators.sampling import (
+            negative_samples,
+        )
+
+        def _negs():
+            n_corpus = replicas * 100_000
+            corpus = spark.range(n_corpus).select(F.col("id").alias("doc_id"))
+            pos = (
+                spark.range(1000)
+                .select((F.col("id") * 97).alias("q_id"))
+                .select("q_id", (F.col("q_id") + 1).alias("doc"))
+            )
+            t0 = time.time()
+            out = negative_samples(
+                pos, corpus, k=4, n_buckets=n_corpus // 16
+            ).localCheckpoint()
+            n_out = out.count()
+            full = out.groupBy("q_id").count().filter("count = 4").count()
+            print(
+                f"negative_samples={time.time() - t0:.1f}s corpus={n_corpus} "
+                f"queries=1000 rows={n_out} full_k={full}"
+            )
+
+        _guarded("negs", _negs)
+
+    if "index" in stages:
+        # incremental search-index maintenance: land the replicated doc
+        # corpus in `replicas` batches — per-batch cost must be flat
+        # (each batch tokenizes only itself), and the final view must
+        # serve BM25 without re-tokenizing anything
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from realtime_fraud_detection_spark.operators.corpus import bm25_rank
+        from realtime_fraud_detection_spark.streaming.sinks import (
+            search_index_view,
+            search_index_writer,
+        )
+
+        def _index():
+            out_dir = tempfile.mkdtemp(prefix="probe_index_")
+            try:
+                writer = search_index_writer(out_dir)
+                batch_times = []
+                for r in range(replicas):
+                    lo, hi = r * 10_000_000, r * 10_000_000 + 10_000_000
+                    b = docs.filter(
+                        (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                    )
+                    t0 = time.time()
+                    writer(b, r)
+                    batch_times.append(time.time() - t0)
+                view = search_index_view(spark, out_dir)
+                queries = docs.filter("doc_id % 9973 = 0").selectExpr(
+                    "doc_id AS q_id",
+                    "concat_ws(' ', slice(split(trim(regexp_replace("
+                    "lower(text), '[^a-z0-9]+', ' ')), ' '), 1, 4)) AS query",
+                )
+                t0 = time.time()
+                n_hits = bm25_rank(docs, queries, top_k=5, dt=view).count()
+                print(
+                    f"search_index: batches={replicas} "
+                    f"batch_s=[{min(batch_times):.1f},{max(batch_times):.1f}] "
+                    f"serve={time.time() - t0:.1f}s hits={n_hits} "
+                    f"stored_terms={view.count()}"
+                )
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
+
+        _guarded("index", _index)
 
     if "funnel" in stages:
         # the COMPOSED curation pipeline — one call, every gate that can
