@@ -228,6 +228,51 @@ def text_model_score(text_col):
     return F.least(score, F.lit(1.0))
 
 
+def trained_text_analyzer(
+    df,
+    text_col: str = "description",
+    id_col: str = "transaction_id",
+    prob_col: str = "text_model_score",
+    iters: int = 20,
+    n_buckets: int = 1024,
+):
+    """M7 model path — the strongest text analyzer this container can
+    train: distill the rule signal (:func:`text_model_score`, the
+    reference's own DistilBERT fallback) into the in-engine hashed-n-gram
+    logistic model and score with THAT, so the analyzer generalizes past
+    the literal keyword list (a text sharing n-grams with risky texts
+    scores high even when no keyword fires). This is the FineWeb-Edu /
+    DCLM weak-supervision bootstrap applied to the reference's text
+    channel; where the reference loads a fine-tuned transformer, the
+    artifact here is the trained weight table — same topology
+    (broadcast model, batch scoring), different capacity.
+
+    Returns (scored_df, model): df plus `prob_col`, and the LogRegModel
+    for persistence / reuse on later batches via
+    `score_logreg(hashed_features(...), model)`.
+    """
+    from pyspark.sql import functions as F
+
+    from .text_classifier import (
+        hashed_features,
+        score_logreg,
+        train_text_classifier,
+    )
+
+    labeled = df.withColumn(
+        "_rule_label",
+        (text_model_score(F.col(text_col)) >= 0.3).cast("int"),
+    )
+    model, feats = train_text_classifier(
+        labeled, text_col, id_col, "_rule_label",
+        n_buckets=n_buckets, iters=iters,
+    )
+    scored = score_logreg(feats, model).select(
+        F.col("doc").alias(id_col), F.col("prob").alias(prob_col)
+    )
+    return df.join(scored, id_col, "left"), model
+
+
 # ---------------------------------------------------------------------------
 # M9 — model manager / hot reload (model_manager.py:82-307,348-380): models
 # are versioned JSON artifacts; a running stream re-reads the artifact
