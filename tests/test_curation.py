@@ -220,3 +220,57 @@ def test_cell_balanced_sample_budget_law(spark):
         .collect()
     }
     assert again == {(r["doc_id"], r["cell"]) for r in rows}
+
+
+def test_dsir_selects_target_like_documents(spark):
+    """DSIR (Xie et al. \'23): raw = generic fixture docs + a 100-doc
+    domain slice with its own vocabulary; target = a DISJOINT sample of
+    the same domain. Weights must rank domain docs first and the sampled
+    selection must be dominated by them. (The fixture\'s lang column is
+    metadata only — every lang shares one vocabulary — so the domain
+    corpus is constructed, not taken from lang.)"""
+    from pyspark.sql import functions as F
+
+    from realtime_fraud_detection_spark.operators.curation import (
+        dsir_select,
+        dsir_weights,
+    )
+    from realtime_fraud_detection_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    vocab = [
+        "dosage", "clinical", "trial", "patient", "symptom", "therapy",
+        "diagnosis", "oncology", "biopsy", "remission", "protocol", "cohort",
+    ]
+
+    def domain_text(seed: int) -> str:
+        return " ".join(vocab[(seed + j) % len(vocab)] for j in range(30))
+
+    generic = (
+        load_table(spark, SF_SMOKE, "documents", fan_out=True)
+        .select("doc_id", "text")
+        .limit(400)
+    )
+    domain_raw = spark.createDataFrame(
+        [(1_000_000 + i, domain_text(i)) for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    raw = generic.unionByName(domain_raw)
+    target = spark.createDataFrame(
+        [(domain_text(i + 7),) for i in range(50)], "text string"
+    )
+
+    w = dsir_weights(raw, target)
+    rows = {r["doc_id"]: r["dsir_logw"] for r in w.collect()}
+    dom = [v for d, v in rows.items() if d >= 1_000_000]
+    gen = [v for d, v in rows.items() if d < 1_000_000]
+    assert min(dom) > max(gen)  # clean separation by construction
+
+    picked = dsir_select(raw, target, k=50)
+    ids = [r["doc_id"] for r in picked.collect()]
+    assert len(ids) == 50
+    dom_rate = sum(1 for d in ids if d >= 1_000_000) / len(ids)
+    assert dom_rate >= 0.9, dom_rate
+
+    again = [r["doc_id"] for r in dsir_select(raw, target, k=50).collect()]
+    assert set(again) == set(ids)
