@@ -77,7 +77,7 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     all_stages = (
         "minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,"
-        "ivfpq,sketch,hotkey,layout,funnel,mixture,pca,embed,negs,index"
+        "ivfpq,sketch,hotkey,layout,funnel,mixture,pca,embed,negs,index,dsir"
     )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
@@ -343,6 +343,25 @@ def main() -> None:
                 shutil.rmtree(out_dir, ignore_errors=True)
 
         _guarded("index", _index)
+
+    if "dsir" in stages:
+        # DSIR weights over the replicated corpus: two bucket-count
+        # aggregates (bounded at n_buckets rows) + one broadcast join+sum
+        # — runtime must track the corpus scans, state stays model-sized
+        from pyspark.sql import functions as F
+
+        from realtime_fraud_detection_spark.operators.curation import (
+            dsir_select,
+        )
+
+        def _dsir():
+            target = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+            t0 = time.time()
+            picked = dsir_select(docs, target, k=1000)
+            n_sel = picked.count()
+            print(f"dsir={time.time() - t0:.1f}s docs={n} selected={n_sel}")
+
+        _guarded("dsir", _dsir)
 
     if "funnel" in stages:
         # the COMPOSED curation pipeline — one call, every gate that can
