@@ -266,6 +266,19 @@ def main() -> None:
     )
     n_negs = negs.count()
 
+    # 6d. target-matched selection (DSIR): the highest-quality slice of
+    # the cleaned corpus plays the target distribution; importance
+    # resampling picks the survivors that look most like it
+    from realtime_fraud_detection_spark.operators.curation import dsir_select
+
+    dsir_target = gated.orderBy(F.desc("quality"), "doc_id").limit(25).select(
+        "text"
+    )
+    dsir_picked = dsir_select(
+        survivors, dsir_target, k=50, temperature=0.05
+    )
+    n_dsir = dsir_picked.count()
+
     # 7. distill a weak-supervision rule into a trainable filter (the
     # FineWeb-Edu / DCLM bootstrap: seed labels → hashed-ngram linear
     # model), trained entirely as DataFrame ops
@@ -382,6 +395,7 @@ def main() -> None:
     print(f"hybrid rrf hits      {n_hybrid}  (BM25 + cosine lists fused, top-5)")
     print(f"mmr diversified      {n_mmr}  (lambda=0.7, top-3 per query)")
     print(f"contrastive negs     {n_negs}  (3 bucket-probe negatives per BM25 positive)")
+    print(f"dsir selection       {n_dsir}  docs importance-resampled toward the top-quality slice")
     print(f"classifier holdout   {holdout:.3f}  accuracy (weak-rule distillation, {len(clf.weights)} active buckets)")
     print(f"low-trigram-LM       {n_low_sb}  (bottom 5% Stupid Backoff logprob vs survivor LM)")
     print(f"ccnet buckets        head {buckets.get('head', 0)} / middle {buckets.get('middle', 0)} / tail {buckets.get('tail', 0)}")

@@ -49,6 +49,7 @@ EXPECTED_LINES = [
     "hybrid rrf hits",
     "mmr diversified",
     "contrastive negs",
+    "dsir selection",
     "classifier holdout",
     "low-trigram-LM",
     "ccnet buckets",
