@@ -81,7 +81,15 @@ def q_cm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     hourly = cm_partials(ev, "user_id", ts_col="ts", grain="hour")
-    daily = merge_cm(hourly, "day").withColumnRenamed("day", "hour")
+    # the stored-table stand-in: production probes a PERSISTED partials
+    # table; composing build+probe in one plan would otherwise recompute
+    # the build for cm_estimate's window-list derivation (plan-pinned:
+    # events scans == 2 in tests/test_suite_plans.py)
+    daily = (
+        merge_cm(hourly, "day")
+        .withColumnRenamed("day", "hour")
+        .localCheckpoint(eager=False)
+    )
     probe = ev.select("user_id").distinct().filter(F.col("user_id") % 20 == 0)
     return (
         cm_estimate(daily, probe, "user_id", ["hour"])

@@ -93,3 +93,48 @@ def test_quality_filters_tokenizes_once(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Generate explode\(split\(", plan)) <= 1, plan
+
+
+def test_near_dup_pairs_has_no_cartesian_pairing(spark):
+    """Both banding families generate candidates through equi-joins on
+    band/bucket keys — a cartesian or nested-loop pairing node anywhere
+    in the plan means a banding regression (the all-pairs blow-up the
+    LSH/pigeonhole structure exists to prevent)."""
+    df = all_queries()["near_dup_pairs"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Union" in plan  # both families feed one method-tagged union
+
+
+def test_doc_signatures_single_join(spark):
+    """The merged signature panel is two aggregates joined ONCE on
+    doc_id — a second join node would mean a signature family started
+    recomputing through a self-join instead of reading the shared
+    checkpointed table."""
+    import re
+
+    df = all_queries()["doc_signatures"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    joins = re.findall(
+        r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan
+    )
+    assert len(joins) == 1, plan
+
+
+def test_cm_rollup_probe_side_broadcasts(spark):
+    """cm_estimate must broadcast the probe table into the stored-partials
+    join (probes are |items| x d rows); a shuffled join here would
+    re-exchange the counter store per probe set. The daily partials are
+    the stored-table stand-in (checkpointed), so the final plan reads
+    them as materialized blocks and scans the events parquet exactly
+    ONCE — for the distinct probe ids; a second event scan would mean
+    the sketch build leaked back into the probe plan."""
+    import re
+
+    df = all_queries()["cm_rollup"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "BroadcastExchange" in plan, plan
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, plan
+    assert "ExistingRDD" in plan  # the checkpointed partials store
