@@ -386,3 +386,74 @@ def dsir_select(
         .limit(k)
         .drop("_gk")
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = "lang",
+) -> tuple[dict, DataFrame | None]:
+    """The data-card summary a curated corpus ships with: one scan's worth
+    of aggregate statistics as a plain dict (driver state = scalars), plus
+    a per-language breakdown frame when `lang_col` exists.
+
+        n_docs, total_tokens, total_chars,
+        tokens_p50/p95 (approximate, per doc),
+        quality_p10/p50/p90 (the heuristic gate score),
+        exact_dup_rate (1 − distinct content fingerprints / docs)
+
+    Shapes: ONE pass computes every per-doc statistic (tokens, chars,
+    quality, fingerprint) as projections; the summary is a single
+    aggregate over them (approx percentiles — no single reducer holds the
+    corpus) plus one count-distinct on the fingerprint (the exact_dedup
+    aggregate). The breakdown is the same aggregate keyed by language.
+    Nothing here is a second tokenization — token counts reuse the
+    engine's whitespace counter.
+    """
+    from ..functions.text import fingerprint, token_count_whitespace
+
+    per_doc = docs.select(
+        F.col(id_col),
+        *( [F.col(lang_col)] if lang_col and lang_col in docs.columns else [] ),
+        token_count_whitespace(F.col(text_col)).alias("_toks"),
+        F.length(F.col(text_col)).alias("_chars"),
+        quality_score(F.col(text_col)).alias("_q"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    row = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_toks").alias("total_tokens"),
+        F.sum("_chars").alias("total_chars"),
+        F.percentile_approx("_toks", [0.5, 0.95]).alias("tok_p"),
+        F.percentile_approx("_q", [0.1, 0.5, 0.9]).alias("q_p"),
+        F.count_distinct("_fp").alias("n_fps"),
+    ).collect()[0]
+    report = {
+        "n_docs": row["n_docs"],
+        "total_tokens": row["total_tokens"],
+        "total_chars": row["total_chars"],
+        "tokens_p50": row["tok_p"][0],
+        "tokens_p95": row["tok_p"][1],
+        "quality_p10": round(row["q_p"][0], 6),
+        "quality_p50": round(row["q_p"][1], 6),
+        "quality_p90": round(row["q_p"][2], 6),
+        "exact_dup_rate": (
+            round(1.0 - row["n_fps"] / row["n_docs"], 6) if row["n_docs"] else 0.0
+        ),
+    }
+    breakdown = None
+    if lang_col and lang_col in docs.columns:
+        breakdown = per_doc.groupBy(lang_col).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_toks").alias("total_tokens"),
+            F.count_distinct("_fp").alias("n_fps"),
+        ).select(
+            lang_col,
+            "n_docs",
+            "total_tokens",
+            F.round(1.0 - F.col("n_fps") / F.col("n_docs"), 6).alias(
+                "exact_dup_rate"
+            ),
+        )
+    return report, breakdown

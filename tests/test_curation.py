@@ -274,3 +274,50 @@ def test_dsir_selects_target_like_documents(spark):
 
     again = [r["doc_id"] for r in dsir_select(raw, target, k=50).collect()]
     assert set(again) == set(ids)
+
+
+def test_corpus_report_hand_checked(spark):
+    from realtime_fraud_detection_spark.operators.curation import (
+        corpus_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en"),
+            (2, "alpha beta gamma", "en"),  # exact dup of 1
+            (3, "uno dos tres cuatro", "es"),
+            (4, "cinq six sept", "fr"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    report, breakdown = corpus_report(docs)
+    assert report["n_docs"] == 4
+    assert report["total_tokens"] == 3 + 3 + 4 + 3
+    assert report["total_chars"] == sum(
+        len(t) for t in ("alpha beta gamma",) * 2
+        + ("uno dos tres cuatro", "cinq six sept")
+    )
+    assert report["exact_dup_rate"] == 0.25  # 3 distinct fingerprints / 4
+    rows = {r["lang"]: r for r in breakdown.collect()}
+    assert rows["en"]["n_docs"] == 2 and rows["en"]["exact_dup_rate"] == 0.5
+    assert rows["es"]["exact_dup_rate"] == 0.0
+
+    # no lang column -> breakdown omitted, report intact
+    r2, b2 = corpus_report(docs.drop("lang"))
+    assert b2 is None and r2["n_docs"] == 4
+
+
+def test_corpus_report_on_fixture(spark):
+    from realtime_fraud_detection_spark.operators.curation import (
+        corpus_report,
+    )
+    from realtime_fraud_detection_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents", fan_out=True)
+    report, breakdown = corpus_report(docs)
+    assert report["n_docs"] == docs.count()
+    assert 0.0 <= report["exact_dup_rate"] < 1.0
+    assert report["tokens_p50"] <= report["tokens_p95"]
+    assert 0.0 <= report["quality_p10"] <= report["quality_p90"] <= 1.0
+    assert breakdown.count() == docs.select("lang").distinct().count()
