@@ -596,6 +596,69 @@ def search_index_view(spark, out_dir: str) -> DataFrame:
     )
 
 
+def contract_gated_writer(
+    out_dir: str,
+    rules_factory: "Callable[[], dict]",
+    id_cols: list[str] | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch function for data-contract-gated ingest: each
+    micro-batch runs `operators.validation.check_invariants` (all rules
+    in ONE scan), lands the clean rows under `clean/`, quarantines the
+    violating rows WITH their failed-rule tags under `violations/`, and
+    persists the per-rule violation counts under `summary/` — the same
+    lossless split-and-audit policy as the corrupt-record readers,
+    applied to semantic invariants instead of parse failures. All three
+    writes are dynamic partition overwrites keyed by batch_id (replay
+    rewrites its own partitions; the other batches are untouched).
+
+    `rules_factory` is a zero-arg callable returning the name→Column rule
+    dict — Columns cannot be built before a SparkSession exists, and
+    foreachBatch functions may be constructed at plan-declare time.
+    """
+    clean_dir = os.path.join(out_dir, "clean")
+    bad_dir = os.path.join(out_dir, "violations")
+    sum_dir = os.path.join(out_dir, "summary")
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        from ..operators.validation import check_invariants
+
+        rules = rules_factory()
+        violations, summary = check_invariants(batch, rules, id_cols=id_cols)
+        keep = list(id_cols) if id_cols else list(batch.columns)
+        # clean = rows absent from the violation set (anti join on ids —
+        # the flags frame already computed them in the same scan family)
+        clean = batch.join(
+            violations.select(*keep), keep, "left_anti"
+        )
+        _write_batch_partition(clean, batch_id, clean_dir)
+        _write_batch_partition(
+            violations.withColumn(
+                "failed_rules", F.to_json(F.col("failed_rules"))
+            ),
+            batch_id,
+            bad_dir,
+        )
+        spark = batch.sparkSession
+        _write_batch_partition(
+            spark.createDataFrame(
+                [(k, v) for k, v in summary.items()], "rule string, n_violations long"
+            ),
+            batch_id,
+            sum_dir,
+        )
+
+    return write
+
+
+def contract_violation_summary(spark, out_dir: str) -> DataFrame:
+    """Total violations per rule across every landed batch."""
+    return (
+        spark.read.parquet(os.path.join(out_dir, "summary"))
+        .groupBy("rule")
+        .agg(F.sum("n_violations").alias("n_violations"))
+    )
+
+
 def quality_gated_ingest_writer(
     out_dir: str,
     text_col: str = "text",
