@@ -98,6 +98,8 @@ HEADLINE = [
     # and the in-engine text-embedding -> IVF,PQ ANN loop
     "ensemble_explain",
     "text_embed_ann",
+    # round-9 late: distributed ranking metrics (grouped-rank AUC/KS/AP)
+    "model_eval",
 ]
 
 # Iterative queries (CC / power-iteration loops) have documented ±2 s

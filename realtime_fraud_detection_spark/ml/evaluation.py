@@ -1,0 +1,307 @@
+"""Distributed binary-classification evaluation metrics.
+
+The reference monitors model health with rolling accuracy/drift counters
+(monitoring/metrics.py; model_manager.py's performance tracking) but never
+computes the ranking metrics a threshold policy is actually tuned against.
+This module supplies them as set-oriented Spark plans:
+
+  * ROC-AUC in the Mann-Whitney rank form — NOT the O(P·N) pair join and
+    NOT a per-row global sort: scores are grouped (one map-side-combined
+    shuffle, output sized |distinct scores| per group), then a single
+    cumulative window over the grouped table accumulates the
+    positive-above-negative pair count. Ties contribute half a pair each,
+    folded in as integers (2·pairs) so the numerator is EXACT — the only
+    float op is the final division. Cross-engine bit-exact.
+  * Kolmogorov-Smirnov statistic — max over score groups of
+    |cum_pos·N − cum_neg·P|, again an exact integer numerator.
+  * Average precision (PR-AUC, step interpolation with ties grouped) —
+    per-group terms are rationals; the cross-group sum is a double, so it
+    is folded over a sort_array'd term list (fixed order → bit-identical
+    across runs/partitionings; array is sized |distinct scores| per group,
+    which a 6-dp score rounding bounds at ~2e6 entries worst case).
+
+At 100 TB the grouped table is the ONLY thing the window ever sorts —
+|distinct scores| per group, not |rows| — and the heavy pass is a plain
+hash aggregation. Round scores to a fixed precision upstream if they are
+raw doubles; the metrics are then exact for the rounded scores.
+
+Confusion sweeps reuse the same grouped table: thresholds join against
+|distinct scores| rows, never against the event stream.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def _grouped_scores(
+    df: DataFrame, score_col: str, label_col: str, by: Sequence[str]
+) -> DataFrame:
+    """One hash aggregation: (by…, score) → (#pos, #neg).
+
+    Null scores/labels are dropped (they rank nowhere); labels are
+    positive when > 0.5 so int 0/1, double 0.0/1.0, and booleans all work.
+    """
+    pos = F.when(F.col(label_col).cast("double") > 0.5, 1).otherwise(0)
+    return (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*by, F.col(score_col).cast("double").alias("_s"))
+        .agg(
+            F.sum(pos).cast("long").alias("_p"),
+            F.sum(1 - pos).cast("long").alias("_n"),
+        )
+    )
+
+
+def binary_eval(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """ROC-AUC + KS + average precision in ONE grouped pass.
+
+    Returns one row per `by` group: ``n, pos, auc, ks, ap`` (auc/ks exact
+    up to the final division; ap bit-deterministic via an ordered fold).
+    Groups with no positives or no negatives get null auc/ks/ap.
+    """
+    by = list(by or [])
+    g = _grouped_scores(df, score_col, label_col, by)
+    return metrics_from_score_groups(g, by)
+
+
+def metrics_from_score_groups(
+    g: DataFrame,
+    by: Sequence[str] | None = None,
+    score_col: str = "_s",
+    pos_col: str = "_p",
+    neg_col: str = "_n",
+) -> DataFrame:
+    """The metric math of :func:`binary_eval`, starting from an ALREADY
+    grouped (by…, score) → (#pos, #neg) table.
+
+    This is the mergeable-partial entry point: per-score pos/neg counts
+    add losslessly across micro-batches / shards / days, so a streaming
+    sink can land per-batch grouped counts and this function computes the
+    SAME auc/ks/ap a batch pass over the union would — bit-exactly,
+    because everything up to the final division is integer arithmetic on
+    the merged counts (streaming/sinks.eval_partial_writer +
+    eval_rollup_view; stream==batch pinned in tests/test_eval_stream.py).
+
+    `g` must hold ONE row per (by…, score) — sum partials into that shape
+    before calling (a duplicate score row would double-count its own ties
+    in the cumulative window).
+    """
+    by = list(by or [])
+    if (score_col, pos_col, neg_col) != ("_s", "_p", "_n"):
+        g = g.select(
+            *by,
+            F.col(score_col).alias("_s"),
+            F.col(pos_col).cast("long").alias("_p"),
+            F.col(neg_col).cast("long").alias("_n"),
+        )
+
+    w_all = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_le = (
+        Window.partitionBy(*by)
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    P, N = F.sum("_p").over(w_all), F.sum("_n").over(w_all)
+    cum_p, cum_n = F.sum("_p").over(w_le), F.sum("_n").over(w_le)
+
+    # AUC numerator: for each score group, positives here beat every
+    # negative strictly below (2 units each) and tie the negatives here
+    # (1 unit each): _p * (2*(cum_n - _n) + _n). Summed in decimal —
+    # exact at any scale.
+    auc_num = (F.col("_p") * (2 * (cum_n - F.col("_n")) + F.col("_n"))).cast(
+        _DEC
+    )
+    # KS numerator at this score cut: |cum_p*N - cum_n*P| (longs; exact).
+    ks_num = F.abs(cum_p.cast(_DEC) * N - cum_n.cast(_DEC) * P)
+    # AP term at this score group (descending-score step): with scores
+    # DESCENDING, recall steps by _p/P and precision at the step is
+    # tp_ge/all_ge where *_ge counts rows with score >= _s — which under
+    # the ASCENDING cumulative is (P - cum_p + _p) / (total - cum - _all + _all).
+    tp_ge = P - cum_p + F.col("_p")
+    all_ge = (P + N) - (cum_p + cum_n) + (F.col("_p") + F.col("_n"))
+    ap_term = F.col("_p") * tp_ge / all_ge
+
+    per_score = g.select(
+        *by,
+        F.col("_s"),
+        F.col("_p"),
+        F.col("_n"),
+        P.alias("_ptot"),
+        N.alias("_ntot"),
+        auc_num.alias("_auc_num"),
+        ks_num.alias("_ks_num"),
+        ap_term.alias("_ap_term"),
+    )
+    # The double-summed AP folds over a sort_array'd (score, term) list so
+    # the accumulation order is fixed regardless of partitioning.
+    ap_fold = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("_s", "_ap_term"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["_ap_term"],
+    )
+    agg = [
+        F.sum(F.col("_p") + F.col("_n")).alias("n"),
+        F.sum("_p").alias("pos"),
+        F.first("_ptot").alias("_ptot"),
+        F.first("_ntot").alias("_ntot"),
+        F.sum("_auc_num").alias("_auc_num"),
+        F.max("_ks_num").alias("_ks_max"),
+        ap_fold.alias("_ap_sum"),
+    ]
+    res = per_score.groupBy(*by).agg(*agg) if by else per_score.agg(*agg)
+    pn = F.col("_ptot") * F.col("_ntot")
+    ok = (F.col("_ptot") > 0) & (F.col("_ntot") > 0)
+    return res.select(
+        *by,
+        "n",
+        "pos",
+        # cast BOTH operands to double BEFORE dividing: decimal/long is a
+        # decimal division (rounds at decimal scale); the IEEE division of
+        # two exact integers is what DuckDB's ::DOUBLE / ::DOUBLE computes
+        F.when(
+            ok,
+            F.col("_auc_num").cast("double")
+            / (2 * pn).cast("double"),
+        ).alias("auc"),
+        F.when(
+            ok, F.col("_ks_max").cast("double") / pn.cast("double")
+        ).alias("ks"),
+        F.when(ok, F.col("_ap_sum") / F.col("_ptot")).alias("ap"),
+    )
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Just the AUC column of :func:`binary_eval`."""
+    by = list(by or [])
+    return binary_eval(df, score_col, label_col, by).select(
+        *by, "n", "pos", "auc"
+    )
+
+
+def confusion_at_thresholds(
+    df: DataFrame,
+    thresholds: Sequence[float],
+    score_col: str = "score",
+    label_col: str = "label",
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """tp/fp/fn/tn + precision/recall/f1/fpr per threshold (score >= t
+    predicts positive).
+
+    The event-scale pass is the same grouped aggregation as
+    :func:`binary_eval`; thresholds then join against the
+    |distinct scores|-sized table, so sweeping 100 thresholds costs one
+    extra tiny join, not 100 scans. Ratio columns are exact rationals
+    evaluated in one division each (round at the query edge if hashing).
+    """
+    by = list(by or [])
+    g = _grouped_scores(df, score_col, label_col, by)
+    t = F.explode(
+        F.array(*[F.lit(float(x)) for x in thresholds])
+    ).alias("threshold")
+    per = g.select(*by, "_s", "_p", "_n", t)
+    pred_pos = F.col("_s") >= F.col("threshold")
+    agg = (
+        per.groupBy(*by, "threshold")
+        .agg(
+            F.sum(F.when(pred_pos, F.col("_p")).otherwise(0)).alias("tp"),
+            F.sum(F.when(pred_pos, F.col("_n")).otherwise(0)).alias("fp"),
+            F.sum(F.when(~pred_pos, F.col("_p")).otherwise(0)).alias("fn"),
+            F.sum(F.when(~pred_pos, F.col("_n")).otherwise(0)).alias("tn"),
+        )
+    )
+    tp, fp, fn, tn = (F.col(c) for c in ("tp", "fp", "fn", "tn"))
+    precision = F.when(tp + fp > 0, tp / (tp + fp))
+    recall = F.when(tp + fn > 0, tp / (tp + fn))
+    return agg.select(
+        *by,
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        precision.alias("precision"),
+        recall.alias("recall"),
+        F.when(
+            2 * tp + fp + fn > 0, 2 * tp / (2 * tp + fp + fn)
+        ).alias("f1"),
+        F.when(fp + tn > 0, fp / (fp + tn)).alias("fpr"),
+    )
+
+
+def cumulative_gains(
+    df: DataFrame,
+    id_col: str,
+    score_col: str = "score",
+    label_col: str = "label",
+    buckets: int = 10,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Gains/lift table: rows ranked by (score desc, id) — the unique id
+    makes tie order deterministic — cut into `buckets` equal-count bands;
+    per band the positive count, cumulative capture rate, and lift.
+
+    This one DOES globally sort each group (row_number) — it is meant for
+    model-sized evaluation samples or per-segment `by` groups, not the
+    raw event stream; `binary_eval` covers the sortless whole-corpus case.
+    """
+    by = list(by or [])
+    pos = F.when(F.col(label_col).cast("double") > 0.5, 1).otherwise(0)
+    w = Window.partitionBy(*by).orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    w_all = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        *by,
+        pos.alias("_y"),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_total"),
+    )
+    bucket = F.floor((F.col("_rn") - 1) * buckets / F.col("_total")).cast(
+        "int"
+    )
+    g = ranked.groupBy(*by, bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("pos")
+    )
+    w_cum = (
+        Window.partitionBy(*by)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*by).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum_pos, cum_n = F.sum("pos").over(w_cum), F.sum("n").over(w_cum)
+    P, total = F.sum("pos").over(w_tot), F.sum("n").over(w_tot)
+    return g.select(
+        *by,
+        "bucket",
+        "n",
+        "pos",
+        F.when(P > 0, cum_pos / P).alias("capture_rate"),
+        F.when(
+            (P > 0) & (cum_n > 0), (cum_pos * total) / (cum_n * P)
+        ).alias("lift"),
+    )

@@ -550,6 +550,77 @@ def cm_rollup_view(
     ).withColumnRenamed("hour", grain)
 
 
+def eval_partial_writer(
+    out_dir: str,
+    score_col: str = "score",
+    label_col: str = "label",
+    key_cols: list[str] | None = None,
+    score_decimals: int = 6,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink for streaming model-evaluation rollups: each
+    micro-batch lands its grouped (keys…, score) → (#pos, #neg) counts
+    under its own batch_id partition (idempotent replay by dynamic
+    partition overwrite). Per-score pos/neg counts merge LOSSLESSLY —
+    they just add — so `eval_rollup_view` computes the SAME ROC-AUC / KS /
+    AP a batch pass over the union would, bit-exactly (the reference only
+    tracks rolling accuracy counters, model_manager.py performance
+    tracking; exact threshold-free ranking metrics over a live stream is
+    what a deployed scorer actually needs monitored).
+
+    Scores are rounded to `score_decimals` BEFORE grouping — that bounds
+    per-batch state at 10^decimals rows per key group whatever the batch
+    size, and is the documented contract for the stream==batch law (round
+    the batch side identically; metrics are exact for the rounded score).
+    """
+    path = os.path.join(out_dir, "eval_partials")
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        keys = list(key_cols or [])
+        pos = F.when(F.col(label_col).cast("double") > 0.5, 1).otherwise(0)
+        g = (
+            batch.filter(
+                F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+            )
+            .groupBy(
+                *keys,
+                F.round(F.col(score_col).cast("double"), score_decimals).alias(
+                    "score"
+                ),
+            )
+            .agg(
+                F.sum(pos).cast("long").alias("pos"),
+                F.sum(1 - pos).cast("long").alias("neg"),
+            )
+        )
+        _write_batch_partition(g, batch_id, path)
+
+    return write
+
+
+def eval_rollup_view(
+    spark,
+    out_dir: str,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Current whole-stream ranking metrics from the streamed partials:
+    sum per-score counts across batches (one row per (keys…, score) —
+    the shape metrics_from_score_groups requires), then run the exact
+    integer-numerator metric math. Bit-identical to batch binary_eval
+    over the same (rounded-score) rows, pinned in
+    tests/test_eval_stream.py."""
+    from ..ml.evaluation import metrics_from_score_groups
+
+    keys = list(key_cols or [])
+    merged = (
+        spark.read.parquet(os.path.join(out_dir, "eval_partials"))
+        .groupBy(*keys, "score")
+        .agg(F.sum("pos").alias("pos"), F.sum("neg").alias("neg"))
+    )
+    return metrics_from_score_groups(
+        merged, by=keys, score_col="score", pos_col="pos", neg_col="neg"
+    )
+
+
 def search_index_writer(
     out_dir: str,
     text_col: str = "text",

@@ -237,6 +237,35 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Distributed ranking-metric evaluation (ml/evaluation.py): ROC-AUC in the
+# Mann-Whitney grouped-rank form (integer-exact numerator), KS statistic,
+# and average precision over the deterministic miscalibrated pseudo-score
+# from q_score_calibration, per event_type. Rows-only (past the oracle
+# window); bit-exact DuckDB window-SQL parity for auc/ks is pinned in
+# tests/test_evaluation.py.
+def q_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_bigint
+    from ..ml.evaluation import binary_eval
+
+    ev = load_table(spark, sf_dir, "events")
+    score = ((F.col("event_id") * 37) % 1000) / 1000.0
+    coin = (md5_bigint(F.col("event_id").cast("string"), "ev:") % 1_000_000) / 1e6
+    scored = ev.select(
+        "event_type",
+        score.alias("score"),
+        F.when(coin < score * score, 1).otherwise(0).alias("label"),
+    )
+    m = binary_eval(scored, "score", "label", by=["event_type"])
+    return m.select(
+        "event_type",
+        "n",
+        "pos",
+        F.round("auc", 6).alias("auc"),
+        F.round("ks", 6).alias("ks"),
+        F.round("ap", 6).alias("ap"),
+    ).orderBy("event_type")
+
+
 QUERIES = {
     "text_classifier": q_text_classifier,
     "bpe_tokens": q_bpe_tokens,
@@ -244,6 +273,7 @@ QUERIES = {
     "ngram_lm_serve": q_ngram_lm_serve,
     "unigram_tokens": q_unigram_tokens,
     "score_calibration": q_score_calibration,
+    "model_eval": q_model_eval,
 }
 
 ORACLES: dict[str, str] = {}
