@@ -247,6 +247,168 @@ def confusion_at_thresholds(
     )
 
 
+def retrieval_metrics(
+    results: DataFrame,
+    truth: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str | None = None,
+    score_col: str | None = None,
+) -> DataFrame:
+    """Per-query retrieval quality at cutoff k: recall@k, precision@k,
+    reciprocal rank (MRR term), and binary-gain NDCG@k.
+
+    `results` holds ranked candidates per query — either with an explicit
+    1-based `rank_col`, or with `score_col` from which ranks are derived
+    (score desc, doc id asc tie-break: deterministic). `truth` holds the
+    relevant (query, doc) pairs, binary relevance.
+
+    The ANN family's recall tests hand-roll this per test file; this is
+    the one set-oriented implementation: candidates are cut to k FIRST
+    (the join is |queries|·k rows against the truth table, never the full
+    ranked list), hits aggregate per query, and the two transcendental
+    sums (DCG over hit ranks, ideal DCG over 1..min(n_rel,k)) fold over
+    sorted arrays — bounded by k elements, bit-deterministic order.
+    Queries with no relevant docs are dropped (metrics undefined); round
+    ndcg at the output edge if hashing (log2 is transcendental).
+
+    recall_at_k uses the ANN-benchmark convention — hits divided by
+    min(n_rel, k), the achievable maximum at this cutoff — matching the
+    hand-rolled recalls in tests/test_pq_ann.py; divide n_hit by n_rel
+    yourself for the IR-textbook form.
+    """
+    if (rank_col is None) == (score_col is None):
+        raise ValueError("exactly one of rank_col / score_col required")
+    q, d = F.col(query_col), F.col(doc_col)
+    if rank_col is None:
+        w = Window.partitionBy(query_col).orderBy(
+            F.col(score_col).desc(), d
+        )
+        ranked = results.select(
+            q.alias("_q"), d.alias("_d"), F.row_number().over(w).alias("_r")
+        )
+    else:
+        ranked = results.select(
+            q.alias("_q"), d.alias("_d"), F.col(rank_col).alias("_r")
+        )
+    topk = ranked.filter(F.col("_r") <= k)
+    rel = truth.select(q.alias("_q"), d.alias("_d")).distinct()
+    n_rel = rel.groupBy("_q").agg(F.count(F.lit(1)).alias("n_rel"))
+    hits = topk.join(rel, ["_q", "_d"]).groupBy("_q").agg(
+        F.count(F.lit(1)).alias("n_hit"),
+        F.min("_r").alias("_first"),
+        F.sort_array(F.collect_list("_r")).alias("_ranks"),
+    )
+    log2 = lambda c: F.log(2.0, c)  # noqa: E731
+    dcg = F.aggregate(
+        F.col("_ranks"), F.lit(0.0), lambda acc, r: acc + 1.0 / log2(r + 1)
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / log2(i + 1),
+    )
+    return (
+        n_rel.join(hits, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            "n_rel",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0))
+                / F.least(F.col("n_rel"), F.lit(k))
+            ).alias("recall_at_k"),
+            (F.coalesce("n_hit", F.lit(0)) / F.lit(float(k))).alias(
+                "precision_at_k"
+            ),
+            F.coalesce(1.0 / F.col("_first"), F.lit(0.0)).alias(
+                "reciprocal_rank"
+            ),
+            F.coalesce(dcg / idcg, F.lit(0.0)).alias("ndcg_at_k"),
+        )
+    )
+
+
+def class_report(
+    df: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "prediction",
+) -> DataFrame:
+    """Per-class precision/recall/F1 + support from one confusion pass.
+
+    One hash aggregation over the data ((label, pred) pairs — at most
+    K² rows leave the map side); per-class tp/fp/fn then derive from the
+    tiny confusion table. Exact integer counts, one division per ratio.
+    """
+    conf = (
+        df.filter(F.col(label_col).isNotNull() & F.col(pred_col).isNotNull())
+        .groupBy(
+            F.col(label_col).alias("_y"), F.col(pred_col).alias("_yhat")
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    as_label = conf.groupBy(F.col("_y").alias("cls")).agg(
+        F.sum("_c").alias("support"),
+        F.sum(F.when(F.col("_y") == F.col("_yhat"), F.col("_c")).otherwise(0)).alias(
+            "tp"
+        ),
+    )
+    as_pred = conf.groupBy(F.col("_yhat").alias("cls")).agg(
+        F.sum("_c").alias("n_pred")
+    )
+    j = as_label.join(as_pred, "cls", "full").select(
+        "cls",
+        F.coalesce("support", F.lit(0)).alias("support"),
+        F.coalesce("tp", F.lit(0)).alias("tp"),
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+    )
+    tp, sup, npred = F.col("tp"), F.col("support"), F.col("n_pred")
+    precision = F.when(npred > 0, tp / npred)
+    recall = F.when(sup > 0, tp / sup)
+    return j.select(
+        "cls",
+        "support",
+        tp.alias("tp"),
+        (npred - tp).alias("fp"),
+        (sup - tp).alias("fn"),
+        precision.alias("precision"),
+        recall.alias("recall"),
+        F.when(
+            npred + sup > 0, 2 * tp / (npred + sup)
+        ).alias("f1"),
+    )
+
+
+def multiclass_summary(
+    df: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "prediction",
+) -> DataFrame:
+    """One-row accuracy + macro-averaged precision/recall/F1 (null-class
+    metrics count as 0, sklearn's zero_division=0 convention). The macro
+    averages fold over the class-sorted report so the double sums are
+    bit-deterministic."""
+    rep = class_report(df, label_col, pred_col)
+    fold = lambda c: F.aggregate(  # noqa: E731
+        F.sort_array(F.collect_list(F.struct(F.col("cls"), c.alias("_v")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["_v"],
+    )
+    z = lambda c: F.coalesce(c, F.lit(0.0))  # noqa: E731
+    return rep.agg(
+        F.sum("support").alias("n"),
+        (
+            F.sum("tp").cast("double") / F.sum("support").cast("double")
+        ).alias("accuracy"),
+        (fold(z(F.col("precision"))) / F.count(F.lit(1))).alias(
+            "macro_precision"
+        ),
+        (fold(z(F.col("recall"))) / F.count(F.lit(1))).alias("macro_recall"),
+        (fold(z(F.col("f1"))) / F.count(F.lit(1))).alias("macro_f1"),
+    )
+
+
 def cumulative_gains(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,160 @@
+"""retrieval_metrics / class_report / multiclass_summary
+(ml/evaluation.py): hand-computed cases, a Python replay on fixture-built
+retrieval runs, and sklearn-convention pins for the multiclass report.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from realtime_fraud_detection_spark.ml.evaluation import (
+    class_report,
+    multiclass_summary,
+    retrieval_metrics,
+)
+
+
+def _results(spark):
+    # query 1: relevant docs {10, 20, 30}; ranked list hits 10@1, 30@3
+    # query 2: relevant {40}; ranked list misses entirely
+    rows = [
+        (1, 10, 1), (1, 99, 2), (1, 30, 3), (1, 98, 4),
+        (2, 97, 1), (2, 96, 2),
+    ]
+    res = spark.createDataFrame(rows, "query_id long, doc_id long, rank int")
+    truth = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 40)], "query_id long, doc_id long"
+    )
+    return res, truth
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    res, truth = _results(spark)
+    out = {
+        r["query_id"]: r
+        for r in retrieval_metrics(res, truth, k=3, rank_col="rank").collect()
+    }
+    q1 = out[1]
+    assert q1["n_rel"] == 3 and q1["n_hit"] == 2
+    assert q1["recall_at_k"] == 2 / 3  # achievable max is min(3, 3)
+    assert q1["precision_at_k"] == 2 / 3
+    assert q1["reciprocal_rank"] == 1.0
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert abs(q1["ndcg_at_k"] - dcg / idcg) < 1e-12
+    q2 = out[2]
+    assert q2["n_hit"] == 0 and q2["recall_at_k"] == 0.0
+    assert q2["reciprocal_rank"] == 0.0 and q2["ndcg_at_k"] == 0.0
+
+
+def test_rank_derivation_from_scores_tie_broken(spark):
+    res = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 20, 0.9), (1, 30, 0.5)],
+        "query_id long, doc_id long, score double",
+    )
+    truth = spark.createDataFrame([(1, 20)], "query_id long, doc_id long")
+    # tie at 0.9 broken by doc_id asc: doc 10 rank 1, doc 20 rank 2
+    r = retrieval_metrics(res, truth, k=2, score_col="score").first()
+    assert r["reciprocal_rank"] == 0.5
+
+
+def test_rank_xor_score_required(spark):
+    res, truth = _results(spark)
+    with pytest.raises(ValueError):
+        retrieval_metrics(res, truth, k=3)
+    with pytest.raises(ValueError):
+        retrieval_metrics(res, truth, k=3, rank_col="rank", score_col="rank")
+
+
+def test_retrieval_metrics_python_replay_on_fixture(spark):
+    """Brute-force cosine top-k over the embeddings fixture, truth =
+    same-label pairs; the operator must match an independent replay."""
+    from realtime_fraud_detection_spark.sources.testdata import load_table
+
+    emb = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings", fan_out=True)
+        .filter(F.col("vec_id") < 120)
+        .select("vec_id", "embedding", "label")
+    )
+    rows = emb.collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+    labels = {r["vec_id"]: r["label"] for r in rows}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(y * y for y in b)
+        )
+        return num / den if den else 0.0
+
+    queries = sorted(vecs)[:10]
+    k = 5
+    res_rows, truth_rows = [], []
+    for q in queries:
+        scored = sorted(
+            ((cos(vecs[q], vecs[d]), d) for d in vecs if d != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rank, (s, d) in enumerate(scored[:k], start=1):
+            res_rows.append((q, d, rank))
+        truth_rows += [
+            (q, d) for d in vecs if d != q and labels[d] == labels[q]
+        ]
+    res = spark.createDataFrame(
+        res_rows, "query_id long, doc_id long, rank int"
+    )
+    truth = spark.createDataFrame(truth_rows, "query_id long, doc_id long")
+    got = {
+        r["query_id"]: r
+        for r in retrieval_metrics(res, truth, k=k, rank_col="rank").collect()
+    }
+    # independent replay
+    for q in queries:
+        rel = {d for qq, d in truth_rows if qq == q}
+        hits = [r for (qq, d, r) in res_rows if qq == q and d in rel]
+        r = got[q]
+        assert r["n_hit"] == len(hits)
+        assert r["recall_at_k"] == len(hits) / min(len(rel), k)
+        want_rr = 1.0 / min(hits) if hits else 0.0
+        assert r["reciprocal_rank"] == want_rr
+
+
+def test_class_report_hand_computed(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a")],
+        "label string, prediction string",
+    )
+    rep = {r["cls"]: r for r in class_report(df).collect()}
+    a = rep["a"]
+    assert (a["support"], a["tp"], a["fp"], a["fn"]) == (2, 1, 1, 1)
+    assert a["precision"] == 0.5 and a["recall"] == 0.5 and a["f1"] == 0.5
+    b = rep["b"]
+    assert (b["support"], b["tp"], b["fp"]) == (2, 2, 1)
+    assert b["precision"] == 2 / 3 and b["recall"] == 1.0
+    c = rep["c"]  # never predicted: precision null, recall 0
+    assert c["precision"] is None and c["recall"] == 0.0 and c["fp"] == 0
+
+
+def test_multiclass_summary_sklearn_convention(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b"), ("c", "a")],
+        "label string, prediction string",
+    )
+    s = multiclass_summary(df).first()
+    assert s["n"] == 5 and s["accuracy"] == 3 / 5
+    # per-class f1: a=0.5, b=0.8, c=0 (null -> 0, zero_division=0)
+    assert abs(s["macro_f1"] - (0.5 + 0.8 + 0.0) / 3) < 1e-12
+    assert abs(s["macro_recall"] - (0.5 + 1.0 + 0.0) / 3) < 1e-12
+
+
+def test_class_report_pred_only_class(spark):
+    df = spark.createDataFrame(
+        [("a", "z"), ("a", "a")], "label string, prediction string"
+    )
+    rep = {r["cls"]: r for r in class_report(df).collect()}
+    z = rep["z"]  # predicted but never true
+    assert z["support"] == 0 and z["fp"] == 1 and z["recall"] is None

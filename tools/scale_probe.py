@@ -76,8 +76,9 @@ def main() -> None:
 
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     all_stages = (
-        "minhash,lsh,simhash,cc,star,spans,ngram,bpe,clf,quality,graphx,"
-        "ivfpq,sketch,hotkey,layout,funnel,mixture,pca,embed,negs,index,dsir"
+        "minhash,lsh,setsim,simhash,cc,star,spans,ngram,bpe,clf,quality,"
+        "graphx,ivfpq,sketch,hotkey,layout,funnel,mixture,pca,embed,negs,"
+        "index,dsir"
     )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
@@ -105,6 +106,29 @@ def main() -> None:
         )
         n_cands = cands.count()
         print(f"lsh_candidates={time.time() - t0:.1f}s n={n_cands}")
+
+    if "setsim" in stages:
+        # prefix-filtered exact Jaccard join (operators/setsim.py): the
+        # inverted index holds only rarest-prefix tokens, and replicas
+        # share no vocabulary — candidate count and runtime must grow
+        # ~linearly with replicas (an all-pairs blow-up would be quadratic)
+        from realtime_fraud_detection_spark.operators.setsim import (
+            jaccard_similarity_join,
+            prefix_filtered_candidates,
+        )
+
+        t0 = time.time()
+        n_cands = prefix_filtered_candidates(
+            docs, "text", "doc_id", threshold=0.5
+        ).count()
+        t1 = time.time()
+        n_pairs = jaccard_similarity_join(
+            docs, "text", "doc_id", threshold=0.5
+        ).count()
+        print(
+            f"setsim_candidates={t1 - t0:.1f}s n={n_cands} "
+            f"setsim_join={time.time() - t1:.1f}s n_pairs={n_pairs}"
+        )
 
     pairs = None
     if stages & {"simhash", "cc", "star", "graphx"}:
