@@ -44,12 +44,15 @@ def _grouped_scores(
 ) -> DataFrame:
     """One hash aggregation: (by…, score) → (#pos, #neg).
 
-    Null scores/labels are dropped (they rank nowhere); labels are
+    Null/NaN scores and null labels are dropped (they rank nowhere — and
+    NaN would otherwise form its own score group that Spark's window
+    sorts LAST while engines/fold orders disagree on it); labels are
     positive when > 0.5 so int 0/1, double 0.0/1.0, and booleans all work.
     """
     pos = F.when(F.col(label_col).cast("double") > 0.5, 1).otherwise(0)
+    s = F.col(score_col).cast("double")
     return (
-        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        df.filter(s.isNotNull() & ~F.isnan(s) & F.col(label_col).isNotNull())
         .groupBy(*by, F.col(score_col).cast("double").alias("_s"))
         .agg(
             F.sum(pos).cast("long").alias("_p"),
@@ -433,8 +436,9 @@ def cumulative_gains(
     w_all = Window.partitionBy(*by).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    s = F.col(score_col).cast("double")
     ranked = df.filter(
-        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        s.isNotNull() & ~F.isnan(s) & F.col(label_col).isNotNull()
     ).select(
         *by,
         pos.alias("_y"),

@@ -81,6 +81,57 @@ def session_stream(tx_stream: DataFrame) -> DataFrame:
     return A.session_aggregate(with_watermark(tx_stream, "aggregation"), "user_id", "ts", "amount")
 
 
+def label_feedback_join(
+    scored: DataFrame,
+    labels: DataFrame,
+    id_col: str = "event_id",
+    score_ts: str = "ts",
+    label_ts: str = "ts",
+    max_delay: str = "10 minutes",
+    dedupe_labels: bool = True,
+) -> DataFrame:
+    """Join decision-time scores with their LATER-arriving outcomes.
+
+    Fraud ground truth trails the decision (chargebacks, confirmations);
+    the reference's performance tracking feeds outcomes back through its
+    metrics store (model_manager.py performance updates). Here it is a
+    watermarked stream-stream inner join: labels match within
+    [score_ts, score_ts + max_delay], so state retention is bounded on
+    both sides by `max_delay` — keyed state never outlives the feedback
+    window. At-least-once label delivery would double-count a (score,
+    label) pair downstream, so labels are deduped by id within the
+    watermark (dropDuplicatesWithinWatermark) unless the caller already
+    guarantees exactly-once.
+
+    Output: one row per matched score with the label columns attached —
+    feed it to streaming/sinks.eval_partial_writer and the whole-stream
+    ranking metrics (eval_rollup_view) equal a batch binary_eval over the
+    matched pairs bit-exactly (tests/test_label_feedback.py).
+    """
+    from ..operators.joins import windowed_stream_join
+
+    s = scored.withWatermark(score_ts, max_delay)
+    l = labels.withWatermark(label_ts, max_delay)
+    if dedupe_labels:
+        l = l.dropDuplicatesWithinWatermark([id_col])
+    joined = windowed_stream_join(
+        s,
+        l,
+        id_col,
+        left_ts=score_ts,
+        right_ts=label_ts,
+        before="0 seconds",
+        after=max_delay,
+    )
+    keep_right = [
+        c for c in labels.columns if c not in {id_col, label_ts}
+    ]
+    return joined.select(
+        *[F.col(f"l.{c}") for c in scored.columns],
+        *[F.col(f"r.{c}") for c in keep_right],
+    )
+
+
 def to_memory_sink(df: DataFrame, name: str, checkpoint: str, output_mode: str = "append") -> StreamingQuery:
     """Test helper: run a streaming DataFrame to completion into an
     in-memory table (availableNow trigger)."""

@@ -577,9 +577,10 @@ def eval_partial_writer(
     def write(batch: DataFrame, batch_id: int) -> None:
         keys = list(key_cols or [])
         pos = F.when(F.col(label_col).cast("double") > 0.5, 1).otherwise(0)
+        s = F.col(score_col).cast("double")
         g = (
             batch.filter(
-                F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+                s.isNotNull() & ~F.isnan(s) & F.col(label_col).isNotNull()
             )
             .groupBy(
                 *keys,

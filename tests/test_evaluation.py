@@ -172,6 +172,18 @@ def test_ap_fold_partitioning_invariant(spark):
     assert a == b  # bit-identical: the fold order is sorted, not arrival
 
 
+def test_nan_and_null_scores_dropped(spark):
+    base = [(0.1, 0), (0.2, 1), (0.2, 0), (0.3, 1)]
+    noisy = base + [(float("nan"), 1), (None, 0)]
+    df_b = spark.createDataFrame(base, "score double, label int")
+    df_n = spark.createDataFrame(noisy, "score double, label int")
+    assert binary_eval(df_n).first() == binary_eval(df_b).first()
+    a = cumulative_gains(
+        df_b.withColumn("id", F.monotonically_increasing_id()), "id", buckets=2
+    ).count()
+    assert a == 2
+
+
 def test_confusion_at_thresholds_hand(spark):
     out = {
         r["threshold"]: r
