@@ -250,6 +250,41 @@ def confusion_at_thresholds(
     )
 
 
+def best_threshold(
+    df: DataFrame,
+    thresholds: Sequence[float],
+    score_col: str = "score",
+    label_col: str = "label",
+    objective: str = "f1",
+    fp_cost: float = 1.0,
+    fn_cost: float = 1.0,
+) -> DataFrame:
+    """Pick the operating point from the threshold sweep: the reference
+    hardcodes 0.95/0.8/0.6 decision bands (ensemble_predictor.py:344-369);
+    this derives the band from measured outcomes instead. Returns ONE row
+    — the swept confusion row of the winning threshold.
+
+    objective='f1' maximizes F1; objective='cost' minimizes
+    fp_cost·FP + fn_cost·FN (the fraud trade: a false positive is a
+    declined good customer, a false negative is the fraud loss). Ties
+    break toward the LOWER threshold (deterministic; favors recall).
+    The sort runs over |thresholds| rows, not data.
+    """
+    sweep = confusion_at_thresholds(df, thresholds, score_col, label_col)
+    if objective == "f1":
+        order = [F.col("f1").desc_nulls_last(), F.col("threshold")]
+    elif objective == "cost":
+        sweep = sweep.withColumn(
+            "cost",
+            F.lit(float(fp_cost)) * F.col("fp")
+            + F.lit(float(fn_cost)) * F.col("fn"),
+        )
+        order = [F.col("cost"), F.col("threshold")]
+    else:
+        raise ValueError(f"objective must be 'f1' or 'cost', got {objective!r}")
+    return sweep.orderBy(*order).limit(1)
+
+
 def retrieval_metrics(
     results: DataFrame,
     truth: DataFrame,

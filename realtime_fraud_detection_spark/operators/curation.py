@@ -388,6 +388,69 @@ def dsir_select(
     )
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Release-to-release corpus delta: what the next training run will
+    actually see changed. Returns ``(summary, per_doc)``:
+
+      per_doc: (doc_id, status, tokens_old, tokens_new) with status in
+               {added, removed, changed, unchanged} — content identity is
+               the md5 normalization fingerprint (functions/text.py), so
+               whitespace/punct/case edits do NOT count as changes;
+      summary: per status — n_docs, tokens (the release the docs live in:
+               new for added/changed/unchanged, old for removed) and the
+               net token_delta.
+
+    One fingerprint+token projection per side, one full outer join on the
+    id, one small aggregate — no text ever crosses the join (fingerprints
+    and counts do), so the shuffle rows are ~50 bytes each at any corpus
+    size. Pairs with :func:`corpus_report`: the report describes one
+    release, the diff explains the step between two.
+    """
+    from ..functions.text import fingerprint, token_count_whitespace
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            fingerprint(F.col(text_col)).alias(f"_fp_{tag}"),
+            token_count_whitespace(F.col(text_col)).alias(f"tokens_{tag}"),
+        )
+
+    j = side(old, "old").join(side(new, "new"), "doc_id", "full")
+    status = (
+        F.when(F.col("_fp_old").isNull(), "added")
+        .when(F.col("_fp_new").isNull(), "removed")
+        .when(F.col("_fp_old") == F.col("_fp_new"), "unchanged")
+        .otherwise("changed")
+    )
+    per_doc = j.select(
+        "doc_id",
+        status.alias("status"),
+        F.coalesce("tokens_old", F.lit(0)).alias("tokens_old"),
+        F.coalesce("tokens_new", F.lit(0)).alias("tokens_new"),
+    )
+    summary = (
+        per_doc.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("status") == "removed", F.col("tokens_old")
+                ).otherwise(F.col("tokens_new"))
+            ).alias("tokens"),
+            F.sum(F.col("tokens_new") - F.col("tokens_old")).alias(
+                "token_delta"
+            ),
+        )
+        .orderBy("status")
+    )
+    return summary, per_doc
+
+
 def corpus_report(
     docs: DataFrame,
     text_col: str = "text",
