@@ -41,6 +41,100 @@ from .dedup import ngram_jaccard, shingle_table
 _EPS = 1e-9
 
 
+def _tok_table(
+    df: DataFrame, text_col: str, id_col: str, shingle_k: int
+) -> DataFrame:
+    sh = shingle_table(df, text_col, id_col, shingle_k, distinct=True)
+    return sh.select("doc", F.explode("sh").alias("tok"))
+
+
+def _prefix_postings(
+    tok: DataFrame, dfreq: DataFrame, threshold: float
+) -> DataFrame:
+    """(doc, sz, tok) inverted-index rows holding only each document's
+    rarest-first prefix under the (tok_df, tok) total order. Tokens
+    missing from `dfreq` order as df=0 (rarest) — in the incremental form
+    a token the corpus has never seen can't match any corpus posting, so
+    placing it early only spends prefix slots, never loses a pair."""
+    ordered = (
+        tok.join(dfreq, "tok", "left")
+        .select(
+            "doc", "tok", F.coalesce("tok_df", F.lit(0)).alias("tok_df")
+        )
+        .groupBy("doc")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("tok_df", "tok"))).alias(
+                "_o"
+            )
+        )
+    )
+    size = F.size("_o")
+    # prefix length |x| - ceil(t*|x|) + 1; epsilon lengthens the prefix on
+    # IEEE ties (safe direction)
+    plen = (
+        size
+        - F.ceil(F.lit(threshold) * size - F.lit(_EPS)).cast("int")
+        + 1
+    )
+    return ordered.select(
+        "doc",
+        size.alias("sz"),
+        F.explode(F.slice("_o", F.lit(1), plen)).alias("_pt"),
+    ).select("doc", "sz", F.col("_pt.tok").alias("tok"))
+
+
+def _cap_postings(pre: DataFrame, max_posting_size: int) -> DataFrame:
+    posting_sizes = pre.groupBy("tok").agg(F.count(F.lit(1)).alias("_psz"))
+    return pre.join(
+        F.broadcast(posting_sizes.filter(F.col("_psz") > max_posting_size)),
+        "tok",
+        "left_anti",
+    )
+
+
+def _length_compatible(a_sz, b_sz, threshold: float):
+    return (
+        b_sz.cast("double") >= F.lit(threshold) * a_sz - F.lit(_EPS)
+    ) & (a_sz.cast("double") >= F.lit(threshold) * b_sz - F.lit(_EPS))
+
+
+def token_df_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(tok, tok_df) document frequencies — the global token order the
+    prefix filter ranks by. Persist alongside :func:`prefix_index` for
+    the incremental form."""
+    return (
+        _tok_table(df, text_col, id_col, shingle_k)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("tok_df"))
+    )
+
+
+def prefix_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    dfreq: DataFrame | None = None,
+) -> DataFrame:
+    """The corpus-side prefix inverted index (doc, sz, tok) — persist it
+    (plus :func:`token_df_table`) and each ingest probes the INDEX, never
+    the corpus text. Pass the persisted `dfreq` when extending an
+    existing index so old and new entries rank under the SAME order (the
+    prefix-filter completeness theorem needs one consistent total order,
+    not a fresh one per ingest)."""
+    if dfreq is None:
+        dfreq = token_df_table(df, text_col, id_col, shingle_k)
+    return _prefix_postings(
+        _tok_table(df, text_col, id_col, shingle_k), dfreq, threshold
+    )
+
+
 def prefix_filtered_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -58,42 +152,9 @@ def prefix_filtered_candidates(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = shingle_table(df, text_col, id_col, shingle_k, distinct=True)
-    tok = sh.select("doc", F.explode("sh").alias("tok"))
-    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
-    ordered = (
-        tok.join(dfreq, "tok")
-        .groupBy("doc")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("tok_df", "tok"))).alias(
-                "_o"
-            )
-        )
-    )
-    size = F.size("_o")
-    # prefix length |x| - ceil(t*|x|) + 1; epsilon lengthens the prefix on
-    # IEEE ties (safe direction)
-    plen = (
-        size
-        - F.ceil(F.lit(threshold) * size - F.lit(_EPS)).cast("int")
-        + 1
-    )
-    pre = ordered.select(
-        "doc",
-        size.alias("sz"),
-        F.explode(F.slice("_o", F.lit(1), plen)).alias("_pt"),
-    ).select("doc", "sz", F.col("_pt.tok").alias("tok"))
+    pre = prefix_index(df, text_col, id_col, threshold, shingle_k)
     if max_posting_size is not None:
-        posting_sizes = pre.groupBy("tok").agg(
-            F.count(F.lit(1)).alias("_psz")
-        )
-        pre = pre.join(
-            F.broadcast(
-                posting_sizes.filter(F.col("_psz") > max_posting_size)
-            ),
-            "tok",
-            "left_anti",
-        )
+        pre = _cap_postings(pre, max_posting_size)
     a, b = pre.alias("a"), pre.alias("b")
     # length filter: J >= t forces t*|x| <= |y| (both directions); the
     # epsilon again errs toward keeping the candidate
@@ -102,17 +163,83 @@ def prefix_filtered_candidates(
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc") < F.col("b.doc"))
-            & (
-                F.col("b.sz").cast("double")
-                >= F.lit(threshold) * F.col("a.sz") - F.lit(_EPS)
-            )
-            & (
-                F.col("a.sz").cast("double")
-                >= F.lit(threshold) * F.col("b.sz") - F.lit(_EPS)
-            ),
+            & _length_compatible(F.col("a.sz"), F.col("b.sz"), threshold),
         )
         .select(
             F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def prefix_filtered_candidates_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    max_posting_size: int | None = None,
+    corpus_index: DataFrame | None = None,
+    corpus_dfreq: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT-Jaccard candidates between a NEW batch and the EXISTING
+    corpus — the incremental twin of
+    :func:`dedup.minhash_lsh_candidates_incremental`, with the exactness
+    guarantee LSH gives up: every (new, corpus) pair with Jaccard >=
+    threshold appears in the output.
+
+    Returns (new_doc, corpus_doc). Pairs WITHIN the new batch are
+    :func:`prefix_filtered_candidates` on the batch alone — compose both
+    for a full ingest check.
+
+    Scale shape: the batch's prefix postings BROADCAST into the probe of
+    the corpus index, so the corpus never reshuffles; pass the persisted
+    ``corpus_index`` + ``corpus_dfreq`` (the production pattern — build
+    once with :func:`prefix_index` / :func:`token_df_table`, append each
+    accepted batch's postings) and the per-ingest cost is one scan of the
+    INDEX, not the corpus text. The batch ranks its tokens under the
+    corpus's (possibly stale) document-frequency order — completeness
+    only needs ONE consistent total order across both sides, and tokens
+    the corpus has never seen rank as df=0: they enter the batch prefix
+    early but match no corpus posting, so they cost prefix slots, never
+    pairs. As the true frequencies drift the prefixes stay CORRECT, just
+    gradually less selective — refresh dfreq (and rebuild the index) on
+    the compaction cadence, the same lifecycle as the LSH band store.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if corpus_index is None or corpus_dfreq is None:
+        if corpus_df is None:
+            raise ValueError(
+                "pass corpus_df or (corpus_index, corpus_dfreq)"
+            )
+        if corpus_dfreq is None:
+            corpus_dfreq = token_df_table(
+                corpus_df, text_col, id_col, shingle_k
+            )
+        if corpus_index is None:
+            corpus_index = prefix_index(
+                corpus_df, text_col, id_col, threshold, shingle_k,
+                dfreq=corpus_dfreq,
+            )
+    if max_posting_size is not None:
+        corpus_index = _cap_postings(corpus_index, max_posting_size)
+    new_pre = _prefix_postings(
+        _tok_table(new_df, text_col, id_col, shingle_k),
+        corpus_dfreq,
+        threshold,
+    )
+    c, n = corpus_index.alias("c"), new_pre.alias("n")
+    return (
+        c.join(
+            F.broadcast(n),
+            (F.col("c.tok") == F.col("n.tok"))
+            & _length_compatible(F.col("n.sz"), F.col("c.sz"), threshold),
+        )
+        .select(
+            F.col("n.doc").alias("new_doc"),
+            F.col("c.doc").alias("corpus_doc"),
         )
         .distinct()
     )

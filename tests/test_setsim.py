@@ -120,6 +120,106 @@ def test_threshold_validation(spark):
         prefix_filtered_candidates(_docs(spark, 10), threshold=0.0)
 
 
+def _verified(spark, docs, pairs, t, a="doc_a", b="doc_b"):
+    from realtime_fraud_detection_spark.operators.dedup import ngram_jaccard
+
+    p = pairs.select(F.col(a).alias("doc_a"), F.col(b).alias("doc_b"))
+    return {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard(docs, p, "text", "doc_id", 3)
+        .filter(F.col("jaccard") >= t - 1e-9)
+        .collect()
+    }
+
+
+def test_incremental_matches_self_join_cross_pairs(spark):
+    from realtime_fraud_detection_spark.operators.setsim import (
+        prefix_filtered_candidates_incremental,
+    )
+
+    t = 0.5
+    docs = _docs(spark).cache()
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    new_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+
+    inc = prefix_filtered_candidates_incremental(
+        batch, corpus, threshold=t
+    )
+    got = _verified(spark, docs, inc, t, a="new_doc", b="corpus_doc")
+    got = {(min(p), max(p)) for p in got}
+
+    full = jaccard_similarity_join(docs, threshold=t)
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in full.collect()
+        if (r["doc_a"] in new_ids) != (r["doc_b"] in new_ids)
+    }
+    assert got == want and len(want) > 0
+
+
+def test_incremental_probe_broadcasts_batch_side(spark):
+    from realtime_fraud_detection_spark.operators.setsim import (
+        prefix_filtered_candidates_incremental,
+    )
+
+    docs = _docs(spark, n=120)
+    plan = (
+        prefix_filtered_candidates_incremental(
+            docs.filter(F.col("doc_id") % 3 == 0),
+            docs.filter(F.col("doc_id") % 3 != 0),
+            threshold=0.6,
+        )
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_incremental_unseen_vocabulary_is_safe(spark):
+    from realtime_fraud_detection_spark.operators.setsim import (
+        prefix_filtered_candidates_incremental,
+    )
+
+    corpus = _docs(spark, n=80)
+    batch = spark.createDataFrame(
+        [(900001, "wholly novel vocabulary nothing shared anywhere here ok")],
+        "doc_id long, text string",
+    )
+    out = prefix_filtered_candidates_incremental(
+        batch, corpus, threshold=0.5
+    )
+    assert out.count() == 0
+
+
+def test_incremental_from_persisted_index(spark, tmp_path):
+    from realtime_fraud_detection_spark.operators.setsim import (
+        prefix_filtered_candidates_incremental,
+        prefix_index,
+        token_df_table,
+    )
+
+    t = 0.5
+    docs = _docs(spark).cache()
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    token_df_table(corpus).write.parquet(str(tmp_path / "dfreq"))
+    dfreq = spark.read.parquet(str(tmp_path / "dfreq"))
+    prefix_index(corpus, threshold=t, dfreq=dfreq).write.parquet(
+        str(tmp_path / "idx")
+    )
+    via_store = prefix_filtered_candidates_incremental(
+        batch,
+        threshold=t,
+        corpus_index=spark.read.parquet(str(tmp_path / "idx")),
+        corpus_dfreq=dfreq,
+    )
+    direct = prefix_filtered_candidates_incremental(batch, corpus, threshold=t)
+    assert {tuple(r) for r in via_store.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+
+
 def test_posting_cap_bounds_skew(spark):
     docs = _docs(spark).cache()
     capped = prefix_filtered_candidates(
