@@ -217,8 +217,11 @@ def confusion_at_thresholds(
     """
     by = list(by or [])
     g = _grouped_scores(df, score_col, label_col, by)
+    # dedupe: a repeated threshold would explode into two copies of every
+    # score row and the groupBy would sum both (doubled counts)
+    thresholds = sorted({float(x) for x in thresholds})
     t = F.explode(
-        F.array(*[F.lit(float(x)) for x in thresholds])
+        F.array(*[F.lit(x) for x in thresholds])
     ).alias("threshold")
     per = g.select(*by, "_s", "_p", "_n", t)
     pred_pos = F.col("_s") >= F.col("threshold")
@@ -297,10 +300,11 @@ def retrieval_metrics(
     """Per-query retrieval quality at cutoff k: recall@k, precision@k,
     reciprocal rank (MRR term), and binary-gain NDCG@k.
 
-    `results` holds ranked candidates per query — either with an explicit
-    1-based `rank_col`, or with `score_col` from which ranks are derived
-    (score desc, doc id asc tie-break: deterministic). `truth` holds the
-    relevant (query, doc) pairs, binary relevance.
+    `results` holds ranked candidates per query, ONE row per (query, doc)
+    — either with an explicit 1-based `rank_col`, or with `score_col`
+    from which ranks are derived (score desc, doc id asc tie-break:
+    deterministic). `truth` holds the relevant (query, doc) pairs, binary
+    relevance (duplicates tolerated — it is distinct'd).
 
     The ANN family's recall tests hand-roll this per test file; this is
     the one set-oriented implementation: candidates are cut to k FIRST

@@ -123,8 +123,12 @@ def label_feedback_join(
         before="0 seconds",
         after=max_delay,
     )
+    # the score side wins name clashes — emitting two columns with one
+    # name would break any downstream groupBy/select
     keep_right = [
-        c for c in labels.columns if c not in {id_col, label_ts}
+        c
+        for c in labels.columns
+        if c not in {id_col, label_ts} and c not in set(scored.columns)
     ]
     return joined.select(
         *[F.col(f"l.{c}") for c in scored.columns],

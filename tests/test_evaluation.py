@@ -199,6 +199,11 @@ def test_confusion_at_thresholds_hand(spark):
     assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (1, 0, 1, 2)
 
 
+def test_confusion_duplicate_thresholds_not_double_counted(spark):
+    a = confusion_at_thresholds(_tiny(spark), [0.2, 0.2, 0.2]).collect()
+    assert len(a) == 1 and (a[0]["tp"], a[0]["fp"]) == (2, 1)
+
+
 def test_confusion_zero_division_guards(spark):
     df = spark.createDataFrame(
         [(0.1, 0), (0.2, 0)], "score double, label int"

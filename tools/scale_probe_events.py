@@ -11,7 +11,7 @@ blow-up. Results recorded in SCALE.md.
 
 Usage: python3 tools/scale_probe_events.py [replicas] [stages]
   (default 10, asof,gapfill; stages: comma-separated subset of
-  asof,gapfill,dims,bloom — `dims` runs the changelog→compaction→SCD2→
+  asof,gapfill,dims,bloom,evalm — `dims` runs the changelog→compaction→SCD2→
   versioned-enrichment chain on the scaled corpus; `bloom` measures the
   bloom-pruned selective join against the plain join on the same inputs,
   reporting the scan-survivor ratio)
@@ -197,6 +197,51 @@ def run_bloom(spark, src) -> list[str]:
     return lines
 
 
+def run_evalm(spark, src) -> list[str]:
+    """Ranking metrics at scale: binary_eval's only row-scale pass is the
+    (keys, score) hash agg; the window runs over |distinct scores| per
+    group. Two score shapes probe both regimes: 'bounded' (1000 distinct
+    values — the rounded-score production contract, window input constant
+    as events grow) and 'hicard' (~1 distinct score per row — the
+    worst case the rounding knob exists to prevent). A 100-threshold
+    confusion sweep must cost one tiny join over the grouped table."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from realtime_fraud_detection_spark.functions.hashing import md5_bigint
+    from realtime_fraud_detection_spark.ml.evaluation import (
+        binary_eval,
+        confusion_at_thresholds,
+    )
+
+    ev = _read(spark, src)
+    coin = (
+        md5_bigint(F.col("event_id").cast("string"), "sp:") % 1_000_000
+    ) / 1e6
+    out = []
+    for tag, score in [
+        ("bounded", ((F.col("event_id") * 37) % 1000) / 1000.0),
+        ("hicard", ((F.col("event_id") * 2654435761) % 999_999_937) / 999_999_937.0),
+    ]:
+        scored = ev.select(
+            "event_type",
+            score.alias("score"),
+            F.when(coin < score * score, 1).otherwise(0).alias("label"),
+        )
+        t0 = _t.time()
+        m = binary_eval(scored, by=["event_type"]).collect()
+        t1 = _t.time()
+        sweep = confusion_at_thresholds(
+            scored, [i / 100 for i in range(1, 100)], by=["event_type"]
+        ).count()
+        out.append(
+            f"{tag}: binary_eval={t1 - t0:.1f}s groups={len(m)} "
+            f"sweep99={_t.time() - t1:.1f}s rows={sweep}"
+        )
+    return out
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     stages = set(
@@ -220,6 +265,7 @@ def main() -> None:
         for name, stage, fn in [
             ("dims", "dims", run_dims),
             ("bloom", "bloom", run_bloom),
+            ("evalm", "evalm", run_evalm),
         ]
         if stage in stages
     ]
