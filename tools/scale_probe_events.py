@@ -222,7 +222,13 @@ def run_evalm(spark, src) -> list[str]:
     out = []
     for tag, score in [
         ("bounded", ((F.col("event_id") * 37) % 1000) / 1000.0),
-        ("hicard", ((F.col("event_id") * 2654435761) % 999_999_937) / 999_999_937.0),
+        # reduce mod BEFORE multiplying: 100x ids * the Knuth constant
+        # overflows long under ANSI (the bloom/double-hash rule)
+        (
+            "hicard",
+            (((F.col("event_id") % 999_999_937) * 2654435761) % 999_999_937)
+            / 999_999_937.0,
+        ),
     ]:
         scored = ev.select(
             "event_type",
