@@ -1,0 +1,98 @@
+"""DeLong AUC standard error / CI (ml/evaluation.auc_with_ci): exact
+pure-Python DeLong replay parity, 1/sqrt(n) width shrinkage, degenerate
+guards, partitioning invariance, and the inverse-normal approximation."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from realtime_fraud_detection_spark.ml.evaluation import (
+    _z_from_alpha,
+    auc_with_ci,
+    binary_eval,
+)
+
+
+def _delong_replay(pairs):
+    """Textbook DeLong (1988): placements via O(P·N) pair comparison."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    P, N = len(pos), len(neg)
+    v10 = [
+        sum(1.0 if p > n else 0.5 if p == n else 0.0 for n in neg) / N
+        for p in pos
+    ]
+    v01 = [
+        sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos) / P
+        for n in neg
+    ]
+    auc = sum(v10) / P
+    s10 = sum((v - auc) ** 2 for v in v10) / (P - 1)
+    s01 = sum((v - auc) ** 2 for v in v01) / (N - 1)
+    return auc, math.sqrt(s10 / P + s01 / N)
+
+
+def _data(spark, n, seed=3, grid=25):
+    rng = random.Random(seed)
+    pairs = [
+        (rng.randrange(grid) / grid + (0.3 if rng.random() < 0.5 else 0.0), 0)
+        for _ in range(n // 2)
+    ] + [
+        (rng.randrange(grid) / grid + (0.3 if rng.random() < 0.8 else 0.0), 1)
+        for _ in range(n - n // 2)
+    ]
+    rng.shuffle(pairs)
+    return pairs, spark.createDataFrame(pairs, "score double, label int")
+
+
+def test_matches_pair_level_delong_replay(spark):
+    pairs, df = _data(spark, 300)
+    got = auc_with_ci(df).first()
+    want_auc, want_se = _delong_replay(pairs)
+    assert abs(got["auc"] - want_auc) < 1e-12
+    assert abs(got["se"] - want_se) < 1e-12
+    assert got["lo"] < got["auc"] < got["hi"]
+    # same auc as binary_eval (one shared definition of ties)
+    assert got["auc"] == binary_eval(df).first()["auc"]
+
+
+def test_ci_width_shrinks_with_sqrt_n(spark):
+    _, small = _data(spark, 400, seed=5)
+    _, big = _data(spark, 6400, seed=5)
+    w_small = (lambda r: r["hi"] - r["lo"])(auc_with_ci(small).first())
+    w_big = (lambda r: r["hi"] - r["lo"])(auc_with_ci(big).first())
+    # 16x data -> ~4x narrower; allow slack for distribution drift
+    assert w_big < w_small / 2.5
+
+
+def test_degenerate_groups_guarded(spark):
+    df = spark.createDataFrame(
+        [("a", 0.5, 1), ("a", 0.7, 0), ("a", 0.6, 1), ("b", 0.5, 1), ("b", 0.9, 1)],
+        "g string, score double, label int",
+    )
+    rows = {r["g"]: r for r in auc_with_ci(df, by=["g"]).collect()}
+    assert rows["a"]["se"] is None  # N = 1: s01 undefined
+    assert rows["b"]["auc"] is None and rows["b"]["se"] is None  # no negatives
+
+
+def test_partitioning_invariant(spark):
+    _, df = _data(spark, 500, seed=9)
+    a = auc_with_ci(df.repartition(1)).first()
+    b = auc_with_ci(df.repartition(7)).first()
+    assert a == b  # decimal-exact sums: bit-identical on any layout
+
+
+def test_ci_clamped_to_unit_interval(spark):
+    # perfectly separated, tiny n -> wide CI, must clamp
+    df = spark.createDataFrame(
+        [(0.1, 0), (0.2, 0), (0.8, 1), (0.9, 1)], "score double, label int"
+    )
+    r = auc_with_ci(df, alpha=0.001).first()
+    assert r["auc"] == 1.0 and r["hi"] == 1.0 and r["lo"] >= 0.0
+
+
+def test_z_from_alpha():
+    assert abs(_z_from_alpha(0.05) - 1.959963984540054) < 1e-8
+    assert abs(_z_from_alpha(0.01) - 2.5758293035489004) < 1e-8
+    assert abs(_z_from_alpha(0.32) - 0.9944578832097532) < 1e-8
