@@ -374,6 +374,153 @@ def auc_with_ci(
     )
 
 
+def delong_paired_test(
+    df: DataFrame,
+    score_a: str,
+    score_b: str,
+    label_col: str = "label",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Champion-vs-challenger AUC comparison on the SAME rows — the
+    paired DeLong test, which accounts for the correlation a naive
+    two-sample z-test on independent AUCs ignores (both models score the
+    same transactions; their errors co-vary). One row out: auc_a, auc_b,
+    delta, se, z, significant.
+
+    Shape: ONE hash aggregation over (score_a, score_b) pairs — a row's
+    placement under model A depends only on score_a, so every row of a
+    (sa, sb) group shares both placements and the covariance components
+    are group-weighted integer sums (decimal-exact; the grouped table is
+    bounded by |distinct sa|·|distinct sb| in the worst case, in practice
+    by the 6-dp rounding contract). Two cumulative windows over that
+    table (one per score order) — never a pass over the data per model.
+
+    Var(ΔAUC) = (S10a + S10b − 2·S10ab)/P + (S01a + S01b − 2·S01ab)/N.
+    """
+    import math
+
+    pos = F.when(F.col(label_col).cast("double") > 0.5, 1).otherwise(0)
+    sa, sb = F.col(score_a).cast("double"), F.col(score_b).cast("double")
+    g = (
+        df.filter(
+            sa.isNotNull()
+            & ~F.isnan(sa)
+            & sb.isNotNull()
+            & ~F.isnan(sb)
+            & F.col(label_col).isNotNull()
+        )
+        .groupBy(sa.alias("_sa"), sb.alias("_sb"))
+        .agg(
+            F.sum(pos).cast("long").alias("_p"),
+            F.sum(1 - pos).cast("long").alias("_n"),
+        )
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # ties in one score order are broken by the other score: cum counts
+    # must include the WHOLE tie group of the ordering score, so order by
+    # the score alone is wrong for rowsBetween — aggregate per unique
+    # (sa, sb) row with a RANGE over the ordering value instead. Simpler
+    # and exact: compute cum_at-or-below per distinct ordering value via
+    # a window ordered by that value with rangeBetween.
+    w_a = (
+        Window.orderBy("_sa").rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_b = (
+        Window.orderBy("_sb").rangeBetween(Window.unboundedPreceding, 0)
+    )
+    P, N = F.sum("_p").over(w_all), F.sum("_n").over(w_all)
+    # per-row tie masses within the ordering score (sum over the other
+    # score's values at the same ordering value)
+    tie_a_n = F.sum("_n").over(Window.partitionBy("_sa"))
+    tie_a_p = F.sum("_p").over(Window.partitionBy("_sa"))
+    tie_b_n = F.sum("_n").over(Window.partitionBy("_sb"))
+    tie_b_p = F.sum("_p").over(Window.partitionBy("_sb"))
+    cum_n_a, cum_p_a = F.sum("_n").over(w_a), F.sum("_p").over(w_a)
+    cum_n_b, cum_p_b = F.sum("_n").over(w_b), F.sum("_p").over(w_b)
+    # placement numerators (×2N for v10, ×2P for v01)
+    v10a = (2 * (cum_n_a - tie_a_n) + tie_a_n).cast(_DEC)
+    v10b = (2 * (cum_n_b - tie_b_n) + tie_b_n).cast(_DEC)
+    v01a = (2 * (P - cum_p_a) + tie_a_p).cast(_DEC)
+    v01b = (2 * (P - cum_p_b) + tie_b_p).cast(_DEC)
+    per = g.select(
+        "_p",
+        "_n",
+        P.alias("_ptot"),
+        N.alias("_ntot"),
+        (F.col("_p") * v10a).alias("_sa10"),
+        (F.col("_p") * v10b).alias("_sb10"),
+        (F.col("_p") * v10a * v10a).alias("_sa10sq"),
+        (F.col("_p") * v10b * v10b).alias("_sb10sq"),
+        (F.col("_p") * v10a * v10b).alias("_sab10"),
+        (F.col("_n") * v01a).alias("_sa01"),
+        (F.col("_n") * v01b).alias("_sb01"),
+        (F.col("_n") * v01a * v01a).alias("_sa01sq"),
+        (F.col("_n") * v01b * v01b).alias("_sb01sq"),
+        (F.col("_n") * v01a * v01b).alias("_sab01"),
+    )
+    r = per.agg(
+        F.first("_ptot").alias("P"),
+        F.first("_ntot").alias("N"),
+        *[
+            F.sum(c).alias(c)
+            for c in (
+                "_sa10", "_sb10", "_sa10sq", "_sb10sq", "_sab10",
+                "_sa01", "_sb01", "_sa01sq", "_sb01sq", "_sab01",
+            )
+        ],
+    ).first()
+    P_, N_ = r["P"], r["N"]
+    if P_ is None or P_ < 2 or N_ < 2:
+        raise ValueError(
+            "delong_paired_test needs >= 2 positives and >= 2 negatives"
+        )
+    P_, N_ = float(P_), float(N_)
+
+    def moments(s1, s2, cross, scale, count):
+        m1 = float(r[s1]) / (count * scale)
+        m2 = float(r[s2]) / (count * scale)
+        e11 = float(r[cross[0]]) / (count * scale * scale)
+        e22 = float(r[cross[1]]) / (count * scale * scale)
+        e12 = float(r[cross[2]]) / (count * scale * scale)
+        corr = count / (count - 1)
+        return (
+            m1,
+            m2,
+            (e11 - m1 * m1) * corr,
+            (e22 - m2 * m2) * corr,
+            (e12 - m1 * m2) * corr,
+        )
+
+    auc_a, auc_b, s10a, s10b, s10ab = moments(
+        "_sa10", "_sb10", ("_sa10sq", "_sb10sq", "_sab10"), 2 * N_, P_
+    )
+    _, _, s01a, s01b, s01ab = moments(
+        "_sa01", "_sb01", ("_sa01sq", "_sb01sq", "_sab01"), 2 * P_, N_
+    )
+    var = (s10a + s10b - 2 * s10ab) / P_ + (s01a + s01b - 2 * s01ab) / N_
+    se = math.sqrt(max(var, 0.0))
+    delta = auc_a - auc_b
+    z = delta / se if se > 0 else float("inf") if delta else 0.0
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (
+                int(P_ + N_),
+                auc_a,
+                auc_b,
+                delta,
+                se,
+                z,
+                bool(abs(z) > _z_from_alpha(alpha)),
+            )
+        ],
+        "n long, auc_a double, auc_b double, delta double, se double, "
+        "z double, significant boolean",
+    )
+
+
 def best_threshold(
     df: DataFrame,
     thresholds: Sequence[float],

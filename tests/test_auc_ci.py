@@ -92,6 +92,86 @@ def test_ci_clamped_to_unit_interval(spark):
     assert r["auc"] == 1.0 and r["hi"] == 1.0 and r["lo"] >= 0.0
 
 
+def _paired_replay(rows):
+    """Textbook paired DeLong: O(P·N) placements under both models."""
+    pos = [(a, b) for a, b, y in rows if y == 1]
+    neg = [(a, b) for a, b, y in rows if y == 0]
+    P, N = len(pos), len(neg)
+
+    def psi(x, y):
+        return 1.0 if x > y else 0.5 if x == y else 0.0
+
+    v10a = [sum(psi(p[0], n[0]) for n in neg) / N for p in pos]
+    v10b = [sum(psi(p[1], n[1]) for n in neg) / N for p in pos]
+    v01a = [sum(psi(p[0], n[0]) for p in pos) / P for n in neg]
+    v01b = [sum(psi(p[1], n[1]) for p in pos) / P for n in neg]
+    auc_a, auc_b = sum(v10a) / P, sum(v10b) / P
+
+    def s(u, v):
+        mu, mv = sum(u) / len(u), sum(v) / len(v)
+        return sum((x - mu) * (y - mv) for x, y in zip(u, v)) / (len(u) - 1)
+
+    var = (s(v10a, v10a) + s(v10b, v10b) - 2 * s(v10a, v10b)) / P + (
+        s(v01a, v01a) + s(v01b, v01b) - 2 * s(v01a, v01b)
+    ) / N
+    return auc_a, auc_b, math.sqrt(var)
+
+
+def test_paired_delong_matches_replay(spark):
+    from realtime_fraud_detection_spark.ml.evaluation import (
+        delong_paired_test,
+    )
+
+    rng = random.Random(17)
+    rows = []
+    for _ in range(240):
+        y = rng.randrange(2)
+        base = rng.randrange(20) / 20 + (0.25 if y else 0.0)
+        # model b = correlated, noisier version of model a
+        rows.append(
+            (base, base + rng.randrange(-2, 3) / 10, y)
+        )
+    df = spark.createDataFrame(rows, "sa double, sb double, label int")
+    got = delong_paired_test(df, "sa", "sb").first()
+    auc_a, auc_b, se = _paired_replay(rows)
+    assert abs(got["auc_a"] - auc_a) < 1e-12
+    assert abs(got["auc_b"] - auc_b) < 1e-12
+    assert abs(got["se"] - se) < 1e-12
+    assert got["n"] == 240
+
+
+def test_paired_delong_identical_models_not_significant(spark):
+    rng = random.Random(23)
+    rows = [
+        (s := rng.randrange(30) / 30 + (0.2 * (y := rng.randrange(2))), s, y)
+        for _ in range(200)
+    ]
+    from realtime_fraud_detection_spark.ml.evaluation import (
+        delong_paired_test,
+    )
+
+    df = spark.createDataFrame(rows, "sa double, sb double, label int")
+    r = delong_paired_test(df, "sa", "sb").first()
+    assert r["delta"] == 0.0 and not r["significant"]
+
+
+def test_paired_delong_detects_dominant_model(spark):
+    rng = random.Random(29)
+    rows = []
+    for _ in range(400):
+        y = rng.randrange(2)
+        good = rng.randrange(50) / 50 + (0.5 if y else 0.0)  # strong
+        bad = rng.randrange(50) / 50  # uninformative
+        rows.append((good, bad, y))
+    from realtime_fraud_detection_spark.ml.evaluation import (
+        delong_paired_test,
+    )
+
+    df = spark.createDataFrame(rows, "sa double, sb double, label int")
+    r = delong_paired_test(df, "sa", "sb").first()
+    assert r["auc_a"] > 0.8 > r["auc_b"] and r["significant"] and r["z"] > 3
+
+
 def test_z_from_alpha():
     assert abs(_z_from_alpha(0.05) - 1.959963984540054) < 1e-8
     assert abs(_z_from_alpha(0.01) - 2.5758293035489004) < 1e-8
