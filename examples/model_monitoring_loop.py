@@ -6,7 +6,9 @@
     → per-batch mergeable eval partials (streaming/sinks)
     → whole-stream ranking metrics (AUC / KS / AP, bit-exact vs batch)
     → score-distribution drift (PSI vs the first window)
-    → isotonic calibration (Brier before/after)
+    → isotonic calibration (Brier + ECE before/after)
+    → AUC with its DeLong confidence interval
+    → champion/challenger paired DeLong test on the same rows
     → measured operating point (max-F1 and expected-cost thresholds)
 
 The reference tracks rolling accuracy counters and exposes hardcoded
@@ -37,7 +39,12 @@ from realtime_fraud_detection_spark.ml.calibration import (
     fit_isotonic_calibrator,
 )
 from realtime_fraud_detection_spark.ml.drift import psi_numeric
-from realtime_fraud_detection_spark.ml.evaluation import best_threshold
+from realtime_fraud_detection_spark.ml.evaluation import (
+    auc_with_ci,
+    best_threshold,
+    delong_paired_test,
+    expected_calibration_error,
+)
 from realtime_fraud_detection_spark.session import get_spark
 from realtime_fraud_detection_spark.sources.testdata import load_table
 from realtime_fraud_detection_spark.streaming.pipeline import (
@@ -121,7 +128,27 @@ def main() -> None:
     calibrated = calibrate(pairs, cal, "score")
     b_raw = brier_score(calibrated, "score", "label")
     b_cal = brier_score(calibrated, "calibrated", "label")
+    e_raw = expected_calibration_error(calibrated, "score", "label").first()["ece"]
+    e_cal = expected_calibration_error(calibrated, "calibrated", "label").first()["ece"]
     print(f"brier raw={b_raw:.5f} calibrated={b_cal:.5f}")
+    print(f"ece raw={e_raw:.5f} calibrated={e_cal:.5f}")
+
+    # 4b. overall AUC with its DeLong confidence interval, and a
+    # champion/challenger decision: the deployed scorer vs a degraded
+    # variant (score half-mixed with hash noise) on the SAME rows
+    ci = auc_with_ci(pairs).first()
+    print(f"auc={ci['auc']:.4f} ci=[{ci['lo']:.4f}, {ci['hi']:.4f}]")
+    noise = (
+        md5_bigint(F.col("event_id").cast("string"), "nz:") % 1000
+    ) / 1000.0
+    both = pairs.withColumn(
+        "challenger", (F.col("score") + noise) / 2
+    )
+    duel = delong_paired_test(both, "score", "challenger").first()
+    print(
+        f"champion vs challenger: delta={duel['delta']:.4f} "
+        f"z={duel['z']:.2f} significant={duel['significant']}"
+    )
 
     # 5. measured operating points vs the reference's hardcoded bands
     sweep = [i / 20 for i in range(1, 20)]

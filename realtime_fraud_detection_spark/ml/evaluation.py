@@ -556,6 +556,57 @@ def best_threshold(
     return sweep.orderBy(*order).limit(1)
 
 
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    bins: int = 10,
+    by: Sequence[str] | None = None,
+) -> DataFrame:
+    """ECE: Σ_b (n_b/N)·|frac_pos_b − mean_score_b| over equal-width
+    score bins — the scalar the reliability_table (ml/calibration.py)
+    eyeballs. Scores are assumed probabilities in [0, 1]; values outside
+    clamp into the edge bins. One hash aggregation; the cross-bin sum is
+    exact up to one division per bin (counts and decimal score sums), so
+    results are partition-invariant. Returns by…, n, ece."""
+    by = list(by or [])
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor(s * bins).cast("int"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    pos = F.when(F.col(label_col).cast("double") > 0.5, 1).otherwise(0)
+    per_bin = (
+        df.filter(s.isNotNull() & ~F.isnan(s) & F.col(label_col).isNotNull())
+        .groupBy(*by, b.alias("_b"))
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(pos).alias("_pos"),
+            F.sum(s.cast("decimal(28,10)")).alias("_ssum"),
+        )
+    )
+    gap = F.abs(
+        F.col("_pos").cast("double") / F.col("_n")
+        - F.col("_ssum").cast("double") / F.col("_n")
+    )
+    agg = [
+        F.sum("_n").alias("n"),
+        # Σ n_b·gap_b then one division by N: fewer roundings, and the
+        # per-bin terms fold sorted for bit-determinism
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_b"), (F.col("_n") * gap).alias("_t")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["_t"],
+        ).alias("_gapsum"),
+    ]
+    res = per_bin.groupBy(*by).agg(*agg) if by else per_bin.agg(*agg)
+    return res.select(
+        *by, "n", (F.col("_gapsum") / F.col("n")).alias("ece")
+    )
+
+
 def retrieval_metrics(
     results: DataFrame,
     truth: DataFrame,

@@ -172,6 +172,59 @@ def test_paired_delong_detects_dominant_model(spark):
     assert r["auc_a"] > 0.8 > r["auc_b"] and r["significant"] and r["z"] > 3
 
 
+def test_ece_hand_computed(spark):
+    from realtime_fraud_detection_spark.ml.evaluation import (
+        expected_calibration_error,
+    )
+
+    # bin [0.0,0.5): scores .2/.4 mean .3, frac_pos .5 -> gap .2, n=2
+    # bin [0.5,1.0]: scores .8/.8 mean .8, frac_pos 1. -> gap .2, n=2
+    df = spark.createDataFrame(
+        [(0.2, 0), (0.4, 1), (0.8, 1), (0.8, 1)], "score double, label int"
+    )
+    r = expected_calibration_error(df, bins=2).first()
+    assert r["n"] == 4
+    assert abs(r["ece"] - 0.2) < 1e-12
+
+
+def test_ece_separates_calibrated_from_miscalibrated(spark):
+    from realtime_fraud_detection_spark.ml.evaluation import (
+        expected_calibration_error,
+    )
+
+    rng = random.Random(31)
+    calibrated, miscal = [], []
+    for _ in range(20000):
+        s = rng.randrange(100) / 100
+        u = rng.random()
+        calibrated.append((s, 1 if u < s else 0))  # P(y|s) = s
+        miscal.append((s, 1 if u < s * s else 0))  # claims s, delivers s²
+    good = expected_calibration_error(
+        spark.createDataFrame(calibrated, "score double, label int")
+    ).first()["ece"]
+    bad = expected_calibration_error(
+        spark.createDataFrame(miscal, "score double, label int")
+    ).first()["ece"]
+    # E|s - s²| over uniform s is 1/6; the calibrated model's gap is
+    # only sampling noise
+    assert good < 0.03 < 0.12 < bad
+
+
+def test_ece_partitioning_invariant(spark):
+    from realtime_fraud_detection_spark.ml.evaluation import (
+        expected_calibration_error,
+    )
+
+    rng = random.Random(37)
+    rows = [
+        (rng.random(), rng.randrange(2)) for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    a = expected_calibration_error(df.repartition(1)).first()
+    b = expected_calibration_error(df.repartition(9)).first()
+    assert a == b
+
+
 def test_z_from_alpha():
     assert abs(_z_from_alpha(0.05) - 1.959963984540054) < 1e-8
     assert abs(_z_from_alpha(0.01) - 2.5758293035489004) < 1e-8

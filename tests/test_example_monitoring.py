@@ -42,6 +42,18 @@ def test_monitoring_example_end_to_end():
 
     b = re.search(r"brier raw=([\d.]+) calibrated=([\d.]+)", text)
     assert float(b.group(2)) < float(b.group(1))  # calibration helps
+    e = re.search(r"ece raw=([\d.]+) calibrated=([\d.]+)", text)
+    assert float(e.group(2)) < float(e.group(1))
+
+    ci = re.search(r"auc=([\d.]+) ci=\[([\d.]+), ([\d.]+)\]", text)
+    lo, auc, hi = float(ci.group(2)), float(ci.group(1)), float(ci.group(3))
+    assert lo < auc < hi
+    duel = re.search(
+        r"champion vs challenger: delta=([\d.-]+) z=([\d.-]+) significant=(\w+)",
+        text,
+    )
+    # half-noise challenger must lose decisively on 1000 paired rows
+    assert float(duel.group(1)) > 0 and duel.group(3) == "True"
 
     op = re.search(
         r"max-F1 t=([\d.]+) .*min-cost t=([\d.]+)", text
