@@ -1262,6 +1262,104 @@ def run_embedding_ingest_stream(
     )
 
 
+def purge_keys(
+    spark,
+    path: str,
+    key_col: str,
+    keys: list | None = None,
+    keys_df: DataFrame | None = None,
+    max_batch_id: int | None = None,
+) -> dict:
+    """Right-to-be-forgotten for the batch-partitioned stores: drop every
+    row whose `key_col` matches, rewriting ONLY the partitions that
+    contain matches (one pushed-down scan finds them — parquet min/max
+    stats prune the rest; a GDPR request touches the handful of
+    partitions a user ever landed in, not the store).
+
+    Pass `keys` (a request-sized list, folded into the scan predicate) or
+    `keys_df` (broadcast anti-join — for bulk erasure lists). The same
+    `max_batch_id` replay guard as :func:`compact_store`: a partition the
+    stream could still replay is SKIPPED and reported under
+    'skipped_replayable' — rewriting it would be undone by the replay's
+    partition overwrite, silently resurrecting the rows. Purge again once
+    the checkpoint passes the batch.
+
+    Each rewritten partition swaps via write-aside-then-rename (old moved
+    to `.purged_old.<id>` before the new directory takes its name, then
+    deleted) — a crash mid-swap leaves a recoverable directory, never a
+    half-written partition under the live name.
+
+    Returns {'purged_rows', 'rewritten_partitions', 'skipped_replayable'}.
+    """
+    import shutil
+
+    if (keys is None) == (keys_df is None):
+        raise ValueError("pass exactly one of keys / keys_df")
+    parts = _rollup_partitions(path)
+    skipped = []
+    if max_batch_id is not None:
+        skipped = [
+            int(d.split("=", 1)[1])
+            for d in parts
+            if int(d.split("=", 1)[1]) > max_batch_id
+        ]
+        parts = [
+            d for d in parts if int(d.split("=", 1)[1]) <= max_batch_id
+        ]
+    if not parts:
+        return {
+            "purged_rows": 0,
+            "rewritten_partitions": 0,
+            "skipped_replayable": sorted(skipped),
+        }
+    store = spark.read.option("basePath", path).parquet(
+        *[os.path.join(path, d) for d in parts]
+    )
+    if keys is not None:
+        match = F.col(key_col).isin(list(keys))
+        matching = store.filter(match)
+    else:
+        k = keys_df.select(F.col(key_col).alias("_purge_k")).distinct()
+        matching = store.join(
+            F.broadcast(k), store[key_col] == F.col("_purge_k")
+        )
+    affected = sorted(
+        r["batch_id"]
+        for r in matching.select("batch_id").distinct().collect()
+    )
+    purged = 0
+    for bid in affected:
+        part_dir = os.path.join(path, f"batch_id={bid}")
+        one = spark.read.parquet(part_dir)
+        if keys is not None:
+            kept = one.filter(~F.col(key_col).isin(list(keys)))
+        else:
+            k = keys_df.select(F.col(key_col).alias("_purge_k")).distinct()
+            kept = one.join(
+                F.broadcast(k),
+                one[key_col] == F.col("_purge_k"),
+                "left_anti",
+            )
+        n_before = one.count()
+        tmp = os.path.join(path, f".purging_batch_id={bid}")
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        kept.write.mode("overwrite").parquet(tmp)
+        n_after = spark.read.parquet(tmp).count()
+        purged += n_before - n_after
+        aside = os.path.join(path, f".purged_old.{bid}")
+        if os.path.exists(aside):
+            shutil.rmtree(aside)
+        os.rename(part_dir, aside)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(aside)
+    return {
+        "purged_rows": purged,
+        "rewritten_partitions": len(affected),
+        "skipped_replayable": sorted(skipped),
+    }
+
+
 def compact_store(
     spark,
     path: str,
