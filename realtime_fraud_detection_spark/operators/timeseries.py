@@ -237,6 +237,79 @@ def time_weighted_avg(
     )
 
 
+def seasonal_anomalies(
+    series: DataFrame,
+    key: str,
+    bucket_col: str = "bucket",
+    value_col: str = "value",
+    baseline_until=None,
+    phase: Column | None = None,
+    z: float = 3.5,
+) -> DataFrame:
+    """Robust seasonal anomaly scores over a resampled series — the
+    monitoring alarm on top of :func:`resample`: per (key, seasonal
+    phase) the BASELINE window (buckets <= `baseline_until`, an explicit
+    split so a spike never launders itself into its own baseline) yields
+    a median and MAD; later buckets score
+    |x − median| / (1.4826·MAD + eps), flagged above `z` (3.5 is the
+    conventional robust-z cut, Iglewicz & Hoaglin '93).
+
+    `phase` defaults to hour-of-day (daily seasonality for sub-daily
+    buckets); pass e.g. ``F.dayofweek(F.col("bucket"))`` for weekly.
+    Median/MAD are exact interpolated percentiles computed as two
+    aggregations over the baseline (groups = |keys|·|phases| rows — tiny)
+    joined back to the scored window; nothing here sorts the series, so
+    the shape survives any corpus size. Medians are per-(key, phase)
+    robust statistics — MAD 0 (constant baseline) makes any deviation
+    score infinite, which is the correct alarm for a flatlined metric
+    that moved; eps only guards the 0/0 row.
+    """
+    if baseline_until is None:
+        raise ValueError("baseline_until is required (the train/score split)")
+    ph = (phase if phase is not None else F.hour(F.col(bucket_col))).alias(
+        "_phase"
+    )
+    base = series.filter(F.col(bucket_col) <= F.lit(baseline_until)).select(
+        F.col(key), ph, F.col(value_col).alias("_v")
+    )
+    med = base.groupBy(key, "_phase").agg(
+        F.expr("percentile(_v, 0.5)").alias("_med"),
+        F.count(F.lit(1)).alias("n_baseline"),
+    )
+    mad = (
+        base.join(med, [key, "_phase"])
+        .groupBy(key, "_phase")
+        .agg(F.expr("percentile(abs(_v - _med), 0.5)").alias("_mad"))
+    )
+    stats = med.join(mad, [key, "_phase"])
+    scored = series.filter(F.col(bucket_col) > F.lit(baseline_until)).select(
+        F.col(key), ph, F.col(bucket_col), F.col(value_col)
+    )
+    dev = F.abs(F.col(value_col) - F.col("_med"))
+    denom = F.lit(1.4826) * F.col("_mad")
+    # a (key, phase) with no baseline history scores NULL (unknown), not
+    # 0 — the when-chain would otherwise fall through null conditions to
+    # the 0.0 branch and silently declare novel phases normal
+    score = F.when(
+        F.col("_med").isNull(), F.lit(None).cast("double")
+    ).when(denom > 0, dev / denom).otherwise(
+        F.when(dev > 0, F.lit(float("inf"))).otherwise(F.lit(0.0))
+    )
+    return (
+        scored.join(stats, [key, "_phase"], "left")
+        .select(
+            key,
+            bucket_col,
+            value_col,
+            F.col("_phase").alias("phase"),
+            F.col("_med").alias("expected"),
+            F.col("n_baseline"),
+            score.alias("score"),
+            (score > z).alias("is_anomaly"),
+        )
+    )
+
+
 def time_decayed_sum(
     df: DataFrame,
     key: str,
