@@ -6,6 +6,7 @@
     → per-batch mergeable eval partials (streaming/sinks)
     → whole-stream ranking metrics (AUC / KS / AP, bit-exact vs batch)
     → score-distribution drift (PSI vs the first window)
+    → volume anomaly alarms (seasonal robust median/MAD)
     → isotonic calibration (Brier + ECE before/after)
     → AUC with its DeLong confidence interval
     → champion/challenger paired DeLong test on the same rows
@@ -39,6 +40,10 @@ from realtime_fraud_detection_spark.ml.calibration import (
     fit_isotonic_calibrator,
 )
 from realtime_fraud_detection_spark.ml.drift import psi_numeric
+from realtime_fraud_detection_spark.operators.timeseries import (
+    resample,
+    seasonal_anomalies,
+)
 from realtime_fraud_detection_spark.ml.evaluation import (
     auc_with_ci,
     best_threshold,
@@ -122,6 +127,14 @@ def main() -> None:
     cur = pairs.filter(F.col("ts") > F.lit(cut))
     psi = psi_numeric(base, cur, "score", n_buckets=10).first()["psi"]
     print(f"score drift PSI vs first window: {psi:.5f} (median score {mid:.3f})")
+
+    # 3b. volume anomaly alarm: hourly event counts vs their seasonal
+    # (hour-of-day) robust baseline from the first window
+    hourly = resample(ev, "event_type", "ts", "value", step="1 hour", agg="count")
+    alarms = seasonal_anomalies(hourly, "event_type", baseline_until=cut)
+    n_scored = alarms.count()
+    n_alarm = alarms.filter(F.col("is_anomaly")).count()
+    print(f"volume anomalies: {n_alarm}/{n_scored} scored buckets flagged")
 
     # 4. calibration: raw scores claim s, outcomes deliver s²
     cal = fit_isotonic_calibrator(pairs, "score", "label")

@@ -62,4 +62,6 @@ def test_monitoring_example_end_to_end():
     assert float(op.group(2)) <= float(op.group(1))
 
     assert re.search(r"score drift PSI vs first window: [\d.]+", text)
+    vol = re.search(r"volume anomalies: (\d+)/(\d+) scored buckets", text)
+    assert int(vol.group(1)) <= int(vol.group(2)) and int(vol.group(2)) > 0
     assert "done in" in text
