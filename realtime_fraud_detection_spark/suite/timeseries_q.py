@@ -34,5 +34,34 @@ def q_decayed_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_id")
 
 
-QUERIES = {"decayed_velocity": q_decayed_velocity}
+# Seasonal volume anomaly alarms (operators/timeseries.seasonal_anomalies):
+# hourly per-type event counts vs their hour-of-day robust median/MAD
+# baseline (first ~70% of event time). Rows-only (exact interpolated
+# percentiles have engine-interpolation hazards at the hash boundary);
+# spike-detection/no-leakage laws pinned in tests/test_anomalies.py.
+def q_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.timeseries import resample, seasonal_anomalies
+    from ..sources.testdata import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = resample(ev, "event_type", "ts", "value", step="1 hour", agg="count")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) * 7 // 10  # 70% point of the span, tz-free
+    out = seasonal_anomalies(hourly, "event_type", baseline_until=cut)
+    return out.select(
+        "event_type",
+        "bucket",
+        F.col("value").cast("long").alias("n_events"),
+        "phase",
+        "expected",
+        "n_baseline",
+        F.round("score", 6).alias("score"),
+        "is_anomaly",
+    ).orderBy("event_type", "bucket")
+
+
+QUERIES = {
+    "decayed_velocity": q_decayed_velocity,
+    "volume_anomalies": q_volume_anomalies,
+}
 ORACLES: dict[str, str] = {}

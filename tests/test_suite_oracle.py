@@ -123,6 +123,10 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # hashed-n-gram embedding pipeline — arrays have no flat DuckDB
         # twin; hash-replay parity + recall pins in tests/test_text_embed.py
         "text_embed_ann",
+        # seasonal robust median/MAD alarms — exact interpolated
+        # percentiles have cross-engine interpolation hazards; spike/
+        # no-leakage laws pinned in tests/test_anomalies.py
+        "volume_anomalies",
         # ranking metrics (AUC/KS integer-exact, AP float-folded) — window
         # full; bit-exact DuckDB window-SQL parity for auc/ks in
         # tests/test_evaluation.py (ap tolerance parity there too)
