@@ -1,0 +1,167 @@
+"""Leakage-free categorical target encoding + WoE/IV scorecard binning.
+
+High-cardinality categoricals (merchant id, device fingerprint, email
+domain) carry most of the fraud signal but can't one-hot at 10^7 levels.
+Mean-target encoding compresses each level to P(y|level) — and leaks
+catastrophically if a row's own label feeds its own feature. The
+standard fix is out-of-fold encoding; here the fold assignment is the
+SAME salted-md5-mod-k as `operators/sampling.kfold_splits`, so encoding
+folds line up with CV folds by construction.
+
+Shapes: one (category, fold) hash aggregation over the data (at most
+|levels|·k rows leave the map side; label sums in DECIMAL so every
+derived mean is exact-until-the-division and partition-invariant), then
+leave-fold-out statistics derive from the per-fold table by SUBTRACTION
+— total minus own fold — never by re-scanning k times. The encoded
+value joins back broadcast when the level table is small, shuffle
+otherwise; Spark picks via AQE.
+
+`woe_iv` is the credit-scorecard companion: Weight of Evidence per bin
+(ln of good/bad distribution ratio, Laplace-smoothed so empty cells
+don't blow up) and the feature's Information Value. One aggregation per
+feature; transcendental ln is rounded by callers at output edges per
+the suite determinism rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_bigint
+
+_DEC = "decimal(38,6)"
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    id_col: str,
+    n_folds: int = 5,
+    smoothing: float = 20.0,
+    seed: str = "fold:",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Out-of-fold smoothed mean-target encoding.
+
+    For a row in fold f with category c:
+        enc = (sum_y(c, not f) + smoothing * prior(not f))
+              / (n(c, not f) + smoothing)
+    where prior(not f) is the GLOBAL out-of-fold mean — so no statistic
+    ever includes the row's own fold, and an unseen-in-other-folds
+    category falls back to the prior exactly (n=0). `smoothing` is the
+    pseudo-count weight of the prior (Micci-Barreca '01 empirical-Bayes
+    form).
+
+    Returns `df` plus `out_col` (default f"{cat_col}_te") and `_fold`
+    (kept so train/test splits can reuse the assignment; drop it freely).
+    """
+    if n_folds < 2:
+        raise ValueError(f"n_folds must be >= 2, got {n_folds}")
+    out_col = out_col or f"{cat_col}_te"
+    fold = (md5_bigint(F.col(id_col).cast("string"), salt=seed) % n_folds).alias(
+        "_fold"
+    )
+    with_fold = df.withColumn("_fold", fold)
+    y = F.col(label_col).cast(_DEC)
+    per_fold = with_fold.groupBy(F.col(cat_col).alias("_c"), "_fold").agg(
+        F.sum(y).alias("_sy"), F.count(F.lit(1)).alias("_n")
+    )
+    totals = per_fold.groupBy("_c").agg(
+        F.sum("_sy").alias("_tsy"), F.sum("_n").alias("_tn")
+    )
+    gl = per_fold.groupBy("_fold").agg(
+        F.sum("_sy").alias("_gsy"), F.sum("_n").alias("_gn")
+    )
+    gtot = per_fold.agg(
+        F.sum("_sy").alias("_ggsy"), F.sum("_n").alias("_ggn")
+    )
+    # leave-fold-out stats by subtraction: (cat, fold) rows exist only
+    # where the fold SAW the category — the join below left-joins so a
+    # category absent from the row's own fold still encodes (own-fold
+    # stats are then zero)
+    oof_prior = gl.crossJoin(F.broadcast(gtot)).select(
+        "_fold",
+        (
+            (F.col("_ggsy") - F.col("_gsy")).cast("double")
+            / (F.col("_ggn") - F.col("_gn")).cast("double")
+        ).alias("_prior"),
+    )
+    # rename the stat table's join keys: enc derives from with_fold, so
+    # joining on same-named columns hits self-join attribute ambiguity
+    enc = (
+        per_fold.join(totals, "_c")
+        .select(
+            "_c",
+            F.col("_fold").alias("_efold"),
+            (F.col("_tsy") - F.col("_sy")).alias("_osy"),
+            (F.col("_tn") - F.col("_n")).alias("_on"),
+        )
+    )
+    own = with_fold.join(
+        enc,
+        (F.col(cat_col) == F.col("_c")) & (F.col("_fold") == F.col("_efold")),
+        "left",
+    ).drop("_c", "_efold")
+    sm = F.lit(float(smoothing))
+    encoded = (
+        (
+            F.coalesce(F.col("_osy").cast("double"), F.lit(0.0))
+            + sm * F.col("_prior")
+        )
+        / (F.coalesce(F.col("_on"), F.lit(0)).cast("double") + sm)
+    ).alias(out_col)
+    return (
+        own.join(F.broadcast(oof_prior), "_fold")
+        .select(*df.columns, "_fold", encoded)
+    )
+
+
+def woe_iv(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    alpha: float = 0.5,
+) -> tuple[DataFrame, float]:
+    """Weight of Evidence per feature level + the feature's Information
+    Value — the scorecard view of a categorical (or pre-binned numeric).
+
+        woe(bin) = ln( P(bin | y=0) / P(bin | y=1) )   (Laplace-smoothed)
+        iv = Σ (P(bin|y=0) − P(bin|y=1)) · woe(bin)
+
+    Convention: positive WoE = the bin skews GOOD (non-fraud). Returns
+    (per-bin frame: bin, n, pos, woe, iv_term; total IV float). IV rule
+    of thumb: <0.02 useless, 0.1-0.3 medium, >0.5 suspicious (leakage).
+    One aggregation; smoothing keeps empty cells finite.
+    """
+    pos = F.when(F.col(label_col).cast("double") > 0.5, 1).otherwise(0)
+    g = (
+        df.filter(F.col(label_col).isNotNull())
+        .groupBy(F.col(feature_col).alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(pos).cast("long").alias("pos"),
+        )
+    )
+    tot = g.agg(
+        F.sum("pos").alias("_P"),
+        F.sum(F.col("n") - F.col("pos")).alias("_Ngood"),
+        F.count(F.lit(1)).alias("_bins"),
+    ).first()
+    P, Ngood, bins = tot["_P"], tot["_Ngood"], tot["_bins"]
+    a = float(alpha)
+    dist_bad = (F.col("pos") + a) / F.lit(float(P) + a * bins)
+    dist_good = (F.col("n") - F.col("pos") + a) / F.lit(
+        float(Ngood) + a * bins
+    )
+    woe = F.log(dist_good / dist_bad)
+    per_bin = g.select(
+        "bin",
+        "n",
+        "pos",
+        woe.alias("woe"),
+        ((dist_good - dist_bad) * woe).alias("iv_term"),
+    )
+    iv = per_bin.agg(F.sum("iv_term")).first()[0]
+    return per_bin, float(iv)

@@ -1,0 +1,151 @@
+"""Leakage-free target encoding + WoE/IV (ml/encoding.py): hand-computed
+encodings, the leakage law (a row's own fold never feeds its own
+feature), prior fallback, fold-assignment consistency with kfold_splits,
+partition invariance, and WoE/IV reference arithmetic."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from realtime_fraud_detection_spark.ml.encoding import target_encode, woe_iv
+
+
+def _toy(spark):
+    # ids chosen arbitrarily; folds come from md5 so we read them back
+    rows = [
+        (i, "a" if i < 8 else "b", 1 if i % 4 == 0 else 0) for i in range(12)
+    ]
+    return spark.createDataFrame(rows, "id long, cat string, label int")
+
+
+def _replay(rows, n_folds, folds, smoothing=20.0):
+    """Driver-side replay of the out-of-fold smoothed encoding."""
+    out = {}
+    for rid, cat, _y in rows:
+        f = folds[rid]
+        oof = [(c, y) for (r, c, y) in rows if folds[r] != f]
+        prior = sum(y for _, y in oof) / len(oof)
+        cs = [y for c, y in oof if c == cat]
+        out[rid] = (sum(cs) + smoothing * prior) / (len(cs) + smoothing)
+    return out
+
+
+def test_target_encode_matches_replay(spark):
+    df = _toy(spark)
+    got = target_encode(df, "cat", "label", "id", n_folds=3).collect()
+    folds = {r["id"]: r["_fold"] for r in got}
+    want = _replay(
+        [(r["id"], r["cat"], r["label"]) for r in df.collect()], 3, folds
+    )
+    for r in got:
+        assert abs(r["cat_te"] - want[r["id"]]) < 1e-12
+
+
+def test_leakage_law_label_flip_outside_fold_only(spark):
+    """Flipping a row's OWN label must not change its own encoding
+    (its fold is excluded), but must change same-category rows in OTHER
+    folds."""
+    df = _toy(spark)
+    enc1 = {
+        r["id"]: (r["cat_te"], r["_fold"], r["cat"])
+        for r in target_encode(df, "cat", "label", "id", n_folds=3).collect()
+    }
+    victim = 0
+    flipped = df.withColumn(
+        "label",
+        F.when(F.col("id") == victim, 1 - F.col("label")).otherwise(
+            F.col("label")
+        ),
+    )
+    enc2 = {
+        r["id"]: r["cat_te"]
+        for r in target_encode(flipped, "cat", "label", "id", n_folds=3).collect()
+    }
+    te, vf, vc = enc1[victim]
+    assert enc2[victim] == te  # own encoding unmoved
+    other = [
+        i
+        for i, (t, f, c) in enc1.items()
+        if f != vf and c == vc
+    ]
+    assert other and all(enc2[i] != enc1[i][0] for i in other)
+
+
+def test_unseen_category_falls_back_to_prior(spark):
+    # category "z" appears ONCE; its row's out-of-fold stats are empty
+    rows = [(i, "a", i % 2) for i in range(40)] + [(99, "z", 1)]
+    df = spark.createDataFrame(rows, "id long, cat string, label int")
+    out = {
+        r["id"]: r for r in target_encode(df, "cat", "label", "id").collect()
+    }
+    z = out[99]
+    # prior = global mean excluding z's fold; with smoothing n=0 -> prior
+    oof = [
+        r["label"]
+        for i, r in out.items()
+        if i != 99 and r["_fold"] != z["_fold"]
+    ]
+    assert abs(z["cat_te"] - sum(oof) / len(oof)) < 1e-12
+
+
+def test_fold_assignment_matches_kfold_splits(spark):
+    from realtime_fraud_detection_spark.operators.sampling import kfold_splits
+
+    df = _toy(spark)
+    enc = target_encode(df, "cat", "label", "id", n_folds=3)
+    folds = {r["id"]: r["_fold"] for r in enc.collect()}
+    for i, (_, test) in enumerate(kfold_splits(df, "id", k=3)):
+        for r in test.collect():
+            assert folds[r["id"]] == i
+
+
+def test_partition_invariant(spark):
+    df = _toy(spark)
+    a = sorted(map(tuple, target_encode(df, "cat", "label", "id").collect()))
+    b = sorted(
+        map(
+            tuple,
+            target_encode(
+                df.repartition(7), "cat", "label", "id"
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_woe_iv_reference_arithmetic(spark):
+    rows = (
+        [("x", 1)] * 30 + [("x", 0)] * 10 + [("y", 1)] * 10 + [("y", 0)] * 50
+    )
+    df = spark.createDataFrame(rows, "f string, label int")
+    per_bin, iv = woe_iv(df, "f", "label", alpha=0.5)
+    out = {r["bin"]: r for r in per_bin.collect()}
+    P, G, B = 40, 60, 2  # positives, goods, bins
+    for b, npos, ngood in [("x", 30, 10), ("y", 10, 50)]:
+        db = (npos + 0.5) / (P + 0.5 * B)
+        dg = (ngood + 0.5) / (G + 0.5 * B)
+        assert abs(out[b]["woe"] - math.log(dg / db)) < 1e-12
+    want_iv = sum(
+        ((ngood + 0.5) / 61 - (npos + 0.5) / 41)
+        * math.log(((ngood + 0.5) / 61) / ((npos + 0.5) / 41))
+        for npos, ngood in [(30, 10), (10, 50)]
+    )
+    assert abs(iv - want_iv) < 1e-12
+    assert out["x"]["woe"] < 0 < out["y"]["woe"]  # x skews fraud
+
+
+def test_woe_iv_smoothing_keeps_empty_cells_finite(spark):
+    rows = [("a", 1)] * 5 + [("b", 0)] * 5  # pure bins
+    df = spark.createDataFrame(rows, "f string, label int")
+    per_bin, iv = woe_iv(df, "f", "label")
+    assert all(math.isfinite(r["woe"]) for r in per_bin.collect())
+    assert math.isfinite(iv) and iv > 0
+
+
+def test_target_encode_validates_folds(spark):
+    with pytest.raises(ValueError):
+        target_encode(_toy(spark), "cat", "label", "id", n_folds=1)
