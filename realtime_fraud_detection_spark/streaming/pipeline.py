@@ -123,13 +123,24 @@ def label_feedback_join(
         before="0 seconds",
         after=max_delay,
     )
-    # the score side wins name clashes — emitting two columns with one
-    # name would break any downstream groupBy/select
-    keep_right = [
+    # The score side wins name clashes (emitting two columns with one
+    # name would break any downstream groupBy/select) — but silently
+    # dropping a label-side PAYLOAD column would make downstream eval
+    # consume the stale decision-time value instead of the ground truth,
+    # with no error (round-9 advice). Only the join key and the label
+    # timestamp may shadow; anything else must be renamed by the caller.
+    shadowed = [
         c
         for c in labels.columns
-        if c not in {id_col, label_ts} and c not in set(scored.columns)
+        if c not in {id_col, label_ts} and c in set(scored.columns)
     ]
+    if shadowed:
+        raise ValueError(
+            f"label columns {shadowed} shadow score-side columns of the "
+            "same name and would be silently dropped — rename them on "
+            "the labels stream (e.g. .withColumnRenamed) before joining"
+        )
+    keep_right = [c for c in labels.columns if c not in {id_col, label_ts}]
     return joined.select(
         *[F.col(f"l.{c}") for c in scored.columns],
         *[F.col(f"r.{c}") for c in keep_right],

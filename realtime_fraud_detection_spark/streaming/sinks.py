@@ -1332,7 +1332,12 @@ def purge_keys(
         part_dir = os.path.join(path, f"batch_id={bid}")
         one = spark.read.parquet(part_dir)
         if keys is not None:
-            kept = one.filter(~F.col(key_col).isin(list(keys)))
+            # NULL-safe: `~isin` is NULL (dropped) for NULL-keyed rows —
+            # without the isNull() disjunct a purge would silently delete
+            # every NULL-keyed row in the rewritten partition.
+            kept = one.filter(
+                F.col(key_col).isNull() | ~F.col(key_col).isin(list(keys))
+            )
         else:
             k = keys_df.select(F.col(key_col).alias("_purge_k")).distinct()
             kept = one.join(

@@ -67,6 +67,11 @@ FROM agg
 # ---------------------------------------------------------------------------
 # A2 — tumbling 1h per-key stats with exact population stddev + risk score
 # (WindowProcessor.java:55-68,357-484; population variance at :447-457).
+# Also carries A10's exact per-window user SET as a sorted CSV
+# (RedisTransactionSink.java:227-262 keeps a HashSet<String> of users) —
+# merged here round 10 to free an oracle-window slot (the r9
+# doc_signatures pattern); both aggregates share the one (window,
+# event_type) shuffle.
 # ---------------------------------------------------------------------------
 def q_hourly_type_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -79,6 +84,7 @@ def q_hourly_type_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             s2.alias("_s2"),
             F.countDistinct("user_id").alias("distinct_users"),
             F.sum(F.when(F.col("value") > 300, 1).otherwise(0)).alias("high_value_count"),
+            F.sort_array(F.collect_set("user_id")).alias("_uset"),
         )
     )
     cnt = F.col("tx_count").cast("double")
@@ -105,6 +111,7 @@ def q_hourly_type_stats_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_users",
         "high_value_count",
         F.round(risk, 6).alias("risk_score"),
+        F.concat_ws(",", F.transform("_uset", lambda x: x.cast("string"))).alias("user_set_csv"),
     )
 
 
@@ -115,7 +122,8 @@ WITH agg AS (
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
          CAST(SUM(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS s2,
          COUNT(DISTINCT user_id) AS distinct_users,
-         CAST(SUM(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS BIGINT) AS high_value_count
+         CAST(SUM(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS BIGINT) AS high_value_count,
+         array_to_string(list_sort(list(DISTINCT user_id)), ',') AS user_set_csv
   FROM events GROUP BY 1, 2
 ), derived AS (
   SELECT *,
@@ -131,7 +139,8 @@ SELECT window_start, event_type, tx_count, s1 AS total_amount,
          (high_value_count / CAST(tx_count AS DOUBLE)) * 0.5
          + CASE WHEN sd / NULLIF(mean, 0.0) > 2.0 THEN 0.2
                 WHEN sd / NULLIF(mean, 0.0) > 1.0 THEN 0.1 ELSE 0.0 END,
-         1.0), 6) AS risk_score
+         1.0), 6) AS risk_score,
+       user_set_csv
 FROM derived
 """
 
@@ -308,37 +317,6 @@ FROM events GROUP BY 2
 
 
 # ---------------------------------------------------------------------------
-# A10 — per-key hourly aggregates with the exact unique-user *set*
-# (RedisTransactionSink.java:227-262 keeps a HashSet<String> of users).
-# ---------------------------------------------------------------------------
-def q_hourly_user_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.sort_array(F.collect_set("user_id")).alias("user_set"),
-            F.count("*").alias("tx_count"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            F.size("user_set").alias("unique_users"),
-            F.concat_ws(",", F.transform("user_set", lambda x: x.cast("string"))).alias("user_set_csv"),
-            "tx_count",
-        )
-    )
-
-
-SQL_HOURLY_USER_SETS = """
-SELECT date_trunc('hour', ts) AS window_start, event_type,
-       COUNT(DISTINCT user_id) AS unique_users,
-       array_to_string(list_sort(list(DISTINCT user_id)), ',') AS user_set_csv,
-       COUNT(*) AS tx_count
-FROM events GROUP BY 1, 2
-"""
-
-
-# ---------------------------------------------------------------------------
 # A11 — per-feature statistics (FeatureStore.java:204-321): one-pass exact
 # stats per numeric column.
 # ---------------------------------------------------------------------------
@@ -444,7 +422,6 @@ QUERIES = {
     "high_frequency": q_high_frequency,
     "amount_clusters": q_amount_clusters,
     "hourly_daily_rollup": q_hourly_daily_rollup,
-    "hourly_user_sets": q_hourly_user_sets,
     "feature_stats": q_feature_stats,
 }
 
@@ -458,6 +435,5 @@ ORACLES = {
     "high_frequency": SQL_HIGH_FREQUENCY,
     "amount_clusters": SQL_AMOUNT_CLUSTERS,
     "hourly_daily_rollup": SQL_HOURLY_DAILY,
-    "hourly_user_sets": SQL_HOURLY_USER_SETS,
     "feature_stats": SQL_FEATURE_STATS,
 }

@@ -21,14 +21,34 @@ from ..sources.testdata import load_table
 
 # ---------------------------------------------------------------------------
 # Amount family (FeatureExtractor.java:92-131,386-392) + temporal family
-# (FeatureExtractor.java:136-168,394-399) — one per-event projection, one
-# driver correctness row (50-query window).
+# (FeatureExtractor.java:136-168,394-399) + geographic family incl.
+# Haversine as a pure expression (FeatureExtractor.java:173-211,401-417)
+# + device/network family (FeatureExtractor.java:301-325,434-451) — ONE
+# per-event projection, one driver correctness row (merged round 10 from
+# the former amount_temporal_features + geo_device_features rows to free
+# an oracle-window slot; a projection union is semantics-free, so nothing
+# is weakened). IP, user-agent, and coordinates the fixture lacks are
+# derived deterministically from the keys so the oracle reproduces them.
 # ---------------------------------------------------------------------------
-def q_amount_temporal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     v = F.col("value")
     feats = FF.amount_features(v)
     tfeats = FF.temporal_features(F.col("ts"))
+    lat = (F.col("user_id") % 140 - 70).cast("double") + (F.col("event_id") % 100) / 100.0
+    lon = ((F.col("user_id") * 7) % 340 - 170).cast("double") + (F.col("event_id") % 50) / 50.0
+    mlat = ((F.col("user_id") * 3) % 140 - 70).cast("double")
+    mlon = ((F.col("user_id") * 11) % 340 - 170).cast("double")
+    ip = F.when(
+        F.col("user_id") % 3 == 0,
+        F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".1")),
+    ).otherwise(
+        F.concat(F.lit("203.0.113."), (F.col("user_id") % 256).cast("string"))
+    )
+    ua = F.when(F.col("user_id") % 7 == 0, F.lit("bot-agent/1.0")).otherwise(
+        F.lit("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36")
+    )
+    dfeats = FF.device_features(ip, ua)
     return ev.select(
         "event_id",
         "value",
@@ -46,10 +66,29 @@ def q_amount_temporal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         tfeats["is_business_hours"].alias("is_business_hours"),
         tfeats["is_night_time"].alias("is_night_time"),
         FF.in_preferred_time(tfeats["hour_of_day"], F.lit(8), F.lit(20)).alias("in_preferred_time"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+        FF.is_high_risk_location(lat, lon).alias("is_high_risk_country"),
+        F.round(FF.haversine_km(lat, lon, mlat, mlon), 4).alias("distance_to_merchant_km"),
+        ip.alias("ip_address"),
+        dfeats["is_private_ip"].alias("is_private_ip"),
+        dfeats["ip_risk_score"].alias("ip_risk_score"),
+        dfeats["suspicious_user_agent"].alias("suspicious_user_agent"),
     )
 
 
-SQL_AMOUNT_TEMPORAL_FEATURES = """
+SQL_EVENT_FEATURES = """
+WITH derived AS (
+  SELECT event_id, value, ts,
+         CAST(user_id % 140 - 70 AS DOUBLE) + (event_id % 100) / 100.0 AS lat,
+         CAST((user_id * 7) % 340 - 170 AS DOUBLE) + (event_id % 50) / 50.0 AS lon,
+         CAST((user_id * 3) % 140 - 70 AS DOUBLE) AS mlat,
+         CAST((user_id * 11) % 340 - 170 AS DOUBLE) AS mlon,
+    CASE WHEN user_id % 3 = 0 THEN '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1'
+         ELSE '203.0.113.' || CAST(user_id % 256 AS VARCHAR) END AS ip_address,
+    CASE WHEN user_id % 7 = 0 THEN 'bot-agent/1.0'
+         ELSE 'Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36' END AS ua
+  FROM events)
 SELECT event_id, value,
        ROUND(LN(1 + value), 6) AS amount_log,
        ROUND(SQRT(value), 6) AS amount_sqrt,
@@ -69,60 +108,8 @@ SELECT event_id, value,
             ELSE 'night' END AS time_period,
        hour(ts) BETWEEN 9 AND 17 AS is_business_hours,
        hour(ts) <= 6 OR hour(ts) >= 22 AS is_night_time,
-       hour(ts) BETWEEN 8 AND 20 AS in_preferred_time
-FROM events
-"""
-
-
-# ---------------------------------------------------------------------------
-# Geographic family incl. Haversine as a pure expression
-# (FeatureExtractor.java:173-211,401-417) + device/network family
-# (FeatureExtractor.java:301-325,434-451) — one per-event projection, one
-# driver correctness row. IP, user-agent, and coordinates the fixture lacks
-# are derived deterministically from the keys.
-# ---------------------------------------------------------------------------
-def q_geo_device_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    lat = (F.col("user_id") % 140 - 70).cast("double") + (F.col("event_id") % 100) / 100.0
-    lon = ((F.col("user_id") * 7) % 340 - 170).cast("double") + (F.col("event_id") % 50) / 50.0
-    mlat = ((F.col("user_id") * 3) % 140 - 70).cast("double")
-    mlon = ((F.col("user_id") * 11) % 340 - 170).cast("double")
-    ip = F.when(
-        F.col("user_id") % 3 == 0,
-        F.concat(F.lit("10.0."), (F.col("user_id") % 256).cast("string"), F.lit(".1")),
-    ).otherwise(
-        F.concat(F.lit("203.0.113."), (F.col("user_id") % 256).cast("string"))
-    )
-    ua = F.when(F.col("user_id") % 7 == 0, F.lit("bot-agent/1.0")).otherwise(
-        F.lit("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36")
-    )
-    dfeats = FF.device_features(ip, ua)
-    return ev.select(
-        "event_id",
-        lat.alias("lat"),
-        lon.alias("lon"),
-        FF.is_high_risk_location(lat, lon).alias("is_high_risk_country"),
-        F.round(FF.haversine_km(lat, lon, mlat, mlon), 4).alias("distance_to_merchant_km"),
-        ip.alias("ip_address"),
-        dfeats["is_private_ip"].alias("is_private_ip"),
-        dfeats["ip_risk_score"].alias("ip_risk_score"),
-        dfeats["suspicious_user_agent"].alias("suspicious_user_agent"),
-    )
-
-
-SQL_GEO_DEVICE_FEATURES = """
-WITH derived AS (
-  SELECT event_id,
-         CAST(user_id % 140 - 70 AS DOUBLE) + (event_id % 100) / 100.0 AS lat,
-         CAST((user_id * 7) % 340 - 170 AS DOUBLE) + (event_id % 50) / 50.0 AS lon,
-         CAST((user_id * 3) % 140 - 70 AS DOUBLE) AS mlat,
-         CAST((user_id * 11) % 340 - 170 AS DOUBLE) AS mlon,
-    CASE WHEN user_id % 3 = 0 THEN '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1'
-         ELSE '203.0.113.' || CAST(user_id % 256 AS VARCHAR) END AS ip_address,
-    CASE WHEN user_id % 7 = 0 THEN 'bot-agent/1.0'
-         ELSE 'Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36' END AS ua
-  FROM events)
-SELECT event_id, lat, lon,
+       hour(ts) BETWEEN 8 AND 20 AS in_preferred_time,
+       lat, lon,
        (ABS(lat) > 60 OR (ABS(lat) < 10 AND ABS(lon) < 10)) AS is_high_risk_country,
        ROUND(2 * 6371.0 * ATAN2(
          SQRT(POWER(SIN(RADIANS(mlat - lat) / 2), 2)
@@ -312,16 +299,14 @@ FROM final
 
 
 QUERIES = {
-    "amount_temporal_features": q_amount_temporal_features,
-    "geo_device_features": q_geo_device_features,
+    "event_features": q_event_features,
     "json_extract": q_json_extract,
     "rule_score": q_rule_score,
     "ensemble_decision": q_ensemble_decision,
 }
 
 ORACLES = {
-    "amount_temporal_features": SQL_AMOUNT_TEMPORAL_FEATURES,
-    "geo_device_features": SQL_GEO_DEVICE_FEATURES,
+    "event_features": SQL_EVENT_FEATURES,
     "json_extract": SQL_JSON_EXTRACT,
     "rule_score": SQL_RULE_SCORE,
     "ensemble_decision": SQL_ENSEMBLE_DECISION,

@@ -54,9 +54,9 @@ def q_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the third stored-partials sketch (truncated top-k lists don't merge;
 # MG summaries do, with a proof: every item above n/(capacity+1) share
 # survives any rollup). Integer-only, so unlike the HLL/DDSketch rows
-# it has a BIT-EXACT DuckDB twin — pinned in tests/test_heavy_hitters.py
-# (rows-only here only because the driver's 50-entry oracle window is
-# full).
+# it has a BIT-EXACT DuckDB twin — oracled (promoted into the driver
+# window round 10; the same SQL formulation was pinned in
+# tests/test_heavy_hitters.py since r9).
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.heavy_hitters import (
         frequent_items_partials,
@@ -73,9 +73,9 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for a deterministic probe set — the fourth stored-partials sketch and
 # the dual of q_heavy_hitters (MG stores lower bounds for the items it
 # kept; CM upper-bounds ANY item, so together they bracket every count).
-# Integer+md5 only → bit-exact DuckDB twin pinned in
-# tests/test_count_min.py (rows-only here only because the driver's
-# 50-entry oracle window is full).
+# Integer+md5 only → bit-exact DuckDB twin (promoted into the driver
+# window round 10; the same simulation was pinned in
+# tests/test_count_min.py since r9).
 def q_cm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.count_min import cm_estimate, cm_partials, merge_cm
 
@@ -105,4 +105,97 @@ QUERIES = {
     "cm_rollup": q_cm_rollup,
 }
 
-ORACLES: dict[str, str] = {}
+
+# Misra–Gries is integer-only (counts, ranks, subtraction), so the whole
+# hourly-build + daily-merge pipeline has a bit-exact SQL twin: exact
+# per-group counts → rank → subtract the (capacity+1)-th count → keep
+# positives, plus one NULL-item sentinel per group carrying the group's
+# total mass n (the total-mass invariant — merge_frequent_items rebuilds
+# sentinels from per-window totals so all-tie compression wipes can't
+# lose mass). Daily n = sum of hourly window totals, NOT the stored
+# counter mass.
+_MG_CAP = 16
+_MG_COMPRESS = """
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY cnt DESC, item ASC) AS rn
+        FROM counts
+    ), cutoff AS (
+        SELECT *,
+               MAX(CASE WHEN rn = {k1} THEN cnt ELSE 0 END)
+                   OVER (PARTITION BY g) AS c
+        FROM ranked
+    )
+    SELECT g, item, CAST(cnt - c AS BIGINT) AS cnt
+    FROM cutoff WHERE rn <= {k} AND cnt > c
+"""
+
+SQL_HEAVY_HITTERS = f"""
+WITH counts AS (
+    SELECT date_trunc('hour', ts) AS g, user_id AS item,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+), hourly AS (
+    WITH {_MG_COMPRESS.format(k=_MG_CAP, k1=_MG_CAP + 1)}
+), hour_totals AS (
+    SELECT date_trunc('hour', ts) AS g, CAST(COUNT(*) AS BIGINT) AS wn
+    FROM events GROUP BY 1
+), day_totals AS (
+    SELECT CAST(date_trunc('day', g) AS TIMESTAMP) AS day,
+           CAST(SUM(wn) AS BIGINT) AS n
+    FROM hour_totals GROUP BY 1
+), daily AS (
+    WITH counts AS (
+        SELECT CAST(date_trunc('day', g) AS TIMESTAMP) AS g, item,
+               CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM hourly GROUP BY 1, 2
+    ), {_MG_COMPRESS.format(k=_MG_CAP, k1=_MG_CAP + 1)}
+)
+SELECT t.day, d.item, d.cnt, t.n
+FROM daily d JOIN day_totals t ON d.g = t.day
+UNION ALL
+SELECT day, NULL AS item, CAST(0 AS BIGINT) AS cnt, n FROM day_totals
+ORDER BY day, cnt DESC, item
+"""
+
+
+def _sql_cm_rollup() -> str:
+    """DuckDB simulation of the full CM build (hour grain) → merge (day)
+    → probe pipeline: md5-salted counter coordinates are engine-identical
+    (functions/hashing.md5_bigint_sql), counters are exact integers, and
+    merge-then-probe equals probe-of-day-built-grid (the mergeability law
+    pinned bit-exact in tests/test_count_min.py), so the oracle builds the
+    day grid directly."""
+    from ..operators.count_min import DEFAULT_DEPTH, cm_col_sql
+
+    rows = " UNION ALL ".join(
+        f"SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, {i} AS depth,"
+        f" {cm_col_sql('user_id', i)} AS col FROM events"
+        for i in range(DEFAULT_DEPTH)
+    )
+    probes = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS depth, {cm_col_sql('user_id', i)} AS col"
+        " FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 20 = 0)"
+        for i in range(DEFAULT_DEPTH)
+    )
+    return f"""
+WITH cells AS (
+  SELECT d, depth, col, COUNT(*) AS cnt FROM ({rows}) GROUP BY 1, 2, 3
+),
+probes AS ({probes}),
+wins AS (SELECT DISTINCT d FROM cells)
+SELECT wins.d AS day, probes.user_id,
+       CAST(MIN(COALESCE(cells.cnt, 0)) AS BIGINT) AS est
+FROM wins CROSS JOIN probes
+LEFT JOIN cells ON cells.d = wins.d
+               AND cells.depth = probes.depth
+               AND cells.col = probes.col
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+ORACLES: dict[str, str] = {
+    "heavy_hitters": SQL_HEAVY_HITTERS,
+    "cm_rollup": _sql_cm_rollup(),
+}

@@ -7,6 +7,8 @@ must not match."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from realtime_fraud_detection_spark.functions.hashing import md5_bigint
@@ -104,3 +106,14 @@ def test_labels_outside_window_do_not_match(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert spark.table("fb_window").count() == 0
+
+
+def test_shadowed_label_column_raises(spark):
+    """A label-side payload column sharing a name with a score-side
+    column would be silently dropped — downstream eval would consume the
+    stale decision-time value as ground truth. The join must refuse
+    instead (round-9 advice)."""
+    scored, labels = _frames(spark)
+    poisoned = labels.withColumnRenamed("label", "score")  # clashes
+    with pytest.raises(ValueError, match="shadow"):
+        label_feedback_join(scored, poisoned, max_delay="10 minutes")

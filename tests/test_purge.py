@@ -99,3 +99,36 @@ def test_purge_idempotent_and_keys_df_equivalent(spark, tmp_path):
 def test_purge_arg_validation(spark, tmp_path):
     with pytest.raises(ValueError):
         purge_keys(spark, str(tmp_path / "x"), "user_id")
+
+
+def test_purge_keys_list_preserves_null_keyed_rows(spark, tmp_path):
+    """`~isin(keys)` is NULL (dropped) for NULL keys — the keys-list path
+    must keep NULL-keyed rows exactly like the keys_df left_anti path
+    does, or a GDPR purge silently destroys unrelated rows. Survivors
+    (incl. the NULL-keyed ones) must be bit-identical to the input."""
+    path = str(tmp_path / "store")
+    rows = [(1, 42, 1.5), (2, None, 2.5), (3, 7, 3.5), (4, None, 4.5)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, value double"
+    )
+    _write_batch_partition(df, 0, path)
+
+    res = purge_keys(spark, path, "user_id", keys=[42])
+    assert res["purged_rows"] == 1
+    survivors = {
+        tuple(r)
+        for r in spark.read.parquet(path).drop("batch_id").collect()
+    }
+    assert survivors == {(2, None, 2.5), (3, 7, 3.5), (4, None, 4.5)}
+
+    # and the keys_df path agrees on an identical store
+    path2 = str(tmp_path / "store2")
+    _write_batch_partition(df, 0, path2)
+    kdf = spark.createDataFrame([(42,)], "user_id long")
+    res2 = purge_keys(spark, path2, "user_id", keys_df=kdf)
+    assert res2["purged_rows"] == 1
+    survivors2 = {
+        tuple(r)
+        for r in spark.read.parquet(path2).drop("batch_id").collect()
+    }
+    assert survivors2 == survivors

@@ -90,12 +90,6 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # α-relative-error + bit-exact mergeability pinned in
         # tests/test_quantile_sketch.py
         "quantile_rollup",
-        # Misra–Gries rollup — integer-exact, bit-exact DuckDB parity in
-        # tests/test_heavy_hitters.py (oracle window full; rows-only here)
-        "heavy_hitters",
-        # Count-Min rollup — integer+md5-exact, bit-exact DuckDB parity
-        # in tests/test_count_min.py (oracle window full; rows-only here)
-        "cm_rollup",
         # isotonic calibration — MLlib PAV fit, no SQL twin; Brier/
         # monotonicity/persistence pinned in tests/test_calibration.py
         "score_calibration",
