@@ -84,9 +84,96 @@ def q_text_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ab_experiments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 — the named-experiment lifecycle end to end (round-10 item:
+    the one reference behavior without a driver-visible query): a
+    two-experiment dimension table (one stopped — lifecycle exercised in
+    the plan), deterministic md5 variant assignment over the events
+    stream, and the per-experiment statistical analysis block
+    (ab_testing.py:314-374 arithmetic, NumPy-replay-pinned in
+    tests/test_experiments.py). Rows-only: means/stds derive from exact
+    decimal sums so the frame is bit-deterministic, but the erfc
+    p-value approximation has no DuckDB twin. Shape: one broadcast
+    cross join (dimension-sized) + one grouped agg + a 2-column pivot —
+    no fact-side shuffle before the agg, 100-TB-safe."""
+    from ..ml.experiments import (
+        assign_variants,
+        experiment_analysis,
+        experiments_table,
+        stop_experiment,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exps = experiments_table(
+        spark,
+        [
+            dict(
+                test_name="detection_rate_uplift",
+                control_model="rules_v1",
+                treatment_model="rules_v2",
+                traffic_split=0.5,
+                success_metric="fraud_detection_rate",
+                min_sample_size=500,
+                significance_level=0.05,
+            ),
+            dict(
+                test_name="score_shift",
+                control_model="ensemble_v3",
+                treatment_model="ensemble_v4",
+                traffic_split=0.3,
+                success_metric="prediction_score",
+                min_sample_size=100,
+                significance_level=0.05,
+            ),
+            dict(
+                test_name="latency_regression",
+                control_model="ensemble_v3",
+                treatment_model="ensemble_v4q",
+                traffic_split=0.5,
+                success_metric="processing_time",
+                min_sample_size=100,
+                significance_level=0.05,
+            ),
+        ],
+    )
+    exps = stop_experiment(exps, "latency_regression")
+    pred = F.round(((F.col("event_id") * 37) % 1000) / 1000.0, 6)
+    results = ev.select(
+        F.col("event_id").alias("transaction_id"),
+        "user_id",
+        F.lit("ensemble").alias("model_used"),
+        pred.alias("prediction"),
+        F.when(pred >= 0.8, "DECLINE")
+        .when(pred >= 0.6, "REVIEW")
+        .when(pred >= 0.4, "APPROVE_WITH_MONITORING")
+        .otherwise("APPROVE")
+        .alias("decision"),
+        ((F.col("event_id") * 13) % 5 == 0).alias("actual_fraud"),
+        (5.0 + (F.col("event_id") % 20)).alias("processing_time_ms"),
+    )
+    tagged = assign_variants(results, exps, user_col="user_id")
+    out = experiment_analysis(tagged, exps)
+    return out.select(
+        "test_name",
+        "metric",
+        "control_n",
+        "treatment_n",
+        F.round("control_mean", 6).alias("control_mean"),
+        F.round("treatment_mean", 6).alias("treatment_mean"),
+        F.round("effect_size", 6).alias("effect_size"),
+        F.round("test_statistic", 6).alias("test_statistic"),
+        F.round("p_value", 6).alias("p_value"),
+        "test_type",
+        "is_significant",
+        "rejects_null",
+        "meets_min_samples",
+    ).orderBy("test_name")
+
+
 QUERIES = {
     "ensemble_explain": q_ensemble_explain,
     "text_embed_ann": q_text_embed_ann,
+    "ab_experiments": q_ab_experiments,
 }
 
 ORACLES: dict[str, str] = {}

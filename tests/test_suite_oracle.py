@@ -117,6 +117,10 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # hashed-n-gram embedding pipeline — arrays have no flat DuckDB
         # twin; hash-replay parity + recall pins in tests/test_text_embed.py
         "text_embed_ann",
+        # named A/B experiment lifecycle — erfc p-value approximation has
+        # no DuckDB twin; NumPy replay of the reference arithmetic in
+        # tests/test_experiments.py
+        "ab_experiments",
         # seasonal robust median/MAD alarms — exact interpolated
         # percentiles have cross-engine interpolation hazards; spike/
         # no-leakage laws pinned in tests/test_anomalies.py
