@@ -244,7 +244,11 @@ def variant_metrics(results: DataFrame) -> DataFrame:
 def _erfc_half(x: F.Column) -> F.Column:
     """Two-sided normal p-value from |z|: erfc(|z|/sqrt(2)) via the
     Abramowitz–Stegun 7.1.26 rational approximation (|err| < 1.5e-7) —
-    same form as ml/ensemble.ab_metrics."""
+    same form as ml/ensemble.ab_metrics. Callers must pass a bound
+    COLUMN (not a deep expression tree): the t⁵ polynomial references its
+    argument 16 times, and Catalyst re-inlines unbound subtrees per
+    reference (the 64 KB-codegen blow-up class — see
+    experiment_analysis's staged selects)."""
     xx = x / float(2**0.5)
     t = 1.0 / (1.0 + 0.3275911 * xx)
     poly = (
@@ -296,61 +300,109 @@ def experiment_analysis(results: DataFrame, experiments: DataFrame) -> DataFrame
             F.first("_s2").alias("s2"),
         )
     )
+    # Staged selects: every derived statistic is bound as a COLUMN before
+    # the next stage references it. Inlining them as Python-variable
+    # expression trees duplicates the whole subtree per reference (the
+    # erfc polynomial alone references its argument 16 times) — measured
+    # here as a >64 KB generated method, i.e. codegen fallback. Each
+    # alias below is referenced ≥2 times downstream, which stops
+    # CollapseProject from re-inlining it.
     cn = F.col("control_n").cast("double")
     tn = F.col("treatment_n").cast("double")
-    cmean = F.col("control_s1").cast("double") / cn
-    tmean = F.col("treatment_s1").cast("double") / tn
-    # sample variance (ddof=1) from exact sums: (s2 - s1^2/n) / (n-1)
-    cvar = (
-        F.col("control_s2").cast("double") - cmean * F.col("control_s1").cast("double")
-    ) / (cn - 1)
-    tvar = (
-        F.col("treatment_s2").cast("double")
-        - tmean * F.col("treatment_s1").cast("double")
-    ) / (tn - 1)
-    cstd = F.sqrt(F.greatest(cvar, F.lit(0.0)))
-    tstd = F.sqrt(F.greatest(tvar, F.lit(0.0)))
-    pooled = F.sqrt(
-        F.greatest(
-            ((cn - 1) * cvar + (tn - 1) * tvar) / (cn + tn - 2), F.lit(0.0)
-        )
+    s1 = wide.select(
+        "*",
+        (F.col("control_s1").cast("double") / cn).alias("_cmean"),
+        (F.col("treatment_s1").cast("double") / tn).alias("_tmean"),
+        # sample variance (ddof=1) from exact sums: (s2 - s1²/n) / (n-1)
+        (
+            (
+                F.col("control_s2").cast("double")
+                - F.col("control_s1").cast("double")
+                * F.col("control_s1").cast("double") / cn
+            )
+            / (cn - 1)
+        ).alias("_cvar"),
+        (
+            (
+                F.col("treatment_s2").cast("double")
+                - F.col("treatment_s1").cast("double")
+                * F.col("treatment_s1").cast("double") / tn
+            )
+            / (tn - 1)
+        ).alias("_tvar"),
+        (
+            (F.col("control_s1").cast("double") + F.col("treatment_s1").cast("double"))
+            / (cn + tn)
+        ).alias("_poolp"),
+        F.col("success_metric").isin(*sorted(_BINARY_METRICS)).alias("_binary"),
     )
-    effect = F.when(pooled > 0, (tmean - cmean) / pooled).otherwise(F.lit(0.0))
-    se = pooled * F.sqrt(1.0 / cn + 1.0 / tn)
-    margin = 1.96 * se
-    rel = F.when(cmean != 0, (tmean - cmean) / cmean * 100).otherwise(F.lit(0.0))
-    # test selection: binary metric → two-proportion z (χ² = z²);
-    # continuous → pooled t. Both p-values by normal approximation.
-    is_binary = F.col("success_metric").isin(*sorted(_BINARY_METRICS))
-    pool_p = (
-        F.col("control_s1").cast("double") + F.col("treatment_s1").cast("double")
-    ) / (cn + tn)
-    se_prop = F.sqrt(pool_p * (1 - pool_p) * (1.0 / cn + 1.0 / tn))
-    z_prop = F.when(se_prop > 0, (tmean - cmean) / se_prop).otherwise(F.lit(0.0))
-    t_stat = F.when(se > 0, (tmean - cmean) / se).otherwise(F.lit(0.0))
-    stat = F.when(is_binary, z_prop).otherwise(t_stat)
+    s2 = s1.select(
+        "*",
+        F.sqrt(
+            F.greatest(
+                ((cn - 1) * F.col("_cvar") + (tn - 1) * F.col("_tvar"))
+                / (cn + tn - 2),
+                F.lit(0.0),
+            )
+        ).alias("_pooled"),
+        F.sqrt(
+            F.col("_poolp") * (1 - F.col("_poolp")) * (1.0 / cn + 1.0 / tn)
+        ).alias("_seprop"),
+        (F.col("_tmean") - F.col("_cmean")).alias("_diff"),
+    )
+    s3 = s2.select(
+        "*",
+        (F.col("_pooled") * F.sqrt(1.0 / cn + 1.0 / tn)).alias("_se"),
+        F.when(
+            F.col("_pooled") > 0, F.col("_diff") / F.col("_pooled")
+        ).otherwise(F.lit(0.0)).alias("_effect"),
+        F.when(
+            F.col("_seprop") > 0, F.col("_diff") / F.col("_seprop")
+        ).otherwise(F.lit(0.0)).alias("_zprop"),
+    )
+    s4 = s3.select(
+        "*",
+        F.when(F.col("_se") > 0, F.col("_diff") / F.col("_se"))
+        .otherwise(F.lit(0.0))
+        .alias("_tstat"),
+    )
+    s5 = s4.select(
+        "*",
+        F.abs(
+            F.when(F.col("_binary"), F.col("_zprop")).otherwise(F.col("_tstat"))
+        ).alias("_absstat"),
+    )
+    s6 = s5.select("*", _erfc_half(F.col("_absstat")).alias("_pval"))
     gated = (F.col("control_n") >= 100) & (F.col("treatment_n") >= 100)
     g = lambda c: F.when(gated, c)  # noqa: E731
-    return wide.select(
+    return s6.select(
         "test_name",
         F.col("success_metric").alias("metric"),
         "control_n",
         "treatment_n",
-        g(cmean).alias("control_mean"),
-        g(tmean).alias("treatment_mean"),
-        g(cstd).alias("control_std"),
-        g(tstd).alias("treatment_std"),
-        g(effect).alias("effect_size"),
-        g(rel).alias("relative_improvement_percent"),
-        g(tmean - cmean - margin).alias("ci95_low"),
-        g(tmean - cmean + margin).alias("ci95_high"),
-        g(F.abs(effect) > 0.2).alias("is_significant"),
-        F.when(is_binary, F.lit("chi_square")).otherwise(F.lit("t_test")).alias("test_type"),
-        g(F.when(is_binary, z_prop * z_prop).otherwise(t_stat)).alias("test_statistic"),
-        g(_erfc_half(F.abs(stat))).alias("p_value"),
+        g(F.col("_cmean")).alias("control_mean"),
+        g(F.col("_tmean")).alias("treatment_mean"),
+        g(F.sqrt(F.greatest(F.col("_cvar"), F.lit(0.0)))).alias("control_std"),
+        g(F.sqrt(F.greatest(F.col("_tvar"), F.lit(0.0)))).alias("treatment_std"),
+        g(F.col("_effect")).alias("effect_size"),
         g(
-            (_erfc_half(F.abs(stat)) < F.col("significance_level"))
-        ).alias("rejects_null"),
+            F.when(
+                F.col("_cmean") != 0, F.col("_diff") / F.col("_cmean") * 100
+            ).otherwise(F.lit(0.0))
+        ).alias("relative_improvement_percent"),
+        g(F.col("_diff") - 1.96 * F.col("_se")).alias("ci95_low"),
+        g(F.col("_diff") + 1.96 * F.col("_se")).alias("ci95_high"),
+        g(F.abs(F.col("_effect")) > 0.2).alias("is_significant"),
+        F.when(F.col("_binary"), F.lit("chi_square"))
+        .otherwise(F.lit("t_test"))
+        .alias("test_type"),
+        g(
+            F.when(
+                F.col("_binary"), F.col("_zprop") * F.col("_zprop")
+            ).otherwise(F.col("_tstat"))
+        ).alias("test_statistic"),
+        g(F.col("_pval")).alias("p_value"),
+        g(F.col("_pval") < F.col("significance_level")).alias("rejects_null"),
         (
             (F.col("control_n") >= F.col("min_sample_size"))
             & (F.col("treatment_n") >= F.col("min_sample_size"))

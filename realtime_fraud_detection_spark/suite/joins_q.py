@@ -353,6 +353,58 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+# ---------------------------------------------------------------------------
+# J2 — transaction ⋈ merchant-profile-update within ±10 min, applying the
+# reference's risk deltas (StreamJoiner.java:55-75,208-236: riskLevel
+# increased +0.4, newly blacklisted +0.8, fraud rate increased +0.2,
+# capped at 1.0) through operators/joins.merchant_update_join — the one
+# §2.3 join that had no driver-visible query before round 10. Rows-only
+# (the window is full at 50); bit-exact DuckDB parity is pinned in
+# tests/test_merchant_updates.py instead (the duplicate_spans class).
+# Merchant analog: user_id % 50 buckets events into 50 merchants; profile
+# updates are the 'error' events with residue-derived flags.
+# ---------------------------------------------------------------------------
+def q_merchant_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import merchant_update_join
+
+    ev = _events(spark, sf_dir)
+    mid = (F.col("user_id") % 50).alias("merchant_id")
+    tx = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("tx_id"), mid, "ts", "value"
+    )
+    updates = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("update_id"),
+        mid,
+        "ts",
+        (F.col("event_id") % 3 == 0).alias("risk_level_increased"),
+        (F.col("event_id") % 11 == 0).alias("newly_blacklisted"),
+        (F.col("event_id") % 5 == 0).alias("fraud_rate_increased"),
+    )
+    joined = merchant_update_join(tx, updates, window="10 minutes")
+    return joined.select(
+        F.col("l.tx_id").alias("tx_id"),
+        F.col("l.merchant_id").alias("merchant_id"),
+        F.col("r.update_id").alias("update_id"),
+        F.round("merchant_risk_delta", 6).alias("merchant_risk_delta"),
+    ).orderBy("tx_id", "update_id")
+
+
+SQL_MERCHANT_UPDATES = """
+SELECT t.event_id AS tx_id, t.user_id % 50 AS merchant_id,
+       u.event_id AS update_id,
+       ROUND(LEAST(
+         CASE WHEN u.event_id % 3 = 0 THEN 0.4 ELSE 0.0 END
+         + CASE WHEN u.event_id % 11 = 0 THEN 0.8 ELSE 0.0 END
+         + CASE WHEN u.event_id % 5 = 0 THEN 0.2 ELSE 0.0 END,
+       1.0)::DOUBLE, 6) AS merchant_risk_delta
+FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+JOIN (SELECT * FROM events WHERE event_type = 'error') u
+  ON t.user_id % 50 = u.user_id % 50
+ AND u.ts >= t.ts - INTERVAL 10 MINUTE AND u.ts <= t.ts + INTERVAL 10 MINUTE
+ORDER BY tx_id, update_id
+"""
+
+
 QUERIES = {
     "time_range_join": q_time_range_join,
     "asof_join": q_asof_join,
@@ -362,6 +414,7 @@ QUERIES = {
     "velocity_lookup": q_velocity_lookup,
     "network_features": q_network_features,
     "topk_per_group": q_topk_per_group,
+    "merchant_updates": q_merchant_updates,
 }
 
 ORACLES = {

@@ -1,0 +1,98 @@
+"""M6 sequential scorer (ml/sequential.py): trailing-window feature
+assembly laws, holdout AUC on the seeded fraud fixture (the reference's
+LSTM is a dummy fallback returning a constant — AUC 0.5; the trained
+scorer must decisively beat it), bit-deterministic training (decimal-sum
+gradients), pure-expression scoring (zero Python crossings), and JSON
+artifact round-trip."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from realtime_fraud_detection_spark.functions.hashing import md5_bigint
+from realtime_fraud_detection_spark.ml.evaluation import binary_eval
+from realtime_fraud_detection_spark.ml.sequential import (
+    from_json,
+    lagged_sequence_features,
+    score_sequential,
+    to_json,
+    train_sequential_scorer,
+)
+
+
+def _feats(fraud_data):
+    _, _, t = fraud_data
+    f = lagged_sequence_features(t, "user_id", "ts", "amount", "transaction_id")
+    return f.withColumn("label", F.col("is_fraud").cast("int"))
+
+
+def test_feature_assembly_laws(spark):
+    rows = [
+        (1, "u", "2024-03-01 10:00:00", 100.0),
+        (2, "u", "2024-03-01 10:00:30", 100.0),
+        (3, "u", "2024-03-01 10:01:00", 400.0),
+        (4, "v", "2024-03-02 09:00:00", 50.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r["event_id"]: r
+        for r in lagged_sequence_features(df, "user_id", "ts", "value").collect()
+    }
+    # first event of a user: n=1, ratio 1, no gap (clamped to a day), span 0
+    assert got[1]["seq_n"] == 1.0
+    assert got[1]["seq_ratio_to_mean"] == pytest.approx(1.0)
+    assert got[1]["seq_gap_s"] == 86400.0
+    assert got[1]["seq_span_s"] == 0.0
+    assert got[1]["seq_lag1_delta"] == 0.0
+    # third event: trailing mean (100+100+400)/3 = 200 → ratio 2; span 60 s;
+    # rate 3/60; last gap 30 s; delta +300
+    assert got[3]["seq_n"] == 3.0
+    assert got[3]["seq_ratio_to_mean"] == pytest.approx(2.0)
+    assert got[3]["seq_span_s"] == 60.0
+    assert got[3]["seq_rate"] == pytest.approx(0.05)
+    assert got[3]["seq_gap_s"] == 30.0
+    assert got[3]["seq_lag1_delta"] == pytest.approx(300.0)
+    # other user unaffected
+    assert got[4]["seq_n"] == 1.0
+
+
+@pytest.mark.slow
+def test_holdout_auc_beats_dummy(spark, fraud_data):
+    feats = _feats(fraud_data)
+    split = F.pmod(md5_bigint(F.col("transaction_id"), "seq:"), 5)
+    model = train_sequential_scorer(feats.filter(split != 0), "label", iters=30)
+    scored = score_sequential(feats.filter(split == 0), model)
+    row = binary_eval(scored, "seq_score", "label").collect()[0]
+    # measured 0.847 on the seeded fixture; the reference's dummy scores 0.5
+    assert row["auc"] > 0.75, row["auc"]
+    # burstiness must carry signal: the rate/gap weights are nonzero
+    w = dict(zip(model["feature_cols"], model["weights"]))
+    assert abs(w["seq_rate"]) > 0.1 and abs(w["seq_gap_s"]) > 0.1
+
+
+def test_training_bit_deterministic(spark, fraud_data):
+    feats = _feats(fraud_data)
+    m1 = train_sequential_scorer(feats, "label", iters=8)
+    m2 = train_sequential_scorer(feats.repartition(7), "label", iters=8)
+    assert to_json(m1) == to_json(m2)  # decimal sums → partitioning-free
+
+
+def test_scoring_is_pure_expression(spark, fraud_data):
+    feats = _feats(fraud_data)
+    model = train_sequential_scorer(feats.limit(500), "label", iters=2)
+    plan = score_sequential(feats, model)._jdf.queryExecution().executedPlan().toString()
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert node not in plan
+
+
+def test_artifact_roundtrip(spark, fraud_data):
+    feats = _feats(fraud_data)
+    model = train_sequential_scorer(feats.limit(400), "label", iters=3)
+    clone = from_json(to_json(model))
+    a = score_sequential(feats.limit(100), model).select("seq_score").collect()
+    b = score_sequential(feats.limit(100), clone).select("seq_score").collect()
+    assert [r["seq_score"] for r in a] == [r["seq_score"] for r in b]

@@ -121,6 +121,13 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # no DuckDB twin; NumPy replay of the reference arithmetic in
         # tests/test_experiments.py
         "ab_experiments",
+        # J2 merchant-update join — window full; bit-exact DuckDB parity
+        # in tests/test_merchant_updates.py
+        "merchant_updates",
+        # trained sequential scorer — iterative decimal-sum logistic fit,
+        # no SQL form; holdout-AUC + bit-determinism + pure-expression
+        # scoring pinned in tests/test_sequential.py
+        "sequence_scores",
         # seasonal robust median/MAD alarms — exact interpolated
         # percentiles have cross-engine interpolation hazards; spike/
         # no-leakage laws pinned in tests/test_anomalies.py
