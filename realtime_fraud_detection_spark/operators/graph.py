@@ -137,6 +137,7 @@ def triangle_count(
     src_col: str = "src",
     dst_col: str = "dst",
     edge_sample: float | None = None,
+    sample_salt: str = "tri:",
 ) -> DataFrame:
     """(vertex, triangles) — exact per-vertex triangle counts on the
     UNDIRECTED simple graph induced by `edges` (direction, duplicates and
@@ -165,7 +166,10 @@ def triangle_count(
     undirected edge with probability p via a DETERMINISTIC md5 coin on
     the canonical endpoint pair, count triangles on the sparsified
     graph, scale counts by 1/p³ — an unbiased estimator of both the
-    per-vertex and global counts, with wedge volume (the stage that
+    per-vertex and global counts (unbiasedness + spread pinned across
+    independent coin salts in tests/test_triangles.py; `sample_salt`
+    exists exactly so replicates CAN be independent — the default coin
+    is fixed for suite determinism), with wedge volume (the stage that
     outgrows a cluster's shuffle capacity on clique-dominated graphs —
     a near-dup pair graph is a union of near-cliques, so exact wedge
     volume is Θ(Σ clique_size³)) cut by p². Output column `triangles`
@@ -209,7 +213,7 @@ def triangle_count(
             from ..functions.hashing import md5_bigint
 
             coin = md5_bigint(
-                F.concat_ws(":", F.col("a"), F.col("b")), salt="tri:"
+                F.concat_ws(":", F.col("a"), F.col("b")), salt=sample_salt
             )
             und = und.filter((coin % 1_000_000) < int(edge_sample * 1_000_000))
         lvl = edge_storage_level(m_est)

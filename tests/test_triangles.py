@@ -196,3 +196,44 @@ def test_suite_graph_cap_does_not_bind_on_fixture(spark):
         _affinity(ev), "user_id", "k", max_bucket_size=_AFFINITY_CAP
     )
     assert stats["dropped_keys"] == 0
+
+
+def test_doulion_unbiased_across_independent_coins(spark):
+    """The DOULION estimator's bias/variance claim, pinned rather than
+    cited (round-10 item): on a clique-union graph (the near-dup pair
+    topology the sampler exists for), 8 independent md5 coins at p=0.5
+    give estimates whose MEAN lands within a few percent of the exact
+    global count (unbiasedness), while single draws spread wide enough
+    to justify the variance warning in the docstring. `sample_salt`
+    exists exactly so replicates can be independent; the default salt
+    stays fixed for suite determinism."""
+    import itertools
+    import statistics
+
+    edges = []
+    for c in range(10):  # 10 disjoint 10-cliques: 3600 triangle-corners
+        base = c * 100
+        edges += [
+            (base + a, base + b)
+            for a, b in itertools.combinations(range(10), 2)
+        ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    exact = sum(r["triangles"] for r in triangle_count(df).collect())
+    assert exact == 10 * 120 * 3
+
+    ests = [
+        sum(
+            r["triangles"]
+            for r in triangle_count(
+                df, edge_sample=0.5, sample_salt=f"tri{i}:"
+            ).collect()
+        )
+        for i in range(8)
+    ]
+    mean = statistics.mean(ests)
+    # measured on these fixed coins: mean rel err 5.7%, worst draw 29%
+    assert abs(mean - exact) / exact < 0.15
+    assert all(abs(e - exact) / exact < 0.5 for e in ests)
+    # and at least one draw differs from another: the salts really do
+    # produce independent sparsifications
+    assert len(set(ests)) > 1

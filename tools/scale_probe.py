@@ -77,7 +77,7 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     all_stages = (
         "minhash,lsh,setsim,simhash,cc,star,spans,ngram,bpe,clf,quality,"
-        "graphx,ivfpq,sketch,hotkey,layout,funnel,mixture,pca,embed,negs,"
+        "graphx,doulion,ivfpq,sketch,hotkey,layout,funnel,mixture,pca,embed,negs,"
         "index,dsir"
     )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
@@ -131,7 +131,7 @@ def main() -> None:
         )
 
     pairs = None
-    if stages & {"simhash", "cc", "star", "graphx"}:
+    if stages & {"simhash", "cc", "star", "graphx", "doulion"}:
         t0 = time.time()
         pairs = D.simhash_near_dup_pairs(docs, "text", "doc_id", bits=64, max_hamming=4)
         # DISK_ONLY: at 100x the pair table is ~53M rows; holding its
@@ -456,6 +456,78 @@ def main() -> None:
             )
 
         _guarded("lpa", _lpa)
+
+    if "doulion" in stages:
+        # Round-10 item: measure the DOULION knob at scale instead of
+        # citing it — exact vs sampled global counts (relative error)
+        # and the degree-wedge volume Σ C(deg,2) the sampler cuts by
+        # ~p² (the quantity that outgrows shuffle capacity on the
+        # clique-dominated near-dup graph). Exact runs only below 50x;
+        # above, the p-ladder still records the wedge cut.
+        from pyspark.sql import functions as PF
+
+        from realtime_fraud_detection_spark.functions.hashing import (
+            md5_bigint,
+        )
+        from realtime_fraud_detection_spark.operators import graph as G
+
+        def _wedges(p: float | None) -> int:
+            a, b = PF.col("doc_a"), PF.col("doc_b")
+            und = (
+                pairs.select(
+                    PF.least(a, b).alias("a"), PF.greatest(a, b).alias("b")
+                )
+                .filter(PF.col("a") != PF.col("b"))
+                .distinct()
+            )
+            if p is not None:
+                coin = md5_bigint(
+                    PF.concat_ws(":", PF.col("a"), PF.col("b")), salt="tri:"
+                )
+                und = und.filter((coin % 1_000_000) < int(p * 1_000_000))
+            deg = (
+                und.select(PF.col("a").alias("v"))
+                .unionAll(und.select(PF.col("b").alias("v")))
+                .groupBy("v")
+                .agg(PF.count("*").alias("d"))
+            )
+            return int(
+                deg.agg(
+                    PF.sum(PF.col("d") * (PF.col("d") - 1) / 2)
+                ).first()[0]
+                or 0
+            )
+
+        def _doulion():
+            exact_total = None
+            for pp in (None, 0.3, 0.1):
+                if pp is None and replicas >= 50:
+                    print("doulion: exact skipped (>=50x wedge volume)")
+                    continue
+                t0 = time.time()
+                tri = G.triangle_count(
+                    pairs, src_col="doc_a", dst_col="doc_b", edge_sample=pp
+                )
+                tot = tri.agg({"triangles": "sum"}).first()[0] or 0
+                w = _wedges(pp)
+                secs = time.time() - t0
+                if pp is None:
+                    exact_total = tot
+                    print(
+                        f"doulion p=1.0: {secs:.1f}s sum={tot:.0f} wedges={w}"
+                    )
+                else:
+                    err = (
+                        abs(tot - exact_total) / exact_total
+                        if exact_total
+                        else float("nan")
+                    )
+                    print(
+                        f"doulion p={pp}: {secs:.1f}s sum={tot:.0f} "
+                        f"rel_err={err:.3f} wedges={w}"
+                    )
+
+        _guarded("doulion", _doulion)
 
     if "ivfpq" in stages:
         from pyspark.sql import functions as F
