@@ -100,6 +100,13 @@ HEADLINE = [
     "text_embed_ann",
     # round-9 late: distributed ranking metrics (grouped-rank AUC/KS/AP)
     "model_eval",
+    # round-10: named A/B experiment lifecycle analysis, the J2
+    # merchant-update time-range join, and the trained sequential scorer
+    # (12-round decimal-exact logistic fit — a driver-loop query, so it
+    # scales with job_floor_ms like pagerank)
+    "ab_experiments",
+    "merchant_updates",
+    "sequence_scores",
 ]
 
 # Iterative queries (CC / power-iteration loops) have documented ±2 s
@@ -258,29 +265,63 @@ def main() -> None:
         floor_runs.append(time.time() - t0)
     job_floor_ms = round(sorted(floor_runs)[len(floor_runs) // 2] * 1000, 1)
 
+    # Floor NORMALIZATION (round-9 verdict item 5: the r8→r9 "regression"
+    # was the VM's scheduling floor, not code — make that separation part
+    # of the artifact instead of forensics). Model: each query's wall =
+    # work + n_jobs × floor; job counts are observed per kept trial by
+    # diffing Spark's global monotonically-increasing job id around the
+    # run (a 1-task probe job under a known group reads the sequence).
+    # The normalized figure re-prices every observed job at the
+    # REFERENCE floor (the ~70 ms r8-class VM), so two rounds' normalized
+    # totals differ only by work, not by host scheduling class.
+    FLOOR_REF_MS = 70.0
+    _seq_rdd = spark.sparkContext.parallelize([1], 1)
+
+    def _job_seq() -> int:
+        sc = spark.sparkContext
+        sc.setJobGroup("floor-seq-probe", "bench job-sequence probe")
+        try:
+            _seq_rdd.count()
+        finally:
+            sc.setJobGroup(None, None)
+        return max(sc.statusTracker().getJobIdsForGroup("floor-seq-probe"))
+
+    excess_s = max(0.0, job_floor_ms - FLOOR_REF_MS) / 1000.0
+
     # Per-query fault isolation: one broken query must not zero the whole
     # bench artifact (round 2 lost its BENCH file to a single loader
     # exception). Failures land in "errors" and the process still exits 0
     # with timings for everything that ran.
     timings: dict[str, float] = {}
+    jobs: dict[str, int] = {}
     warm: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs.get(name) or EXTRA[name]
         trials = 3 if name in ITERATIVE else 1
         runs: list[float] = []
+        run_jobs: list[int] = []
         try:
+            seq = _job_seq()
             for _ in range(trials):
                 t0 = time.time()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 runs.append(round(time.time() - t0, 3))
+                nxt = _job_seq()
+                run_jobs.append(nxt - seq - 1)
+                seq = nxt
             if name in CACHED:
                 timings[name] = runs[0]  # first in-session execution
+                jobs[name] = run_jobs[0]
                 if len(runs) > 1:
                     rest = sorted(runs[1:])
                     warm[name] = rest[len(rest) // 2]
             else:
-                timings[name] = sorted(runs)[len(runs) // 2]  # median
+                kept_idx = sorted(range(len(runs)), key=runs.__getitem__)[
+                    len(runs) // 2
+                ]
+                timings[name] = runs[kept_idx]  # median
+                jobs[name] = run_jobs[kept_idx]
         except Exception as exc:  # noqa: BLE001 — report, keep benching
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
@@ -327,13 +368,39 @@ def main() -> None:
         )
         import bench_streaming
 
+        _s_seq = _job_seq()
         streaming = bench_streaming.run(
             spark, n_events=400_000, n_batches=5, files_per_batch=16
         )
+        _s_jobs = _job_seq() - _s_seq - 1
+        streaming["jobs"] = _s_jobs
+        # re-price the run's jobs at the reference floor: the whole-run
+        # throughput (events/wall) with the floor excess removed — an
+        # approximation (steady-state TPS excludes ramp batches; this
+        # can't), but it moves with the same VM class the raw number does
+        if streaming.get("events") and streaming.get("wall_s"):
+            adj = max(0.1, streaming["wall_s"] - _s_jobs * excess_s)
+            streaming["total_tps_floor_normalized"] = round(
+                streaming["events"] / adj, 1
+            )
     except Exception as exc:  # noqa: BLE001 — report, keep the artifact
         errors["streaming_tps"] = f"{type(exc).__name__}: {exc}"[:300]
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # normalized = raw − jobs × floor-excess, floored at raw × (ref/actual)
+    # — the pure-floor lower bound. The 1-task probe floor includes py4j
+    # submission latency that back-to-back driver-loop jobs overlap, so
+    # the subtraction overshoots exactly on the floor-bound loops; even if
+    # a query were 100% scheduling, re-pricing its wall by the floor ratio
+    # is the most it could improve (measured r10: communities 9.8 s raw,
+    # 190 jobs — subtraction says ≤0, ratio bound says 4.1 s).
+    floor_ratio = min(1.0, FLOOR_REF_MS / max(job_floor_ms, FLOOR_REF_MS))
+    normalized = {
+        n: round(
+            max(t * floor_ratio, t - jobs.get(n, 0) * excess_s), 3
+        )
+        for n, t in timings.items()
+    }
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
@@ -341,6 +408,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "job_floor_ms": job_floor_ms,
+        # jobs observed per kept trial and the same timings re-priced at
+        # the reference floor (see the normalization comment above) —
+        # compare value_floor_normalized across rounds, value within one
+        "floor_ref_ms": FLOOR_REF_MS,
+        "jobs": jobs,
+        "queries_floor_normalized": normalized,
+        "value_floor_normalized": round(sum(normalized.values()), 3),
     }
     if streaming:
         out["streaming"] = streaming

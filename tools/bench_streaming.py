@@ -145,7 +145,39 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     args = [int(a) for a in sys.argv[1:4]]
     n_events, n_batches, files_per_batch = tuple(args) + DEFAULTS[len(args):]
+
+    # per-job scheduling floor + job-sequence probes (same calibration as
+    # bench.py): TPS re-priced at the ~70 ms reference floor separates
+    # VM scheduling class from pipeline cost across rounds
+    sc = spark.sparkContext
+    floor_rdd = sc.parallelize([1], 1)
+    for _ in range(5):
+        floor_rdd.count()
+    floor_runs = []
+    for _ in range(15):
+        t0 = time.time()
+        floor_rdd.count()
+        floor_runs.append(time.time() - t0)
+    job_floor_ms = round(sorted(floor_runs)[len(floor_runs) // 2] * 1000, 1)
+    excess_s = max(0.0, job_floor_ms - 70.0) / 1000.0
+
+    def _job_seq() -> int:
+        sc.setJobGroup("floor-seq-probe", "job-sequence probe")
+        try:
+            floor_rdd.count()
+        finally:
+            sc.setJobGroup(None, None)
+        return max(sc.statusTracker().getJobIdsForGroup("floor-seq-probe"))
+
+    seq0 = _job_seq()
     result = run(spark, n_events, n_batches, files_per_batch)
+    n_jobs = _job_seq() - seq0 - 1
+    result["job_floor_ms"] = job_floor_ms
+    result["floor_ref_ms"] = 70.0
+    result["jobs"] = n_jobs
+    if result.get("events") and result.get("wall_s"):
+        adj = max(0.1, result["wall_s"] - n_jobs * excess_s)
+        result["total_tps_floor_normalized"] = round(result["events"] / adj, 1)
     # latency counterpart (BASELINE.md claims 85 ms average end-to-end):
     # the same topology driven at SMALL batches (1 file/trigger, ~200
     # events) measures the micro-batch commit floor — the freshness bound
