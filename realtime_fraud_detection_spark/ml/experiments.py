@@ -278,9 +278,19 @@ def experiment_analysis(results: DataFrame, experiments: DataFrame) -> DataFrame
     :func:`assign_variants` with decision/prediction columns attached.
     Means and stds derive from exact decimal sum / sum-of-squares, so
     the analysis is partitioning-independent."""
+    return analysis_from_moments(experiment_moments(results))
+
+
+def experiment_moments(results: DataFrame) -> DataFrame:
+    """The grouped moment table behind :func:`experiment_analysis`:
+    (test_name, success_metric, min_sample_size, significance_level,
+    ab_variant) → (n, _s1, _s2) with EXACT decimal sums. Moments merge
+    losslessly (counts and decimal sums just add), which is what lets
+    streaming/sinks.experiment_partial_writer store per-batch moments
+    and reproduce the batch analysis bit-exactly at rollup."""
     val = _metric_value()
     tagged = results.withColumn("_v", val)
-    agg = tagged.groupBy(
+    return tagged.groupBy(
         "test_name", "success_metric", "min_sample_size",
         "significance_level", "ab_variant",
     ).agg(
@@ -288,6 +298,11 @@ def experiment_analysis(results: DataFrame, experiments: DataFrame) -> DataFrame
         F.sum(F.col("_v").cast("decimal(28,10)")).alias("_s1"),
         F.sum((F.col("_v") * F.col("_v")).cast("decimal(38,10)")).alias("_s2"),
     )
+
+
+def analysis_from_moments(agg: DataFrame) -> DataFrame:
+    """The statistical block from an (already grouped or rolled-up)
+    moment table — see :func:`experiment_analysis` for the columns."""
     wide = (
         agg.groupBy(
             "test_name", "success_metric", "min_sample_size",

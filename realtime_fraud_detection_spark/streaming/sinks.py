@@ -622,6 +622,61 @@ def eval_rollup_view(
     )
 
 
+def experiment_partial_writer(
+    out_dir: str,
+    experiments: DataFrame,
+    user_col: str = "user_id",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink for LIVE A/B experiment monitoring: each
+    micro-batch of scored results is variant-tagged against the (static,
+    broadcast) experiments dimension (ml/experiments.assign_variants —
+    the md5 assignment is a pure function, so the same user lands in the
+    same arm in every batch), reduced to the per-(experiment, variant)
+    MOMENT table (count + exact decimal sum + sum of squares of the
+    experiment's success metric), and landed under its own batch_id
+    partition — idempotent replay by partition overwrite, the store
+    grows by ≤ |experiments| × 2 rows per batch whatever the batch size.
+
+    Moments merge losslessly (counts and decimal sums just add), so
+    :func:`experiment_rollup_view` reproduces the batch
+    `experiment_analysis` over the whole stream BIT-exactly
+    (tests/test_experiment_stream.py) — the reference accumulates
+    per-variant result lists in driver memory (ab_testing.py:154-176);
+    a moment store is the unbounded-stream form of the same analysis."""
+    from ..ml.experiments import assign_variants, experiment_moments
+
+    path = os.path.join(out_dir, "experiment_partials")
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        tagged = assign_variants(batch, experiments, user_col=user_col)
+        _write_batch_partition(experiment_moments(tagged), batch_id, path)
+
+    return write
+
+
+def experiment_rollup_view(spark, out_dir: str) -> DataFrame:
+    """Whole-stream experiment analysis from the streamed moment
+    partials: sum the moments across batches (lossless — decimal adds),
+    then run the same staged statistical block the batch path uses. One
+    row per experiment; bit-identical to experiment_analysis over the
+    union of all batches."""
+    from ..ml.experiments import analysis_from_moments
+
+    merged = (
+        spark.read.parquet(os.path.join(out_dir, "experiment_partials"))
+        .groupBy(
+            "test_name", "success_metric", "min_sample_size",
+            "significance_level", "ab_variant",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("_s1").alias("_s1"),
+            F.sum("_s2").alias("_s2"),
+        )
+    )
+    return analysis_from_moments(merged)
+
+
 def search_index_writer(
     out_dir: str,
     text_col: str = "text",
