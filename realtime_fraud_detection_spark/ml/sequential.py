@@ -194,3 +194,22 @@ def to_json(model: dict) -> str:
 
 def from_json(s: str) -> dict:
     return json.loads(s)
+
+
+def to_linear_artifact(model: dict) -> tuple[dict[str, float], float]:
+    """Fold the standardization into plain linear (weights, bias) so the
+    fitted sequential model ships through the M9 versioned-artifact /
+    hot-reload path (ml/models.save_linear_scorer →
+    streaming/sinks.reloading_scorer_writer) unchanged:
+    Σ wᵢ(xᵢ−mᵢ)/sᵢ + b  ≡  Σ (wᵢ/sᵢ)xᵢ + (b − Σ wᵢmᵢ/sᵢ).
+    The served score is the MARGIN (monotone in the probability) — apply
+    sigmoid downstream if a calibrated probability is needed."""
+    weights = {
+        c: model["weights"][i] / model["scales"][i]
+        for i, c in enumerate(model["feature_cols"])
+    }
+    bias = model["bias"] - sum(
+        model["weights"][i] * model["means"][i] / model["scales"][i]
+        for i in range(len(model["feature_cols"]))
+    )
+    return weights, bias

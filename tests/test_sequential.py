@@ -96,3 +96,47 @@ def test_artifact_roundtrip(spark, fraud_data):
     a = score_sequential(feats.limit(100), model).select("seq_score").collect()
     b = score_sequential(feats.limit(100), clone).select("seq_score").collect()
     assert [r["seq_score"] for r in a] == [r["seq_score"] for r in b]
+
+
+def test_linear_artifact_serves_through_hot_reload_path(spark, fraud_data, tmp_path):
+    """The fitted sequential model folds its standardization into the
+    plain linear artifact (weights, bias) and ships through the M9
+    versioned-artifact path: saved → loaded → broadcast →
+    linear_scorer_udf margins equal the training-path logit within float
+    fold tolerance."""
+    import math
+
+    from realtime_fraud_detection_spark.ml.models import (
+        linear_scorer_udf,
+        load_linear_scorer,
+        save_linear_scorer,
+    )
+    from realtime_fraud_detection_spark.ml.sequential import (
+        SEQ_FEATURES,
+        to_linear_artifact,
+    )
+
+    feats = _feats(fraud_data)
+    model = train_sequential_scorer(feats.limit(800), "label", iters=5)
+    weights, bias = to_linear_artifact(model)
+    path = str(tmp_path / "seq_scorer.json")
+    save_linear_scorer(path, weights, bias, version=3)
+    art = load_linear_scorer(path)
+    assert art["version"] == 3
+
+    bc = spark.sparkContext.broadcast(art)
+    sample = feats.limit(50)
+    served = {
+        r["transaction_id"]: r["margin"]
+        for r in sample.withColumn(
+            "margin", linear_scorer_udf(bc, SEQ_FEATURES)
+        ).collect()
+    }
+    probs = {
+        r["transaction_id"]: r["seq_score"]
+        for r in score_sequential(sample, model).collect()
+    }
+    assert served, "no rows served"
+    for k, margin in served.items():
+        want = math.log(probs[k] / (1 - probs[k]))  # logit of the prob
+        assert margin == pytest.approx(want, abs=1e-8), k
