@@ -175,6 +175,47 @@ def main() -> None:
         f"(fp={cost['fp']}, fn={cost['fn']})"
     )
 
+    # 8. named A/B experiment over the same scored stream (round 10):
+    # champion vs challenger as a dimension-table experiment — streamed
+    # moment partials, rolled-up analysis identical to the batch block
+    from realtime_fraud_detection_spark.ml.experiments import (
+        experiments_table,
+    )
+    from realtime_fraud_detection_spark.streaming.sinks import (
+        experiment_partial_writer,
+        experiment_rollup_view,
+    )
+
+    exps = experiments_table(
+        spark,
+        [dict(
+            test_name="challenger_rollout", control_model="champion",
+            treatment_model="challenger", traffic_split=0.5,
+            success_metric="prediction_score", min_sample_size=100,
+            significance_level=0.05,
+        )],
+    )
+    results = scored.select(
+        F.col("event_id").alias("transaction_id"),
+        F.col("event_id").alias("user_id"),
+        F.lit("champion").alias("model_used"),
+        F.col("score").alias("prediction"),
+        F.when(F.col("score") >= 0.8, "DECLINE")
+        .when(F.col("score") >= 0.6, "REVIEW")
+        .otherwise("APPROVE").alias("decision"),
+        F.lit(None).cast("boolean").alias("actual_fraud"),
+        F.lit(1.0).alias("processing_time_ms"),
+    )
+    exp_writer = experiment_partial_writer(work, exps)
+    exp_writer(results.filter(F.col("transaction_id") % 2 == 0), 0)
+    exp_writer(results.filter(F.col("transaction_id") % 2 == 1), 1)
+    row = experiment_rollup_view(spark, work).first()
+    print(
+        f"experiment {row['test_name']}: control_n={row['control_n']} "
+        f"treatment_n={row['treatment_n']} test={row['test_type']} "
+        f"p={row['p_value']:.4f} effect={row['effect_size']:.4f}"
+    )
+
     print(f"done in {time.time() - t0:.1f}s")
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
