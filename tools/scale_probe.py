@@ -77,14 +77,14 @@ def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     all_stages = (
         "minhash,lsh,setsim,simhash,cc,star,spans,ngram,bpe,clf,quality,"
-        "graphx,doulion,ivfpq,sketch,hotkey,layout,funnel,mixture,pca,embed,negs,"
+        "graphx,doulion,ivfpq,sketch,seqfeat,hotkey,layout,funnel,mixture,pca,embed,negs,"
         "index,dsir"
     )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if stages - {"ivfpq", "sketch", "hotkey", "layout", "mixture", "pca", "negs"}:  # doc-corpus stages
+    if stages - {"ivfpq", "sketch", "seqfeat", "hotkey", "layout", "mixture", "pca", "negs"}:  # doc-corpus stages
         t0 = time.time()
         build_corpus(spark, replicas)
         print(f"corpus: {replicas}x built in {time.time() - t0:.1f}s")
@@ -585,6 +585,57 @@ def main() -> None:
             f"ivf_pq_topk={time.time() - t0:.1f}s vectors={n_vec} "
             f"cells={n_cells} rows={n_rows}"
         )
+
+    if "seqfeat" in stages:
+        # round-10: the M6 trailing-window feature assembly + one
+        # decimal-gradient training round at replicated-events scale. The
+        # window sort is per-user (users scale with replicas — bounded
+        # per-key state), and a gradient round is one map-side-combined
+        # aggregation: both should grow ~linearly with events.
+        from pyspark.sql import functions as F
+
+        from realtime_fraud_detection_spark.ml.sequential import (
+            lagged_sequence_features,
+            train_sequential_scorer,
+        )
+        from realtime_fraud_detection_spark.sources.testdata import load_table
+
+        ev0 = load_table(spark, SF_DIR, "events", fan_out=True)
+        parts = []
+        for r in range(replicas):
+            parts.append(
+                ev0.select(
+                    (F.col("event_id") + r * 100_000_000).alias("event_id"),
+                    "ts",
+                    (F.col("user_id") + r * 10_000_000).alias("user_id"),
+                    (F.col("value") * (1.0 + r / 1000.0)).alias("value"),
+                )
+            )
+        sev = parts[0]
+        for pp in parts[1:]:
+            sev = sev.unionAll(pp)
+        sev = sev.repartition(max(8, replicas)).localCheckpoint()
+        n_sev = sev.count()
+
+        def _seqfeat():
+            t0 = time.time()
+            feats = lagged_sequence_features(
+                sev, "user_id", "ts", "value", "event_id"
+            ).localCheckpoint()
+            n = feats.count()
+            t1 = time.time()
+            feats = feats.withColumn(
+                "label",
+                ((F.col("seq_gap_s") < 300) & (F.col("seq_n") >= 3)).cast("int"),
+            )
+            model = train_sequential_scorer(feats, "label", iters=3)
+            print(
+                f"seqfeat: assemble={t1 - t0:.1f}s rows={n} "
+                f"train3={time.time() - t1:.1f}s "
+                f"w0={model['weights'][0]:.4f} (events={n_sev})"
+            )
+
+        _guarded("seqfeat", _seqfeat)
 
     if "sketch" in stages:
         from pyspark.sql import functions as F
