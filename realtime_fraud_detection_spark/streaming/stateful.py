@@ -621,3 +621,181 @@ def silence_alert_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# M6 online — the trained sequential scorer's feature assembly as a
+# streaming operator: the SAME eight trailing-window features
+# ml/sequential.lagged_sequence_features derives in batch, computed
+# per event from ≤ n rows of keyed state, so a deployed sequence model
+# (score_sequential / the M9 linear artifact) scores the live stream on
+# EXACTLY the features it was trained on. State is bounded by
+# construction (the last n (ts, amount) pairs per user — the 10-step
+# LSTM buffer the reference's config describes, utils/config.py:145-157).
+#
+# Bit-parity discipline: the batch operator computes trailing moments
+# via cast-to-decimal(…,8) sums and 6-dp HALF_UP rounds; both Spark
+# conversions go through the double's SHORTEST decimal representation
+# (BigDecimal.valueOf ≡ Python repr()), so the Python kernel replays
+# them with the decimal module and the streamed features equal the JVM
+# batch operator's bit-for-bit (tests/test_sequence_stream.py — the
+# strongest stream==batch law in the repo: it crosses ENGINES, not just
+# modes). No timeout is registered: state is n rows/key, and
+# timeout-free queries self-terminate under Trigger.AvailableNow.
+# ---------------------------------------------------------------------------
+SEQFEAT_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.StringType()),
+        T.StructField("transaction_id", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("seq_log_value", T.DoubleType()),
+        T.StructField("seq_n", T.DoubleType()),
+        T.StructField("seq_ratio_to_mean", T.DoubleType()),
+        T.StructField("seq_std_ratio", T.DoubleType()),
+        T.StructField("seq_lag1_delta", T.DoubleType()),
+        T.StructField("seq_gap_s", T.DoubleType()),
+        T.StructField("seq_span_s", T.DoubleType()),
+        T.StructField("seq_rate", T.DoubleType()),
+    ]
+)
+_SEQFEAT_STATE = T.StructType(
+    [
+        T.StructField("ts_us", T.ArrayType(T.LongType())),
+        T.StructField("amounts", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def _seq_feature_rows(buf_ts, buf_v, new_ts, new_v, ids, user_id, n):
+    """Replay the JVM feature arithmetic per event (see the block comment):
+    decimal(…,8) trailing sums via the double's shortest repr, IEEE
+    double derivations, 6-dp HALF_UP rounds. Buffers are plain lists
+    (state tuples must be pure-Python); returns the emitted rows and the
+    trimmed buffers."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q8 = Decimal("1E-8")
+    q6 = Decimal("1E-6")
+
+    def dec8(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(q8, rounding=ROUND_HALF_UP)
+
+    def round6(x: float) -> float:
+        return float(Decimal(repr(x)).quantize(q6, rounding=ROUND_HALF_UP))
+
+    rows = []
+    for t_us, v, rid in zip(new_ts, new_v, ids):
+        prev_t = buf_ts[-1] if buf_ts else None
+        prev_v = buf_v[-1] if buf_v else None
+        buf_ts.append(int(t_us))
+        buf_v.append(float(v))
+        if len(buf_ts) > n:
+            del buf_ts[0], buf_v[0]
+        ts_s = t_us / 1e6
+        win_v = buf_v
+        cnt = float(len(win_v))
+        s1 = float(sum((dec8(x) for x in win_v), Decimal(0)))
+        s2 = float(sum((dec8(x * x) for x in win_v), Decimal(0)))
+        mean = s1 / cnt
+        var = max(s2 / cnt - mean * mean, 0.0)
+        gap = (
+            86400.0
+            if prev_t is None
+            else min(ts_s - prev_t / 1e6, 86400.0)
+        )
+        span = ts_s - min(buf_ts) / 1e6
+        rows.append(
+            {
+                "user_id": user_id,
+                "transaction_id": rid,
+                "ts": pd.Timestamp(t_us, unit="us"),
+                "seq_log_value": round6(math.log1p(max(v, 0.0))),
+                "seq_n": cnt,
+                "seq_ratio_to_mean": None if mean == 0 else round6(v / mean),
+                "seq_std_ratio": None
+                if mean == 0
+                else round6(math.sqrt(var) / mean),
+                "seq_lag1_delta": round6(
+                    0.0 if prev_v is None else v - prev_v
+                ),
+                "seq_gap_s": round6(gap),
+                "seq_span_s": round6(span),
+                "seq_rate": round6(cnt / max(span, 1.0)),
+            }
+        )
+    return rows
+
+
+def sequence_feature_fn(n: int = 10):
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        buf_ts, buf_v = ([], []) if not state.exists else (
+            list(state.get[0]),
+            list(state.get[1]),
+        )
+        out: list[dict] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(
+                ["ts", "transaction_id"], kind="mergesort"
+            )
+            out.extend(
+                _seq_feature_rows(
+                    buf_ts,
+                    buf_v,
+                    _ts_us(pdf["ts"]).tolist(),
+                    pdf["amount"].astype("float64").tolist(),
+                    pdf["transaction_id"].tolist(),
+                    user_id,
+                    n,
+                )
+            )
+        state.update((buf_ts, buf_v))
+        yield pd.DataFrame(out, columns=[f.name for f in SEQFEAT_OUTPUT])
+
+    return fn
+
+
+def sequence_feature_stream(tx: DataFrame, n: int = 10) -> DataFrame:
+    """(user_id, transaction_id, ts, amount) stream → per-event trailing
+    sequence features, bit-identical to the batch
+    ml/sequential.lagged_sequence_features (events must arrive in
+    per-user event-time order, the Kafka-partition-per-user contract)."""
+    return (
+        tx.select("user_id", "transaction_id", "ts", "amount")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sequence_feature_fn(n),
+            SEQFEAT_OUTPUT,
+            _SEQFEAT_STATE,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def sequence_feature_batch(tx: DataFrame, n: int = 10) -> DataFrame:
+    """Batch twin via applyInPandas over whole per-user histories — same
+    Python kernel, no state; the bridge in the stream == batch == JVM
+    equality chain."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "transaction_id"], kind="mergesort")
+        rows = _seq_feature_rows(
+            [],
+            [],
+            _ts_us(pdf["ts"]).tolist(),
+            pdf["amount"].astype("float64").tolist(),
+            pdf["transaction_id"].tolist(),
+            pdf["user_id"].iloc[0],
+            n,
+        )
+        return pd.DataFrame(rows, columns=[f.name for f in SEQFEAT_OUTPUT])
+
+    return (
+        tx.select("user_id", "transaction_id", "ts", "amount")
+        .groupBy("user_id")
+        .applyInPandas(fn, SEQFEAT_OUTPUT)
+    )
