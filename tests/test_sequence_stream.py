@@ -111,3 +111,40 @@ def test_streamed_features_score_identically_to_batch(spark, fraud_data):
         ).collect()
     }
     assert a == b
+
+
+def test_kernel_edge_cases_match_jvm_bit_exact(spark):
+    """Adversarial shapes the fixture doesn't hit: zero and negative
+    amounts (log1p clamps at 0; an all-zero window has mean 0 → NULL
+    ratio columns), duplicate timestamps (the id tie-break decides lag),
+    single-event users, and histories longer than the n-row window (the
+    trim boundary)."""
+    rows = []
+    # user a: all-zero amounts, duplicate timestamps
+    for i in range(5):
+        rows.append((f"a{i:02d}", "a", "2024-03-01 10:00:00", 0.0))
+    # user b: negatives and a zero, distinct times
+    for i, v in enumerate([-5.0, 0.0, -0.25, 7.5]):
+        rows.append((f"b{i:02d}", "b", f"2024-03-01 10:0{i}:00", v))
+    # user c: single event
+    rows.append(("c00", "c", "2024-03-02 00:00:00", 123.456))
+    # user d: 25 events → crosses the 10-row trim repeatedly, tiny gaps
+    for i in range(25):
+        rows.append(
+            (f"d{i:02d}", "d", f"2024-03-03 10:00:{i:02d}", float(i * i) / 7)
+        )
+    import pyspark.sql.functions as F
+
+    tx = spark.createDataFrame(
+        rows, "transaction_id string, user_id string, ts string, amount double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    jvm = lagged_sequence_features(
+        tx, "user_id", "ts", "amount", "transaction_id"
+    ).select("transaction_id", *FEATS)
+    twin = ST.sequence_feature_batch(tx).select("transaction_id", *FEATS)
+    g, w = _sorted(twin.toPandas()), _sorted(jvm.toPandas())
+    _assert_frames_bit_equal(g, w)
+    # the all-zero window really exercised the NULL branch
+    a_rows = g[g["transaction_id"].str.startswith("a")]
+    assert a_rows["seq_ratio_to_mean"].isna().all()
