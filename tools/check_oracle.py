@@ -134,6 +134,17 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    # the driver hash-checks only the FIRST 50 queries() entries — an
+    # oracled query past #50 (or a rows-only one inside the window) is a
+    # silently weakened gate, so the preflight fails loudly on it
+    names = list(qs)
+    window, tail = names[:50], names[50:]
+    misplaced = [n for n in window if n not in oracles] + [
+        n for n in tail if n in oracles
+    ]
+    if misplaced:
+        print(f"FAIL  window invariant: misplaced queries {misplaced}")
+        return 1
     failed = []
     checked = 0
     for name, fn in qs.items():
