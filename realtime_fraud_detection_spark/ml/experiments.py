@@ -425,6 +425,73 @@ def analysis_from_moments(agg: DataFrame) -> DataFrame:
     )
 
 
+def experiment_ranking_eval(
+    tagged: DataFrame,
+    score_col: str = "prediction",
+    label_col: str = "actual_fraud",
+) -> DataFrame:
+    """Per-arm RANKING quality for each experiment — what a model A/B
+    actually decides on, beyond the reference's mean-of-metric block:
+    ROC-AUC with its DeLong standard error per (experiment, variant)
+    (ml/evaluation.auc_with_ci — decimal-exact placements, no
+    resampling), then an UNPAIRED two-sample z-test on the AUC
+    difference (arms are disjoint users, so the correlated
+    delong_paired_test would be wrong here):
+    z = (auc_t − auc_c) / √(se_t² + se_c²), p via the same erfc
+    approximation as the mean-metric analysis. One grouped window pass;
+    `rejects_null` gates on each experiment's significance_level.
+
+    `tagged` is assign_variants output with `score_col` and a boolean/
+    0-1 `label_col`. Arms with <2 positives or <2 negatives get null
+    se → null z/p (auc still reported)."""
+    from .evaluation import auc_with_ci
+
+    per = auc_with_ci(
+        tagged.withColumn("_lbl", F.col(label_col).cast("int")),
+        score_col,
+        "_lbl",
+        by=["test_name", "significance_level", "ab_variant"],
+    )
+    wide = (
+        per.groupBy("test_name", "significance_level")
+        .pivot("ab_variant", ["control", "treatment"])
+        .agg(
+            F.first("n").alias("n"),
+            F.first("pos").alias("pos"),
+            F.first("auc").alias("auc"),
+            F.first("se").alias("se"),
+        )
+    )
+    s1 = wide.select(
+        "*",
+        (F.col("treatment_auc") - F.col("control_auc")).alias("_lift"),
+        F.sqrt(
+            F.col("control_se") * F.col("control_se")
+            + F.col("treatment_se") * F.col("treatment_se")
+        ).alias("_se"),
+    )
+    s2 = s1.select(
+        "*",
+        F.when(F.col("_se") > 0, F.col("_lift") / F.col("_se")).alias("_z"),
+    )
+    s3 = s2.select("*", _erfc_half(F.abs(F.col("_z"))).alias("_p"))
+    return s3.select(
+        "test_name",
+        "control_n",
+        "treatment_n",
+        "control_pos",
+        "treatment_pos",
+        "control_auc",
+        "treatment_auc",
+        "control_se",
+        "treatment_se",
+        F.col("_lift").alias("auc_lift"),
+        F.col("_z").alias("z_score"),
+        F.col("_p").alias("p_value"),
+        (F.col("_p") < F.col("significance_level")).alias("rejects_null"),
+    )
+
+
 def export_results(results: DataFrame, test_name: str) -> DataFrame:
     """The reference's export (ab_testing.py:404-427): every recorded
     result row for one experiment, projection-stable."""

@@ -413,3 +413,73 @@ FROM s5_
         )
         want_p = poly * math.exp(-xx * xx)
         assert g["p_value"] == pytest.approx(want_p, abs=5e-7), name
+
+
+# ---------------------------------------------------------------------------
+# Per-arm ranking eval (unpaired DeLong AUC z-test)
+# ---------------------------------------------------------------------------
+def test_ranking_eval_matches_per_arm_auc_and_replay(spark):
+    from realtime_fraud_detection_spark.ml.evaluation import auc_with_ci
+    from realtime_fraud_detection_spark.ml.experiments import (
+        experiment_ranking_eval,
+    )
+
+    tagged = _assigned(spark, "prediction_score")
+    got = experiment_ranking_eval(tagged).collect()[0]
+    per = {
+        r["ab_variant"]: r
+        for r in auc_with_ci(
+            tagged.withColumn("_lbl", F.col("actual_fraud").cast("int")),
+            "prediction",
+            "_lbl",
+            by=["ab_variant"],
+        ).collect()
+    }
+    assert got["control_auc"] == per["control"]["auc"]
+    assert got["treatment_auc"] == per["treatment"]["auc"]
+    assert got["control_se"] == per["control"]["se"]
+    # unpaired z replay
+    lift = per["treatment"]["auc"] - per["control"]["auc"]
+    se = math.sqrt(per["control"]["se"] ** 2 + per["treatment"]["se"] ** 2)
+    assert got["auc_lift"] == pytest.approx(lift, abs=1e-12)
+    assert got["z_score"] == pytest.approx(lift / se, abs=1e-9)
+    assert got["p_value"] == pytest.approx(
+        math.erfc(abs(lift / se) / math.sqrt(2)), abs=2e-7
+    )
+    assert got["rejects_null"] == (got["p_value"] < 0.05)
+
+
+def test_ranking_eval_detects_a_better_challenger(spark):
+    """Treatment scores correlate with the label, control scores are
+    hash noise — the AUC z-test must reject the null; when both arms
+    score with the SAME noise, it must not."""
+    from realtime_fraud_detection_spark.ml.experiments import (
+        experiment_ranking_eval,
+    )
+
+    rows = []
+    for i in range(2000):
+        label = (i * 13) % 4 == 0
+        noise = ((i * i * 57) % 1000) / 1000.0
+        good = 0.7 * (1.0 if label else 0.0) + 0.3 * noise
+        rows.append((i, i, "m", good, noise, label))
+    df = spark.createDataFrame(
+        rows,
+        "transaction_id long, user_id long, model_used string, "
+        "good double, noise double, actual_fraud boolean",
+    )
+    exps = experiments_table(spark, [_cfg("rank")])
+    tagged = assign_variants(df, exps).withColumn(
+        "prediction",
+        F.when(F.col("ab_variant") == "treatment", F.col("good")).otherwise(
+            F.col("noise")
+        ),
+    )
+    strong = experiment_ranking_eval(tagged).collect()[0]
+    assert strong["auc_lift"] > 0.3
+    assert strong["rejects_null"] is True
+
+    null_tagged = tagged.withColumn("prediction", F.col("noise"))
+    null = experiment_ranking_eval(null_tagged).collect()[0]
+    assert abs(null["auc_lift"]) < 0.1
+    assert null["rejects_null"] is False
