@@ -140,12 +140,17 @@ def assign_variants(
     ab_testing.py:119-133) with md5 replacing the process-seeded
     ``hash()`` so assignment is deterministic everywhere. The experiments
     side broadcasts; the fact side never shuffles."""
-    exp = F.broadcast(
-        active_experiments(experiments).select(
-            "test_name", "traffic_split", "success_metric", "min_sample_size",
-            "significance_level",
+    carried = [
+        "test_name", "traffic_split", "success_metric", "min_sample_size",
+        "significance_level",
+    ]
+    clash = [c for c in carried if c in set(df.columns)]
+    if clash:
+        raise ValueError(
+            f"input columns {clash} collide with the experiment-dimension "
+            "columns the cross join carries — rename them first"
         )
-    )
+    exp = F.broadcast(active_experiments(experiments).select(*carried))
     bucket = F.pmod(
         md5_bigint(
             F.concat_ws("_", F.col("test_name"), F.col(user_col).cast("string")),

@@ -483,3 +483,12 @@ def test_ranking_eval_detects_a_better_challenger(spark):
     null = experiment_ranking_eval(null_tagged).collect()[0]
     assert abs(null["auc_lift"]) < 0.1
     assert null["rejects_null"] is False
+
+
+def test_assign_variants_refuses_dimension_column_clash(spark):
+    exps = experiments_table(spark, [_cfg()])
+    poisoned = _results(spark, 20).withColumn(
+        "traffic_split", F.lit(0.9)
+    )
+    with pytest.raises(ValueError, match="collide"):
+        assign_variants(poisoned, exps)
