@@ -37,7 +37,6 @@ HEADLINE = [
     "asof_join",
     "gap_fill",
     "text_features",
-    "doc_fingerprint",
     # round-9 merges: doc_signatures = minhash_signature + simhash,
     # near_dup_pairs = lsh_near_dups + simhash_pairs (oracle-window density)
     "doc_signatures",

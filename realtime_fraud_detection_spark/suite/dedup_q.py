@@ -127,32 +127,7 @@ FROM base
 # per-doc fingerprint count + md5 digest of the sorted set, so the oracle
 # verifies every fingerprint without an exploded row blow-up.
 # ---------------------------------------------------------------------------
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    return D.winnow_digest(docs, "text", "doc_id", k=5, w=4)
 
-
-_WINNOW_H = md5_bigint_sql("substr(t, CAST(i AS INTEGER), 5)", salt="winnow:")
-SQL_DOC_FINGERPRINT = rf"""
-WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
-  FROM documents
-), hashed AS (
-  SELECT doc_id,
-    list_transform(range(1, greatest(length(t) - 5 + 1, 1) + 1), i -> {_WINNOW_H}) AS hs
-  FROM norm
-), winnowed AS (
-  SELECT doc_id,
-    list_sort(list_distinct(
-      list_transform(range(1, greatest(len(hs) - 4 + 1, 1) + 1),
-                     i -> list_min(hs[CAST(i AS INTEGER):CAST(i AS INTEGER)+3])))) AS fps
-  FROM hashed
-)
-SELECT doc_id,
-  len(fps) AS n_fingerprints,
-  md5(array_to_string(list_transform(fps, x -> x::VARCHAR), ',')) AS fp_digest
-FROM winnowed
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -172,10 +147,11 @@ FROM documents GROUP BY 1
 
 # ---------------------------------------------------------------------------
 # Per-doc signature panel: MinHash (shingle → salted-md5 min per
-# permutation) joined with the 16+64-bit SimHash signatures on doc_id —
-# one driver row verifies both signature families (former minhash_signature
-# + simhash queries, merged to keep the 50-entry oracle window dense; all
-# six signature columns are still hash-checked per doc).
+# permutation) joined with the 16+64-bit SimHash signatures AND the
+# winnowing fingerprint digest on doc_id — one driver row verifies all
+# three signature families (former minhash_signature + simhash queries
+# merged r9; doc_fingerprint absorbed r10 — every signature column is
+# still hash-checked per doc; the freed slot promoted `triangles`).
 # ---------------------------------------------------------------------------
 def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
@@ -183,7 +159,8 @@ def q_doc_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc", "doc_id"
     )
     sh = _simhash_sigs(spark, sf_dir).withColumnRenamed("doc", "doc_id")
-    return mh.join(sh, "doc_id")
+    wd = D.winnow_digest(docs, "text", "doc_id", k=5, w=4)
+    return mh.join(sh, "doc_id").join(wd, "doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -207,6 +184,29 @@ _SQL_SIMHASH64_SIG = """CAST(list_sum(list_transform(range(0, 63), j ->
          THEN (-9223372036854775807 - 1) ELSE 0 END"""
 # DuckDB twin of the merged signature panel: the MinHash CTE joined with
 # the 16+64-bit SimHash vote sums on doc_id.
+_WINNOW_H = md5_bigint_sql("substr(t, CAST(i AS INTEGER), 5)", salt="winnow:")
+_SQL_WINNOW_DIGEST = rf"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+), hashed AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(length(t) - 5 + 1, 1) + 1), i -> {_WINNOW_H}) AS hs
+  FROM norm
+), winnowed AS (
+  SELECT doc_id,
+    list_sort(list_distinct(
+      list_transform(range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+                     i -> list_min(hs[CAST(i AS INTEGER):CAST(i AS INTEGER)+3])))) AS fps
+  FROM hashed
+)
+SELECT doc_id,
+  len(fps) AS n_fingerprints,
+  md5(array_to_string(list_transform(fps, x -> x::VARCHAR), ',')) AS fp_digest
+FROM winnowed
+"""
+
+
 SQL_DOC_SIGNATURES = rf"""
 WITH {_SQL_SIG},
 hw AS (
@@ -224,8 +224,10 @@ simsig AS (
     {_SQL_SIMHASH64_SIG} AS simhash64
   FROM hw
 )
-SELECT sig.doc_id, mh0, mh1, mh2, mh3, simhash16, simhash64
+SELECT sig.doc_id, mh0, mh1, mh2, mh3, simhash16, simhash64,
+       wd.n_fingerprints, wd.fp_digest
 FROM sig JOIN simsig USING (doc_id)
+JOIN ({_SQL_WINNOW_DIGEST}) wd USING (doc_id)
 """
 
 
@@ -1210,7 +1212,6 @@ ORDER BY doc_id
 # approximate-by-construction ANN queries are rows-only and go LAST.
 QUERIES = {
     "text_features": q_text_features,
-    "doc_fingerprint": q_doc_fingerprint,
     "exact_dedup": q_exact_dedup,
     "doc_signatures": q_doc_signatures,
     "near_dup_pairs": q_near_dup_pairs,
@@ -1237,7 +1238,6 @@ QUERIES = {
 
 ORACLES = {
     "text_features": SQL_TEXT_FEATURES,
-    "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "exact_dedup": SQL_EXACT_DEDUP,
     "doc_signatures": SQL_DOC_SIGNATURES,
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,

@@ -47,8 +47,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # least 3 times — the affinity threshold keeps the graph sparse and
 # meaningful (without it every user pair shares some k and the graph is
 # complete). Per-user triangle counts are the dense-neighborhood fraud
-# signal. Rows-only (window full); exact DuckDB parity for the same
-# fixture graph is pinned in tests/test_triangles.py.
+# signal. ORACLED since round 10 (the doc_fingerprint absorption freed a
+# window slot): the oracle rebuilds the affinity edges — including the
+# bucket cap, so parity holds even if the cap ever binds — and
+# brute-force-counts triangles with the canonical-orientation 3-way
+# join (the same SQL shape tests/test_triangles.py has pinned on a
+# synthetic graph since round 5). Everything is integer: exact.
 #
 # Edge construction goes through graph.shared_key_edges with
 # max_bucket_size=2000: a hot affinity key with u members emits u²/2
@@ -141,4 +145,32 @@ QUERIES = {
     "communities": q_communities,
 }
 
-ORACLES: dict[str, str] = {}
+SQL_TRIANGLES = f"""
+WITH aff AS (
+  SELECT user_id, json_extract_string(props, '$.k')::INTEGER AS k
+  FROM events
+  GROUP BY user_id, json_extract_string(props, '$.k')::INTEGER
+  HAVING COUNT(*) >= 3
+), keysz AS (
+  SELECT k, COUNT(*) AS sz FROM aff GROUP BY 1
+), kept AS (
+  SELECT a.user_id, a.k
+  FROM aff a JOIN keysz USING (k) WHERE keysz.sz <= {_AFFINITY_CAP}
+), e AS (
+  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+  FROM kept x JOIN kept y ON x.k = y.k AND x.user_id < y.user_id
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1 JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+), corners AS (
+  SELECT x AS v FROM tri UNION ALL
+  SELECT y FROM tri UNION ALL
+  SELECT z FROM tri
+), verts AS (SELECT a AS v FROM e UNION SELECT b FROM e)
+SELECT verts.v, COUNT(corners.v) AS triangles
+FROM verts LEFT JOIN corners ON corners.v = verts.v
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES: dict[str, str] = {"triangles": SQL_TRIANGLES}

@@ -96,9 +96,6 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # iterative power iteration — no SQL form; exact Python replay
         # in tests/test_pagerank.py
         "pagerank",
-        # triangle counting — fixture-graph DuckDB parity in
-        # tests/test_triangles.py (window full; rows-only here)
-        "triangles",
         # LPA communities — iterative, no SQL form; hand-traced parity +
         # determinism in tests/test_label_propagation.py
         "communities",

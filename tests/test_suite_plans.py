@@ -107,11 +107,12 @@ def test_near_dup_pairs_has_no_cartesian_pairing(spark):
     assert "Union" in plan  # both families feed one method-tagged union
 
 
-def test_doc_signatures_single_join(spark):
-    """The merged signature panel is two aggregates joined ONCE on
-    doc_id — a second join node would mean a signature family started
-    recomputing through a self-join instead of reading the shared
-    checkpointed table."""
+def test_doc_signatures_two_joins(spark):
+    """The merged signature panel is three per-doc aggregates (minhash,
+    simhash, winnow digest — the r10 absorption) joined on doc_id:
+    exactly TWO join nodes. A third would mean a signature family
+    started recomputing through a self-join instead of reading the
+    shared checkpointed table."""
     import re
 
     df = all_queries()["doc_signatures"](spark, SF_SMOKE)
@@ -119,7 +120,7 @@ def test_doc_signatures_single_join(spark):
     joins = re.findall(
         r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan
     )
-    assert len(joins) == 1, plan
+    assert len(joins) == 2, plan
 
 
 def test_cm_rollup_probe_side_broadcasts(spark):
