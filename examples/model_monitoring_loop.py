@@ -206,6 +206,26 @@ def main() -> None:
         F.lit(None).cast("boolean").alias("actual_fraud"),
         F.lit(1.0).alias("processing_time_ms"),
     )
+    from realtime_fraud_detection_spark.ml.experiments import (
+        assign_variants,
+        experiment_ranking_eval,
+    )
+
+    labeled = results.join(
+        outcomes.select(
+            F.col("event_id").alias("transaction_id"), "label"
+        ),
+        "transaction_id",
+    ).withColumn("actual_fraud", F.col("label") == 1)
+    rank_row = experiment_ranking_eval(
+        assign_variants(labeled, exps)
+    ).first()
+    print(
+        f"experiment ranking: control_auc={rank_row['control_auc']:.4f} "
+        f"treatment_auc={rank_row['treatment_auc']:.4f} "
+        f"lift={rank_row['auc_lift']:.4f} p={rank_row['p_value']:.4f}"
+    )
+
     exp_writer = experiment_partial_writer(work, exps)
     exp_writer(results.filter(F.col("transaction_id") % 2 == 0), 0)
     exp_writer(results.filter(F.col("transaction_id") % 2 == 1), 1)
