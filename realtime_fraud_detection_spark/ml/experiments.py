@@ -289,11 +289,18 @@ def experiment_analysis(results: DataFrame, experiments: DataFrame) -> DataFrame
 def experiment_moments(results: DataFrame) -> DataFrame:
     """The grouped moment table behind :func:`experiment_analysis`:
     (test_name, success_metric, min_sample_size, significance_level,
-    ab_variant) → (n, _s1, _s2) with EXACT decimal sums. Moments merge
-    losslessly (counts and decimal sums just add), which is what lets
-    streaming/sinks.experiment_partial_writer store per-batch moments
-    and reproduce the batch analysis bit-exactly at rollup."""
+    ab_variant) → (n, _s1, _s2) with EXACT decimal sums, plus every
+    COUNT the reference's per-variant metric block needs (rows, decision
+    counts, processing/prediction sums, labeled confusion cells —
+    ab_testing.py:248-312), all integers/decimals so the table merges
+    losslessly. streaming/sinks.experiment_partial_writer stores these
+    per batch; the rollup reproduces BOTH the statistical analysis and
+    variant_metrics bit-exactly over the whole stream."""
     val = _metric_value()
+    flagged = F.col("decision").isin(*_FLAGGED)
+    cleared = F.col("decision").isin(*_CLEARED)
+    labeled = F.col("actual_fraud").isNotNull()
+    dec = lambda c: F.sum(c.cast("decimal(28,10)"))  # noqa: E731
     tagged = results.withColumn("_v", val)
     return tagged.groupBy(
         "test_name", "success_metric", "min_sample_size",
@@ -302,6 +309,65 @@ def experiment_moments(results: DataFrame) -> DataFrame:
         F.count("_v").alias("n"),
         F.sum(F.col("_v").cast("decimal(28,10)")).alias("_s1"),
         F.sum((F.col("_v") * F.col("_v")).cast("decimal(38,10)")).alias("_s2"),
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(flagged.cast("long")).alias("flagged"),
+        dec(F.col("processing_time_ms")).alias("pt_sum"),
+        dec(F.col("prediction")).alias("pred_sum"),
+        *[
+            F.sum((F.col("decision") == d).cast("long")).alias(f"d_{d.lower()}")
+            for d in (*_CLEARED, *_FLAGGED)
+        ],
+        F.sum(labeled.cast("long")).alias("labeled"),
+        F.sum((labeled & flagged & F.col("actual_fraud")).cast("long")).alias("tp"),
+        F.sum((labeled & flagged & ~F.col("actual_fraud")).cast("long")).alias("fp"),
+        F.sum((labeled & cleared & ~F.col("actual_fraud")).cast("long")).alias("tn"),
+        F.sum((labeled & cleared & F.col("actual_fraud")).cast("long")).alias("fn"),
+    )
+
+
+# every experiment_moments column that merges by plain summation (the
+# grouped keys carry through; used by the streaming rollup)
+MOMENT_SUM_COLS = [
+    "n", "_s1", "_s2", "rows", "flagged", "pt_sum", "pred_sum",
+    "d_approve", "d_approve_with_monitoring", "d_review", "d_decline",
+    "labeled", "tp", "fp", "tn", "fn",
+]
+
+
+def metrics_from_moments(moments: DataFrame) -> DataFrame:
+    """The reference's per-variant metric block (ab_testing.py:248-312)
+    derived from the (merged) moment table — same columns and arithmetic
+    as :func:`variant_metrics`, but computable from stored partials
+    without the raw results."""
+    n = F.col("rows").cast("double")
+    precision = F.when(
+        F.col("tp") + F.col("fp") > 0, F.col("tp") / (F.col("tp") + F.col("fp"))
+    ).otherwise(F.lit(0.0))
+    recall = F.when(
+        F.col("tp") + F.col("fn") > 0, F.col("tp") / (F.col("tp") + F.col("fn"))
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        precision + recall > 0, 2 * precision * recall / (precision + recall)
+    ).otherwise(F.lit(0.0))
+    return moments.select(
+        "test_name",
+        "ab_variant",
+        F.col("rows").alias("n"),
+        (F.col("flagged") / n).alias("fraud_detection_rate"),
+        (F.col("pt_sum").cast("double") / n).alias("avg_processing_time_ms"),
+        (F.col("pred_sum").cast("double") / n).alias("avg_prediction_score"),
+        *[
+            (F.col(f"d_{d.lower()}") / n).alias(f"{d.lower()}_rate")
+            for d in (*_CLEARED, *_FLAGGED)
+        ],
+        F.col("labeled").alias("labeled_samples"),
+        F.when(F.col("labeled") > 0, precision).alias("precision"),
+        F.when(F.col("labeled") > 0, recall).alias("recall"),
+        F.when(F.col("labeled") > 0, f1).alias("f1_score"),
+        F.when(
+            F.col("labeled") > 0,
+            (F.col("tp") + F.col("tn")) / F.col("labeled"),
+        ).alias("accuracy"),
     )
 
 

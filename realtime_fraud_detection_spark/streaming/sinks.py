@@ -654,27 +654,39 @@ def experiment_partial_writer(
     return write
 
 
-def experiment_rollup_view(spark, out_dir: str) -> DataFrame:
-    """Whole-stream experiment analysis from the streamed moment
-    partials: sum the moments across batches (lossless — decimal adds),
-    then run the same staged statistical block the batch path uses. One
-    row per experiment; bit-identical to experiment_analysis over the
-    union of all batches."""
-    from ..ml.experiments import analysis_from_moments
+def _merged_experiment_moments(spark, out_dir: str) -> DataFrame:
+    from ..ml.experiments import MOMENT_SUM_COLS
 
-    merged = (
+    return (
         spark.read.parquet(os.path.join(out_dir, "experiment_partials"))
         .groupBy(
             "test_name", "success_metric", "min_sample_size",
             "significance_level", "ab_variant",
         )
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("_s1").alias("_s1"),
-            F.sum("_s2").alias("_s2"),
-        )
+        .agg(*[F.sum(c).alias(c) for c in MOMENT_SUM_COLS])
     )
-    return analysis_from_moments(merged)
+
+
+def experiment_rollup_view(spark, out_dir: str) -> DataFrame:
+    """Whole-stream experiment analysis from the streamed moment
+    partials: sum the moments across batches (lossless — counts and
+    decimal sums add), then run the same staged statistical block the
+    batch path uses. One row per experiment; bit-identical to
+    experiment_analysis over the union of all batches."""
+    from ..ml.experiments import analysis_from_moments
+
+    return analysis_from_moments(_merged_experiment_moments(spark, out_dir))
+
+
+def experiment_metrics_view(spark, out_dir: str) -> DataFrame:
+    """The reference's per-variant metric block (decision rates, mean
+    score/latency, labeled precision/recall/f1/accuracy —
+    ab_testing.py:248-312) over the whole stream, from the SAME stored
+    moments: bit-identical to ml/experiments.variant_metrics on the
+    union of all batches (every ingredient is a summable count)."""
+    from ..ml.experiments import metrics_from_moments
+
+    return metrics_from_moments(_merged_experiment_moments(spark, out_dir))
 
 
 def search_index_writer(

@@ -121,3 +121,29 @@ def test_store_is_moment_sized(spark, tmp_path):
     store = spark.read.parquet(os.path.join(out, "experiment_partials"))
     # ≤ |experiments| × 2 variants rows per batch, whatever the batch size
     assert store.count() <= 4
+
+
+def test_streamed_metric_block_equals_batch_bit_exact(spark, tmp_path):
+    """The per-variant metric block (decision rates, means, labeled
+    confusion metrics) derived from the streamed moments must equal the
+    batch variant_metrics over the union bit-exactly — every ingredient
+    is a summable count or decimal sum."""
+    from realtime_fraud_detection_spark.ml.experiments import (
+        variant_metrics,
+    )
+    from realtime_fraud_detection_spark.streaming.sinks import (
+        experiment_metrics_view,
+    )
+
+    results = _results(spark, 500)
+    exps = _exps(spark)
+    out = str(tmp_path / "out")
+    writer = experiment_partial_writer(out, exps)
+    writer(results.filter(F.col("transaction_id") % 3 == 0), 0)
+    writer(results.filter(F.col("transaction_id") % 3 == 1), 1)
+    writer(results.filter(F.col("transaction_id") % 3 == 2), 2)
+
+    streamed = _rows(experiment_metrics_view(spark, out))
+    batch = _rows(variant_metrics(assign_variants(results, exps)))
+    assert streamed == batch
+    assert len(streamed) == 4  # 2 experiments x 2 arms
