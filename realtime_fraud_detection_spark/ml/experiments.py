@@ -373,7 +373,14 @@ def metrics_from_moments(moments: DataFrame) -> DataFrame:
 
 def analysis_from_moments(agg: DataFrame) -> DataFrame:
     """The statistical block from an (already grouped or rolled-up)
-    moment table — see :func:`experiment_analysis` for the columns."""
+    moment table — see :func:`experiment_analysis` for the columns.
+
+    Gating matches the reference exactly (ab_testing.py:222 then :325-326):
+    the 100-sample floor counts per-arm RESULT rows (`rows`), not metric
+    samples — for success_metric='precision' only flagged rows carry a
+    value, and the reference still analyzes once each arm has 100
+    results; a second guard nulls the block when an arm has ZERO metric
+    values (the reference's 'Insufficient data' error branch)."""
     wide = (
         agg.groupBy(
             "test_name", "success_metric", "min_sample_size",
@@ -384,6 +391,7 @@ def analysis_from_moments(agg: DataFrame) -> DataFrame:
             F.first("n").alias("n"),
             F.first("_s1").alias("s1"),
             F.first("_s2").alias("s2"),
+            F.first("rows").alias("rows"),
         )
     )
     # Staged selects: every derived statistic is bound as a COLUMN before
@@ -459,13 +467,20 @@ def analysis_from_moments(agg: DataFrame) -> DataFrame:
         ).alias("_absstat"),
     )
     s6 = s5.select("*", _erfc_half(F.col("_absstat")).alias("_pval"))
-    gated = (F.col("control_n") >= 100) & (F.col("treatment_n") >= 100)
+    gated = (
+        (F.col("control_rows") >= 100)
+        & (F.col("treatment_rows") >= 100)
+        & (F.col("control_n") >= 1)
+        & (F.col("treatment_n") >= 1)
+    )
     g = lambda c: F.when(gated, c)  # noqa: E731
     return s6.select(
         "test_name",
         F.col("success_metric").alias("metric"),
         "control_n",
         "treatment_n",
+        "control_rows",
+        "treatment_rows",
         g(F.col("_cmean")).alias("control_mean"),
         g(F.col("_tmean")).alias("treatment_mean"),
         g(F.sqrt(F.greatest(F.col("_cvar"), F.lit(0.0)))).alias("control_std"),
@@ -490,8 +505,8 @@ def analysis_from_moments(agg: DataFrame) -> DataFrame:
         g(F.col("_pval")).alias("p_value"),
         g(F.col("_pval") < F.col("significance_level")).alias("rejects_null"),
         (
-            (F.col("control_n") >= F.col("min_sample_size"))
-            & (F.col("treatment_n") >= F.col("min_sample_size"))
+            (F.col("control_rows") >= F.col("min_sample_size"))
+            & (F.col("treatment_rows") >= F.col("min_sample_size"))
         ).alias("meets_min_samples"),
     )
 

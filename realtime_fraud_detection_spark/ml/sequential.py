@@ -138,8 +138,15 @@ def train_sequential_scorer(
     partitioning produce bit-identical weights."""
     cols = feature_cols or SEQ_FEATURES
     means, scales, n = _standardization(feats, cols)
+    # NULL features (e.g. seq_ratio_to_mean when a user's trailing mean
+    # is 0) coalesce to 0.0 — the standardized mean — instead of nulling
+    # the whole margin, which would silently drop the row from every
+    # gradient sum while n still counts it (a quiet gradient bias on
+    # degenerate inputs).
     z = [
-        ((F.col(c).cast("double") - means[i]) / scales[i]).alias(f"_z{i}")
+        F.coalesce(
+            (F.col(c).cast("double") - means[i]) / scales[i], F.lit(0.0)
+        ).alias(f"_z{i}")
         for i, c in enumerate(cols)
     ]
     # eager checkpoint materializes in its own job; n came with the

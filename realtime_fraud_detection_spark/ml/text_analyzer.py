@@ -165,10 +165,13 @@ def analyze_text_fields(
     )
     total = F.lit(0.0)
     wsum = F.lit(0.0)
+    _srcs = {
+        "merchant_name_risk": merchant_col,
+        "description_risk": description_col,
+        "combined_text_risk": None,
+    }
     for field, (src, w) in {
-        "merchant_name_risk": (merchant_col, 0.4),
-        "description_risk": (description_col, 0.3),
-        "combined_text_risk": (None, 0.3),
+        f: (_srcs[f], w) for f, w in FIELD_WEIGHTS.items()
     }.items():
         present = (
             F.lit(True)

@@ -151,8 +151,15 @@ def test_precision_metric_counts_only_flagged_rows(spark):
             per[r["ab_variant"]].append(1.0 if r["actual_fraud"] else 0.0)
     assert got["control_n"] == len(per["control"])
     assert got["treatment_n"] == len(per["treatment"])
-    if got["control_n"] >= 100 and got["treatment_n"] >= 100:
-        assert got["control_mean"] == pytest.approx(np.mean(per["control"]), abs=1e-9)
+    # the 100-sample gate counts per-arm RESULT rows (ab_testing.py:222),
+    # not metric samples — with 400 results both arms clear it, so the
+    # block is analyzed even if fewer than 100 rows carry a metric value
+    byv = {"control": 0, "treatment": 0}
+    for r in rows:
+        byv[r["ab_variant"]] += 1
+    assert got["control_rows"] == byv["control"] >= 100
+    assert got["treatment_rows"] == byv["treatment"] >= 100
+    assert got["control_mean"] == pytest.approx(np.mean(per["control"]), abs=1e-9)
 
 
 # ---------------------------------------------------------------------------

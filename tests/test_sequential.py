@@ -74,6 +74,41 @@ def test_holdout_auc_beats_dummy(spark, fraud_data):
     assert abs(w["seq_rate"]) > 0.1 and abs(w["seq_gap_s"]) > 0.1
 
 
+def test_null_feature_rows_stay_in_gradient(spark):
+    """A NULL feature (seq_ratio_to_mean when a user's trailing mean is 0)
+    coalesces to 0.0 — the standardized mean — instead of nulling the whole
+    margin, which silently dropped the row from EVERY gradient sum while n
+    still counted it. Replay of the first Adagrad step: at w=0 the margin
+    is the bias alone, so resid = 0.5 − y for every row and the bias
+    gradient is sum(0.5 − y)/n over ALL rows. The NULL-feature rows are
+    all labeled 1 here, so the old dropped-row behavior would shift the
+    sum by +20 and the assertion catches it."""
+    import math
+
+    rows = [
+        # value 0.0 everywhere for user "z" → trailing mean 0 → NULL ratio;
+        # those 40 rows all get label 1
+        (i, "z" if i % 3 == 0 else f"u{i % 5}",
+         f"2024-03-01 10:{i % 60:02d}:{(7 * i) % 60:02d}",
+         0.0 if i % 3 == 0 else float(10 + i % 40),
+         1 if i % 3 == 0 else i % 2)
+        for i in range(1, 121)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id string, ts string, value double, label int"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    feats = lagged_sequence_features(df, "user_id", "ts", "value")
+    nulls = feats.filter(F.col("seq_ratio_to_mean").isNull())
+    n_null = nulls.count()
+    assert n_null > 0  # the degenerate case is actually exercised
+    assert nulls.filter(F.col("label") != 1).count() == 0
+    m = train_sequential_scorer(feats, "label", iters=1, lr=0.5)
+    ys = [r["label"] for r in feats.select("label").collect()]
+    gb = sum(0.5 - y for y in ys) / len(ys)  # ±0.5 terms: exact in float
+    want_b = -0.5 * gb / math.sqrt(1e-12 + gb * gb)
+    assert m["bias"] == pytest.approx(want_b, rel=1e-9)
+
+
 def test_training_bit_deterministic(spark, fraud_data):
     feats = _feats(fraud_data)
     m1 = train_sequential_scorer(feats, "label", iters=8)
