@@ -52,7 +52,9 @@ HEADLINE = [
     "embedding_near_dups",
     "ann_topk",
     "ann_int8",
-    "sketch_rollup",
+    # round-11 merge: sketch_panel = sketch_rollup + quantile_rollup
+    # (HLL distinct + DDSketch quantiles, method-tagged)
+    "sketch_panel",
     # round-5: previously unbenched families (regressions were invisible)
     "ann_lsh",
     "ann_ivf",
@@ -72,13 +74,9 @@ HEADLINE = [
     # round-6: dimension maintenance (changelog compaction + SCD2 +
     # versioned as-of enrichment in one query)
     "scd2_enrich",
-    # round-6: DDSketch percentile rollups (quantile dual of sketch_rollup)
-    # + Misra–Gries heavy-hitter rollups — the stored-partials sketch family
-    "quantile_rollup",
-    "heavy_hitters",
-    # round-9: Count-Min point-frequency rollups (upper-bound dual of the
-    # Misra–Gries lower bounds — the fourth stored-partials sketch)
-    "cm_rollup",
+    # round-11 merge: count_brackets = heavy_hitters + cm_rollup — the
+    # MG lower / CM upper count-bracket pair, still bit-exact oracled
+    "count_brackets",
     # round-6: isotonic score calibration (fit + reliability table)
     "score_calibration",
     # round-6: LPA communities (density structure vs CC connectivity)
@@ -106,6 +104,13 @@ HEADLINE = [
     "ab_experiments",
     "merchant_updates",
     "sequence_scores",
+    # round-11: exact-Jaccard self-join (prefix-filtered AllPairs,
+    # promoted into the oracle window), k-core peeling over the purchase
+    # graph (driver-loop query — scales with job_floor_ms), and the
+    # multimodal decode/feature panel (two Arrow mapInPandas stages)
+    "jaccard_pairs",
+    "k_core",
+    "multimodal_features",
 ]
 
 # Iterative queries (CC / power-iteration loops) have documented ±2 s
@@ -119,6 +124,7 @@ ITERATIVE = {
     "ann_pq_serve",
     "communities",
     "ngram_lm_serve",
+    "k_core",
 }
 
 # Uniform timing semantics (round-7 verdict finding 2) — every recorded

@@ -26,6 +26,7 @@ from . import (
     graph_q,
     joins_q,
     mlops_q,
+    multimodal_q,
     relational,
     sketches_q,
     textml_q,
@@ -51,6 +52,7 @@ _MODULES = [
     dimensions_q,
     timeseries_q,
     mlops_q,
+    multimodal_q,
 ]
 
 

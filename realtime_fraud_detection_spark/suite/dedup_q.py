@@ -263,7 +263,18 @@ def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.col("hamming").cast("double").alias("score"),
     )
-    return lsh.unionByName(sh)
+    # winnowing fingerprint overlap — absorbed r11 (former winnow_pairs
+    # slot, freed for the promoted jaccard_pairs); score = shared
+    # fingerprint count, integer-exact
+    wn = D.winnow_candidate_pairs(
+        docs, "text", "doc_id", min_shared=20, max_doc_freq=100
+    ).select(
+        F.lit("winnow_shared").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("shared_fingerprints").cast("double").alias("score"),
+    )
+    return lsh.unionByName(sh).unionByName(wn)
 
 
 SQL_NEAR_DUP_PAIRS = rf"""
@@ -286,6 +297,26 @@ hw AS (
   FROM documents
 ), sigs AS (
   SELECT doc_id, {_SQL_SIMHASH64_SIG} AS sig FROM hw
+),
+wnorm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+  FROM documents
+), whashed AS (
+  SELECT doc_id,
+    list_transform(range(1, greatest(length(t) - 5 + 1, 1) + 1), i -> {_WINNOW_H}) AS hs
+  FROM wnorm
+), wwinnowed AS (
+  SELECT doc_id,
+    list_sort(list_distinct(
+      list_transform(range(1, greatest(len(hs) - 4 + 1, 1) + 1),
+                     i -> list_min(hs[CAST(i AS INTEGER):CAST(i AS INTEGER)+3])))) AS fps
+  FROM whashed
+), wfp AS (
+  SELECT doc_id AS doc, unnest(fps) AS fp FROM wwinnowed
+), whot AS (
+  SELECT fp FROM wfp GROUP BY fp HAVING COUNT(*) > 100
+), wkept AS (
+  SELECT doc, fp FROM wfp ANTI JOIN whot USING (fp)
 )
 SELECT 'lsh_jaccard' AS method, doc_a, doc_b,
        ROUND(len(list_intersect(a.s, b.s))::DOUBLE / len(list_distinct(a.s || b.s))::DOUBLE, 6) AS score
@@ -296,6 +327,12 @@ SELECT 'simhash_hamming' AS method, a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.sig, b.sig)) AS DOUBLE) AS score
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.sig, b.sig)) <= 4
+UNION ALL
+SELECT 'winnow_shared' AS method, a.doc AS doc_a, b.doc AS doc_b,
+       CAST(COUNT(*) AS DOUBLE) AS score
+FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc < b.doc
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 20
 """
 
 
@@ -697,41 +734,45 @@ SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
 
 
 # ---------------------------------------------------------------------------
-# Winnowing fingerprint-overlap near-dup pairs: explode fps → IDF-style
-# doc-frequency pruning → fingerprint equi-join, counted per pair.
+# EXACT n-gram-Jaccard self-join (operators/setsim.py AllPairs/PPJoin):
+# every (doc_a, doc_b) pair with distinct-shingle Jaccard >= 0.6 — prefix-
+# filtered candidates (rarest-token prefix index, never all-pairs), then
+# candidates-only exact verification. Promoted into the oracle window
+# r11 (the winnow_pairs absorption freed the slot): the jaccard value is
+# a pure int/int double division — bit-exact in any IEEE engine, no
+# rounding needed. The DuckDB twin counts shared distinct shingles via
+# the unnest equi-join (|A∪B| = |A|+|B|−|A∩B|), so it too never goes
+# all-pairs. Brute-force set equality for the operator itself is pinned
+# in tests/test_setsim.py.
 # ---------------------------------------------------------------------------
-def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+_JACCARD_T = 0.6
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setsim import jaccard_similarity_join
+
     docs = _docs(spark, sf_dir)
-    return D.winnow_candidate_pairs(
-        docs, "text", "doc_id", min_shared=20, max_doc_freq=100
+    return jaccard_similarity_join(
+        docs, "text", "doc_id", threshold=_JACCARD_T, shingle_k=3
     )
 
 
-SQL_WINNOW_PAIRS = rf"""
-WITH norm AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
-  FROM documents
-), hashed AS (
-  SELECT doc_id,
-    list_transform(range(1, greatest(length(t) - 5 + 1, 1) + 1), i -> {_WINNOW_H}) AS hs
-  FROM norm
-), winnowed AS (
-  SELECT doc_id,
-    list_sort(list_distinct(
-      list_transform(range(1, greatest(len(hs) - 4 + 1, 1) + 1),
-                     i -> list_min(hs[CAST(i AS INTEGER):CAST(i AS INTEGER)+3])))) AS fps
-  FROM hashed
-), fp AS (
-  SELECT doc_id AS doc, unnest(fps) AS fp FROM winnowed
-), hot AS (
-  SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) > 100
-), kept AS (
-  SELECT doc, fp FROM fp ANTI JOIN hot USING (fp)
+SQL_JACCARD_PAIRS = rf"""
+WITH shing AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s
+  FROM (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents)
+), ex AS (
+  SELECT doc_id AS doc, unnest(s) AS sh, len(s) AS sz FROM shing
+), inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i,
+         MAX(a.sz) AS sa, MAX(b.sz) AS sb
+  FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc < b.doc
+  GROUP BY 1, 2
 )
-SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS shared_fingerprints
-FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc < b.doc
-GROUP BY 1, 2
-HAVING COUNT(*) >= 20
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) AS jaccard
+FROM inter
+WHERE CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) >= {_JACCARD_T - 1e-9!r}
 """
 
 
@@ -1217,7 +1258,7 @@ QUERIES = {
     "near_dup_pairs": q_near_dup_pairs,
     "embedding_near_dups": q_embedding_near_dups,
     "ann_topk": q_ann_topk,
-    "winnow_pairs": q_winnow_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
     "dedup_clusters": q_dedup_clusters,
     "quality_filters": q_quality_filters,
     "sample_pack": q_sample_pack,
@@ -1243,7 +1284,7 @@ ORACLES = {
     "near_dup_pairs": SQL_NEAR_DUP_PAIRS,
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "ann_topk": SQL_ANN_TOPK,
-    "winnow_pairs": SQL_WINNOW_PAIRS,
+    "jaccard_pairs": SQL_JACCARD_PAIRS,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "quality_filters": SQL_QUALITY_FILTERS,
     "sample_pack": SQL_SAMPLE_PACK,

@@ -13,12 +13,10 @@ from ..sources.testdata import load_table
 # PageRank over the customer→supplier purchase graph (who funnels demand
 # to whom): deterministic ranks (decimal-summed power iteration), top-25
 # by rank with id tie-break.
-def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.graph import pagerank
-
+def _purchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    edges = (
+    return (
         orders.select("o_orderkey", "o_custkey")
         .join(lineitem.select("l_orderkey", "l_suppkey"),
               F.col("o_orderkey") == F.col("l_orderkey"))
@@ -30,7 +28,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    pr = pagerank(edges, iters=8)
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    pr = pagerank(_purchase_edges(spark, sf_dir), iters=8)
     return (
         pr.select(
             "v",
@@ -139,10 +142,31 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# k-core membership over the customer↔supplier purchase graph (the same
+# edges as q_pagerank): the recursive-degree density filter (Seidman
+# 1983) that separates mutually-reinforced dense regions from degree
+# piles. The user-affinity graph q_triangles uses is tree-like at the
+# smallest fixture (even its 2-core is empty), so the peel runs on the
+# denser bipartite purchase graph instead. Two peels (k=4, k=8) in one
+# tagged frame. Rows-only (iterative peeling, no SQL twin); the peel has
+# exact replay parity in tests/test_kcore.py, and everything is integer
+# — determinism is free.
+def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import k_core
+
+    edges = _purchase_edges(spark, sf_dir)
+    out = None
+    for k in (4, 8):
+        core = k_core(edges, k).select(F.lit(k).alias("k"), "v")
+        out = core if out is None else out.unionByName(core)
+    return out.orderBy("k", "v")
+
+
 QUERIES = {
     "pagerank": q_pagerank,
     "triangles": q_triangles,
     "communities": q_communities,
+    "k_core": q_k_core,
 }
 
 SQL_TRIANGLES = f"""

@@ -98,11 +98,63 @@ def q_cm_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round-11 panel merges (oracle-window density, same discipline as the
+# doc_signatures/near_dup_pairs merges):
+#   * count_brackets = heavy_hitters ∪ cm_rollup, method-tagged — the
+#     MG daily heavy-hitter LOWER bounds and the CM point-frequency UPPER
+#     bounds that together bracket every count (the certification
+#     tests/test_count_min.py::test_count_brackets pins). Both halves
+#     are integer+md5 only, so the merged query stays bit-exact ORACLED
+#     (the union of the two r10 oracles) in ONE window slot, freeing a
+#     slot for the promoted scd2_enrich.
+#   * sketch_panel = sketch_rollup ∪ quantile_rollup, method-tagged —
+#     the two estimate-valued sketch rollups (HLL distinct users,
+#     DDSketch value quantiles) over the same day grain; rows-only for
+#     the same reasons as the halves (different HLL impl than DuckDB;
+#     transcendental bucket boundary).
+# ---------------------------------------------------------------------------
+def q_count_brackets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mg = q_heavy_hitters(spark, sf_dir)
+    cm = q_cm_rollup(spark, sf_dir)
+    return (
+        mg.select(F.lit("mg_lower").alias("method"), "day", "item", "cnt", "n")
+        .unionByName(
+            cm.select(
+                F.lit("cm_upper").alias("method"),
+                "day",
+                F.col("user_id").alias("item"),
+                F.col("est").alias("cnt"),
+                F.lit(None).cast("long").alias("n"),
+            )
+        )
+        .orderBy("method", "day", F.col("cnt").desc(), "item")
+    )
+
+
+def q_sketch_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hll = q_sketch_rollup(spark, sf_dir).select(
+        F.lit("hll").alias("method"),
+        "day",
+        F.lit("distinct_users").alias("metric"),
+        F.col("users_est").cast("double").alias("value"),
+    )
+    dds = q_quantile_rollup(spark, sf_dir)
+    quant = None
+    for m in ("p50", "p95", "p99"):
+        part = dds.select(
+            F.lit("ddsketch").alias("method"),
+            "day",
+            F.lit(m).alias("metric"),
+            F.col(m).cast("double").alias("value"),
+        )
+        quant = part if quant is None else quant.unionByName(part)
+    return hll.unionByName(quant).orderBy("method", "day", "metric")
+
+
 QUERIES = {
-    "sketch_rollup": q_sketch_rollup,
-    "quantile_rollup": q_quantile_rollup,
-    "heavy_hitters": q_heavy_hitters,
-    "cm_rollup": q_cm_rollup,
+    "sketch_panel": q_sketch_panel,
+    "count_brackets": q_count_brackets,
 }
 
 
@@ -195,7 +247,22 @@ ORDER BY 1, 2
 """
 
 
+def _sql_count_brackets() -> str:
+    """Union of the two r10 oracles, method-tagged — each half keeps its
+    bit-exact SQL unchanged (MG compress simulation / CM grid build);
+    subquery ORDER BYs are dropped (the driver hash sorts rows)."""
+    mg = SQL_HEAVY_HITTERS.rsplit("ORDER BY", 1)[0]
+    cm = _sql_cm_rollup().rsplit("ORDER BY", 1)[0]
+    return f"""
+SELECT 'mg_lower' AS method, day, item, cnt, n FROM ({mg})
+UNION ALL
+SELECT 'cm_upper' AS method, day, user_id AS item, est AS cnt,
+       CAST(NULL AS BIGINT) AS n
+FROM ({cm})
+ORDER BY method, day, cnt DESC, item
+"""
+
+
 ORACLES: dict[str, str] = {
-    "heavy_hitters": SQL_HEAVY_HITTERS,
-    "cm_rollup": _sql_cm_rollup(),
+    "count_brackets": _sql_count_brackets(),
 }

@@ -83,13 +83,11 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # persisted-LM broadcast scoring twin — roundtrip + pruned
         # brute-force parity in tests/test_ngram_io.py
         "ngram_lm_serve",
-        # DataSketches HLL estimates have no DuckDB twin; accuracy +
-        # mergeability law pinned in tests/test_sketches.py
-        "sketch_rollup",
-        # DDSketch bucket boundary is transcendental (ceil(ln x / ln γ));
-        # α-relative-error + bit-exact mergeability pinned in
-        # tests/test_quantile_sketch.py
-        "quantile_rollup",
+        # HLL ∪ DDSketch rollup panel: DataSketches HLL estimates have no
+        # DuckDB twin and the DDSketch bucket boundary is transcendental
+        # (ceil(ln x / ln γ)); accuracy + mergeability laws pinned in
+        # tests/test_sketches.py / tests/test_quantile_sketch.py
+        "sketch_panel",
         # isotonic calibration — MLlib PAV fit, no SQL twin; Brier/
         # monotonicity/persistence pinned in tests/test_calibration.py
         "score_calibration",
@@ -99,11 +97,13 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # LPA communities — iterative, no SQL form; hand-traced parity +
         # determinism in tests/test_label_propagation.py
         "communities",
-        # changelog compaction / SCD2 / versioned enrichment — window
-        # full; latest-wins + brute-force as-of parity in
-        # tests/test_dimensions.py (the as-of kernel itself is oracled
-        # via the asof_join entry)
-        "scd2_enrich",
+        # iterative k-core peeling — no SQL form; exact replay parity in
+        # tests/test_kcore.py
+        "k_core",
+        # multimodal decode/feature extraction — seeded deterministic
+        # decode fakes (no codecs in container), no SQL twin; payload-
+        # pruning + batch-shape laws in tests/test_multimodal.py
+        "multimodal_features",
         # time-decayed running sums — transcendental 2^x weights;
         # brute-force replay parity in tests/test_time_decay.py
         "decayed_velocity",
