@@ -102,16 +102,26 @@ def lagged_sequence_features(
 
 
 def _standardization(
-    feats: DataFrame, cols: list[str]
-) -> tuple[list, list, int]:
+    feats: DataFrame, cols: list[str], label_col: str | None = None
+) -> tuple[list, list, int, list | None, float | None]:
     """Per-feature mean/scale (and the row count, so the trainer doesn't
-    pay a separate count job) from one exact-decimal aggregation."""
+    pay a separate count job) from one exact-decimal aggregation. With
+    `label_col` the SAME aggregation also collects Σy and the Σxᵢ·y cross
+    moments — everything a closed-form warm start needs, at zero extra
+    jobs (returned as (means, scales, n, cross, ybar); cross[i] = exact
+    Σ xᵢ·y / n)."""
     aggs = []
     for c in cols:
         v = F.col(c).cast("double")
         aggs.append(F.sum(v.cast("decimal(38,8)")).alias(f"_s1_{c}"))
         aggs.append(F.sum((v * v).cast("decimal(38,8)")).alias(f"_s2_{c}"))
     aggs.append(F.count(F.lit(1)).alias("_n"))
+    if label_col is not None:
+        y = F.col(label_col).cast("double")
+        aggs.append(F.sum(y.cast("decimal(38,8)")).alias("_sy"))
+        for c in cols:
+            v = F.col(c).cast("double")
+            aggs.append(F.sum((v * y).cast("decimal(38,8)")).alias(f"_sxy_{c}"))
     row = feats.agg(*aggs).collect()[0]
     n = float(row["_n"])
     means, scales = [], []
@@ -120,7 +130,10 @@ def _standardization(
         var = max(float(row[f"_s2_{c}"]) / n - m * m, 0.0)
         means.append(m)
         scales.append(math.sqrt(var) if var > 1e-24 else 1.0)
-    return means, scales, int(row["_n"])
+    if label_col is None:
+        return means, scales, int(row["_n"]), None, None
+    cross = [float(row[f"_sxy_{c}"]) / n for c in cols]
+    return means, scales, int(row["_n"]), cross, float(row["_sy"]) / n
 
 
 def train_sequential_scorer(
@@ -129,15 +142,29 @@ def train_sequential_scorer(
     feature_cols: list[str] | None = None,
     iters: int = 30,
     lr: float = 0.5,
+    warm_start: bool = False,
 ) -> dict:
     """Distributed full-batch logistic regression: per round, ONE
     aggregation of d+1 exact decimal sums (residual and residual×feature)
     over the localCheckpoint'd standardized frame; Adagrad per-coordinate
     steps on the driver. Deterministic: decimal sums are
     order-independent, the driver arithmetic is pure — two fits on any
-    partitioning produce bit-identical weights."""
+    partitioning produce bit-identical weights.
+
+    `warm_start=True` initializes from a CLOSED-FORM Newton step at w=0
+    instead of zeros — b₀ = logit(ȳ) and wᵢ = mean(zᵢ·(y−ȳ)) / (ȳ(1−ȳ))
+    (for standardized features the Hessian at the base rate is
+    ≈ ȳ(1−ȳ)·I, so this is the diagonal-Newton probe). The cross
+    moments ride in the SAME standardization aggregation (zero extra
+    jobs), so the warm fit reaches the cold fit's holdout quality in
+    roughly half the gradient rounds — each round is one scheduled job,
+    which is the whole cost of this query at bench scale (SCALE.md's
+    sequence_scores A/B table). Still bit-deterministic: the init is a
+    pure function of exact decimal sums."""
     cols = feature_cols or SEQ_FEATURES
-    means, scales, n = _standardization(feats, cols)
+    means, scales, n, cross, ybar = _standardization(
+        feats, cols, label_col=label_col if warm_start else None
+    )
     # NULL features (e.g. seq_ratio_to_mean when a user's trailing mean
     # is 0) coalesce to 0.0 — the standardized mean — instead of nulling
     # the whole margin, which would silently drop the row from every
@@ -157,6 +184,15 @@ def train_sequential_scorer(
     d = len(cols)
     w = [0.0] * d
     b = 0.0
+    if warm_start:
+        p = min(max(ybar, 1e-6), 1.0 - 1e-6)
+        b = math.log(p / (1.0 - p))
+        h = p * (1.0 - p)
+        for i in range(d):
+            # mean(zᵢ·(y−ȳ)) = (Σxᵢy/n − mᵢ·ȳ)/sᵢ from the exact moments;
+            # damped 0.5× because the diagonal Hessian ignores feature
+            # correlations (full Newton would overshoot correlated dims)
+            w[i] = 0.5 * ((cross[i] - means[i] * ybar) / scales[i]) / h
     gw2 = [1e-12] * d
     gb2 = 1e-12
     for _ in range(iters):
@@ -186,6 +222,7 @@ def train_sequential_scorer(
         "bias": b,
         "iters": iters,
         "lr": lr,
+        "warm_start": warm_start,
     }
 
 

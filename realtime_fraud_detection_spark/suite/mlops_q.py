@@ -181,7 +181,17 @@ def q_sequence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring of the holdout, top-50 by score. Rows-only: the fit is
     bit-deterministic (decimal-sum gradients) but iterative — no SQL
     form. Shape: one window sort + iters map-side-combined aggregations
-    over a checkpointed frame + one top-k — 100-TB-safe."""
+    over a checkpointed frame + one top-k — 100-TB-safe.
+
+    iters=6 since r11 (was 12): the coin labels plateau the task at AUC
+    ≈0.54 by construction (60-round ceiling 0.539; 6 rounds measured
+    0.561/12 rounds 0.541 — oscillation around the plateau), so the
+    extra 6 gradient rounds bought nothing but scheduled jobs — the
+    whole cost of this query at bench scale. The closed-form warm start
+    (ml/sequential.py) was A/B'd here too and is mildly NEGATIVE on
+    plateau labels (its Newton direction amplifies noise-correlated
+    dims) while being a genuine ~2x on learnable labels — SCALE.md's
+    sequence_scores table has both sides."""
     from ..functions.hashing import md5_bigint
     from ..ml.sequential import (
         lagged_sequence_features,
@@ -206,7 +216,7 @@ def q_sequence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         (split != 0)
         & (F.pmod(md5_bigint(F.col("event_id").cast("string"), "seqsamp:"), 4) == 0)
     )
-    model = train_sequential_scorer(train, "label", iters=12)
+    model = train_sequential_scorer(train, "label", iters=6)
     holdout = score_sequential(feats.filter(split == 0), model)
     return (
         holdout.select(

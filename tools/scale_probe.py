@@ -78,13 +78,13 @@ def main() -> None:
     all_stages = (
         "minhash,lsh,setsim,simhash,cc,star,spans,ngram,bpe,clf,quality,"
         "graphx,doulion,ivfpq,sketch,seqfeat,hotkey,layout,funnel,mixture,pca,embed,negs,"
-        "index,dsir"
+        "index,dsir,abeval"
     )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if stages - {"ivfpq", "sketch", "seqfeat", "hotkey", "layout", "mixture", "pca", "negs"}:  # doc-corpus stages
+    if stages - {"ivfpq", "sketch", "seqfeat", "hotkey", "layout", "mixture", "pca", "negs", "abeval"}:  # doc-corpus stages
         t0 = time.time()
         build_corpus(spark, replicas)
         print(f"corpus: {replicas}x built in {time.time() - t0:.1f}s")
@@ -636,6 +636,127 @@ def main() -> None:
             )
 
         _guarded("seqfeat", _seqfeat)
+
+    if "abeval" in stages:
+        # round-11: the streaming A/B + model-eval partial stores at
+        # replicated-results scale. Laws under test: (1) per-batch store
+        # growth is BOUNDED — ≤ |experiments|×2 moment rows and
+        # ≤ 10^decimals+1 rounded-score rows per batch — whatever the
+        # batch size, so rollup cost scales with batches×groups, NOT
+        # events; (2) the lossless merge reproduces the one-shot batch
+        # analysis over the union bit-exactly at every scale.
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from realtime_fraud_detection_spark.ml.experiments import (
+            assign_variants,
+            experiment_analysis,
+            experiments_table,
+        )
+        from realtime_fraud_detection_spark.sources.testdata import load_table
+        from realtime_fraud_detection_spark.streaming.sinks import (
+            eval_partial_writer,
+            eval_rollup_view,
+            experiment_partial_writer,
+            experiment_rollup_view,
+        )
+
+        ev0 = load_table(spark, SF_DIR, "events", fan_out=True)
+        parts = []
+        for r in range(replicas):
+            parts.append(
+                ev0.select(
+                    (F.col("event_id") + r * 100_000_000).alias("transaction_id"),
+                    (F.col("user_id") + r * 10_000_000).alias("user_id"),
+                )
+            )
+        res = parts[0]
+        for pp in parts[1:]:
+            res = res.unionAll(pp)
+        pred = F.round(((F.col("transaction_id") * 37) % 1000) / 1000.0, 6)
+        res = res.select(
+            "transaction_id",
+            "user_id",
+            F.lit("ensemble").alias("model_used"),
+            pred.alias("prediction"),
+            F.when(pred >= 0.8, "DECLINE")
+            .when(pred >= 0.6, "REVIEW")
+            .when(pred >= 0.4, "APPROVE_WITH_MONITORING")
+            .otherwise("APPROVE")
+            .alias("decision"),
+            ((F.col("transaction_id") * 13) % 5 == 0).alias("actual_fraud"),
+            (5.0 + (F.col("transaction_id") % 20)).cast("double").alias(
+                "processing_time_ms"
+            ),
+        ).repartition(max(8, replicas)).localCheckpoint()
+        n_res = res.count()
+        exps = experiments_table(
+            spark,
+            [
+                dict(
+                    test_name="rate", control_model="a", treatment_model="b",
+                    traffic_split=0.5, success_metric="fraud_detection_rate",
+                    min_sample_size=100, significance_level=0.05,
+                ),
+                dict(
+                    test_name="score", control_model="a", treatment_model="c",
+                    traffic_split=0.3, success_metric="prediction_score",
+                    min_sample_size=100, significance_level=0.05,
+                ),
+            ],
+        )
+
+        def _abeval():
+            out = tempfile.mkdtemp(prefix="abeval_probe_")
+            try:
+                n_batches = 8
+                w_exp = experiment_partial_writer(out, exps)
+                w_eval = eval_partial_writer(
+                    out, score_col="prediction", label_col="actual_fraud",
+                    score_decimals=3,
+                )
+                t0 = time.time()
+                for b in range(n_batches):
+                    batch = res.filter(
+                        F.pmod(F.col("transaction_id"), n_batches) == b
+                    )
+                    w_exp(batch, b)
+                    w_eval(batch, b)
+                t1 = time.time()
+                roll = {
+                    r["test_name"]: r
+                    for r in experiment_rollup_view(spark, out).collect()
+                }
+                ev_roll = eval_rollup_view(spark, out).collect()[0]
+                t2 = time.time()
+                store_exp = spark.read.parquet(
+                    out + "/experiment_partials"
+                ).count()
+                store_eval = spark.read.parquet(out + "/eval_partials").count()
+                # the one-shot batch twin over the SAME union — must be
+                # bit-identical to the moment-merge rollup
+                batch_rows = {
+                    r["test_name"]: r
+                    for r in experiment_analysis(
+                        assign_variants(res, exps), exps
+                    ).collect()
+                }
+                law = all(
+                    roll[k].asDict() == batch_rows[k].asDict()
+                    for k in batch_rows
+                )
+                print(
+                    f"abeval: results={n_res} batches={n_batches} "
+                    f"write={t1 - t0:.1f}s rollup={t2 - t1:.1f}s "
+                    f"store_exp_rows={store_exp} store_eval_rows={store_eval} "
+                    f"auc={ev_roll['auc']:.6f} merge_law={'OK' if law else 'FAIL'}"
+                )
+            finally:
+                shutil.rmtree(out, ignore_errors=True)
+
+        _guarded("abeval", _abeval)
 
     if "sketch" in stages:
         from pyspark.sql import functions as F
