@@ -107,7 +107,7 @@ HEADLINE = [
     # round-11: exact-Jaccard self-join (prefix-filtered AllPairs,
     # promoted into the oracle window), k-core peeling over the purchase
     # graph (driver-loop query — scales with job_floor_ms), and the
-    # multimodal decode/feature panel (two Arrow mapInPandas stages)
+    # multimodal decode/feature panel (four Arrow mapInPandas stages)
     "jaccard_pairs",
     "k_core",
     "multimodal_features",

@@ -69,7 +69,11 @@ def main() -> None:
     feats = lagged_sequence_features(
         hist, "user_id", "ts", "amount", "transaction_id"
     ).withColumn("label", F.col("is_fraud").cast("int"))
-    model = train_sequential_scorer(feats, "label", iters=15)
+    # warm_start: closed-form Newton init riding the standardization
+    # aggregate — on learnable labels like these it reaches cold@2k
+    # quality in k rounds (SCALE.md sequence_scores A/B), so 8 rounds
+    # here match the old 15-round cold fit at half the scheduled jobs
+    model = train_sequential_scorer(feats, "label", iters=8, warm_start=True)
     weights, bias = to_linear_artifact(model)
     art_path = os.path.join(work, "seq_scorer.json")
     save_linear_scorer(art_path, weights, bias, version=1)

@@ -14,8 +14,10 @@ plumbing (schema, Arrow batching, payload pruning) is real; only the
 pixel/sample decode is the documented deterministic stand-in.
 
 Scale design: feature extraction runs BEFORE any join/shuffle — the fat
-binary columns are born and die inside the two mapInPandas stages; only
-small per-sample feature rows move. The per-sample cap keeps the suite
+binary columns are born and die inside the four mapInPandas stages
+(image, audio, video frame sampling, per-frame features); only small
+per-sample feature rows move, and the video pool re-aggregates FEATURE
+rows, never frames. The per-sample cap keeps the suite
 entry fixture-sized; production would run the same stages over a real
 payload table partitioned by sample ranges.
 """
@@ -25,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import audio_features, image_features
+from ..operators.multimodal import (
+    audio_features,
+    image_features,
+    sample_video_frames,
+)
 from ..sources.testdata import load_table
 
 _N_SAMPLES = 192
@@ -61,6 +67,12 @@ def multimodal_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(8000).alias("sample_rate"),
             F.lit(250).alias("duration_ms"),
         ).alias("audio_meta"),
+        _payload(F.concat(F.lit("vid:"), F.col("event_id")), 2).alias("video"),
+        F.struct(
+            F.lit("fake").alias("codec"),
+            F.lit(30.0).alias("fps"),
+            (F.lit(60) + (F.col("event_id") % 2).cast("int") * 30).alias("n_frames"),
+        ).alias("video_meta"),
     )
 
 
@@ -68,7 +80,46 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples = multimodal_samples(spark, sf_dir)
     img = image_features(samples)
     aud = audio_features(samples)
-    return img.join(aud, "sample_id").orderBy("sample_id")
+    # video: sample every 30th frame, decode-extract per frame (the frame
+    # rows reuse the IMAGE feature kernel), pool back to one row/sample —
+    # the frame fan-out and the pooled re-aggregation both happen on
+    # small feature rows, never on payload bytes
+    frames = sample_video_frames(samples, every_n=30).select(
+        F.col("sample_id"),
+        F.col("frame_index"),
+        F.col("frame").alias("image"),
+        F.col("frame_meta").alias("image_meta"),
+    )
+    vid = (
+        image_features(
+            frames.select(
+                # unique id per frame for the kernel, recoverable sample id
+                (F.col("sample_id") * 1000 + F.col("frame_index")).alias("sample_id"),
+                "image",
+                "image_meta",
+            )
+        )
+        .select(
+            (F.col("sample_id") / 1000).cast("long").alias("sample_id"),
+            "brightness",
+            "contrast",
+        )
+        .groupBy("sample_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames_sampled"),
+            # decimal sums: the frame pool must be order-free (suite
+            # determinism rule) — float avg would associate by partition
+            (
+                F.sum(F.col("brightness").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("frame_brightness"),
+            (
+                F.sum(F.col("contrast").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("frame_contrast"),
+        )
+    )
+    return img.join(aud, "sample_id").join(vid, "sample_id").orderBy("sample_id")
 
 
 QUERIES = {"multimodal_features": q_multimodal_features}

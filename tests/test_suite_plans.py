@@ -43,7 +43,8 @@ EXCLUDE = {"ann_ivf", "ann_pq", "bpe_tokens", "unigram_tokens", "text_classifier
         ("ann_pq_res", 2),  # corpus encode + query-side prep
         ("ann_pq_serve", 1),  # query-side prep (codes read from parquet)
         ("semantic_dedup", 1),  # passthrough cell assignment
-        ("multimodal_features", 2),  # image + audio decode stages
+        # image + audio decode, video frame sampling, frame features
+        ("multimodal_features", 4),
     ],
 )
 def test_ann_arrow_boundary_kernel_count(spark, name, n_kernels):
