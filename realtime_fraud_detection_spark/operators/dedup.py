@@ -411,14 +411,21 @@ def ngram_jaccard(
     text_col: str,
     id_col: str,
     shingle_k: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs.
 
     Joins the (small) candidate-pair set back to the corpus twice — both are
     equi joins on the doc id; the shingle arrays only materialize for
-    candidates, not the whole corpus.
+    candidates, not the whole corpus. Pass a prebuilt (checkpointed)
+    `shingles` (doc, sh) table to share one shingle computation with the
+    candidate generator (setsim.jaccard_similarity_join does) — the a/b
+    join sides then read the same materialized blocks instead of running
+    the shingle chain once each.
     """
-    sh = shingle_table(df, text_col, id_col, shingle_k, distinct=True)
+    sh = shingles
+    if sh is None:
+        sh = shingle_table(df, text_col, id_col, shingle_k, distinct=True)
     a = sh.alias("a")
     b = sh.alias("b")
     return (
