@@ -152,13 +152,29 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact replay parity in tests/test_kcore.py, and everything is integer
 # — determinism is free.
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..operators.graph import k_core
 
-    edges = _purchase_edges(spark, sf_dir)
+    from ..operators.scaling import scaled_shuffle
+
+    # one checkpointed edge table shared by both peels (each peel counts
+    # and re-scans its input; lineage recompute would double the join)
+    edges = _purchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # the two peels are independent driver loops over their own
+    # checkpoint chains — run them in threads (job submission is
+    # thread-safe and each peel is deterministic; same pattern as the
+    # parallel MLlib quantizer fits): wall clock = max, not sum.
+    # The OUTER scaled_shuffle sizes the conf once for both — the inner
+    # scaled_shuffle inside each k_core then sees target <= current and
+    # no-ops, so the two threads never race on the session conf.
+    with scaled_shuffle(spark, edges.count()):
+        with ThreadPoolExecutor(2) as pool:
+            cores = list(pool.map(lambda k: (k, k_core(edges, k)), (4, 8)))
     out = None
-    for k in (4, 8):
-        core = k_core(edges, k).select(F.lit(k).alias("k"), "v")
-        out = core if out is None else out.unionByName(core)
+    for k, core in cores:
+        tagged = core.select(F.lit(k).alias("k"), "v")
+        out = tagged if out is None else out.unionByName(tagged)
     return out.orderBy("k", "v")
 
 
