@@ -139,16 +139,17 @@ def q_sketch_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("distinct_users").alias("metric"),
         F.col("users_est").cast("double").alias("value"),
     )
-    dds = q_quantile_rollup(spark, sf_dir)
-    quant = None
-    for m in ("p50", "p95", "p99"):
-        part = dds.select(
-            F.lit("ddsketch").alias("method"),
-            "day",
-            F.lit(m).alias("metric"),
-            F.col(m).cast("double").alias("value"),
-        )
-        quant = part if quant is None else quant.unionByName(part)
+    # stack() unpivots all three quantile columns in ONE pass — a
+    # union-of-selects here would recompute the whole DDSketch rollup
+    # once per branch (three sketch builds for one panel)
+    quant = q_quantile_rollup(spark, sf_dir).select(
+        F.lit("ddsketch").alias("method"),
+        "day",
+        F.expr(
+            "stack(3, 'p50', CAST(p50 AS DOUBLE), 'p95', CAST(p95 AS DOUBLE),"
+            " 'p99', CAST(p99 AS DOUBLE)) AS (metric, value)"
+        ),
+    )
     return hll.unionByName(quant).orderBy("method", "day", "metric")
 
 
