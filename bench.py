@@ -111,6 +111,11 @@ HEADLINE = [
     "jaccard_pairs",
     "k_core",
     "multimodal_features",
+    # round-11 late: merchant_updates promoted into the oracle window
+    # (time_range_join absorbed behavior_risk) + the incremental
+    # exact-Jaccard ingest topology (batch postings broadcast into the
+    # corpus index)
+    "jaccard_ingest",
 ]
 
 # Iterative queries (CC / power-iteration loops) have documented ±2 s

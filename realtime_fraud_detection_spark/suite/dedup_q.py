@@ -757,6 +757,35 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental exact-Jaccard INGEST (setsim.prefix_filtered_candidates_
+# incremental): a new batch (doc_id % 10 == 0) probed against the standing
+# corpus — batch prefix postings BROADCAST into the corpus index (the
+# corpus never reshuffles; the persisted-index production form), then
+# candidates-only exact verification. Rows-only: the cross-form
+# equivalence with the self-join, broadcast plan pin, and
+# unseen-vocabulary safety are pinned in tests/test_setsim.py; every
+# output value is the same bit-exact int/int arithmetic as
+# jaccard_pairs.
+# ---------------------------------------------------------------------------
+def q_jaccard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setsim import prefix_filtered_candidates_incremental
+
+    docs = _docs(spark, sf_dir)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    cand = prefix_filtered_candidates_incremental(
+        batch, corpus, "text", "doc_id", threshold=0.5, shingle_k=3
+    ).select(
+        F.col("new_doc").alias("doc_a"), F.col("corpus_doc").alias("doc_b")
+    )
+    return (
+        D.ngram_jaccard(docs, cand, "text", "doc_id", 3)
+        .filter(F.col("jaccard") >= 0.5 - 1e-9)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 SQL_JACCARD_PAIRS = rf"""
 WITH shing AS (
   SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s
@@ -1259,6 +1288,7 @@ QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "ann_topk": q_ann_topk,
     "jaccard_pairs": q_jaccard_pairs,
+    "jaccard_ingest": q_jaccard_ingest,
     "dedup_clusters": q_dedup_clusters,
     "quality_filters": q_quality_filters,
     "sample_pack": q_sample_pack,

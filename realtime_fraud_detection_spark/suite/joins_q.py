@@ -20,8 +20,17 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# J1 — time-range correlation join (StreamJoiner.java:29-49): for each
-# purchase, the same user's error events within ±5 minutes.
+# J1 + J1b in one method-tagged frame (merged r11 — the freed window slot
+# promoted `merchant_updates`; both branches' per-(purchase, user)
+# aggregates are still hash-checked):
+#   * error_correlation (StreamJoiner.java:29-49): for each purchase, the
+#     same user's error events within ±5 minutes — n = count,
+#     score = exact decimal error-value sum;
+#   * login_behavior (StreamJoiner.java:183-206): purchases joined to
+#     same-user logins within ±2 h (the fixture is sparse; the
+#     reference's window is 5 min on a dense stream; signup stands in
+#     for login) — n = correlated logins, score = max of the
+#     anomalous-login/short-session/navigation risk deltas, capped 1.0.
 # ---------------------------------------------------------------------------
 def q_time_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
@@ -31,41 +40,20 @@ def q_time_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     errors = ev.filter(F.col("event_type") == "error").select(
         F.col("user_id").alias("e_user"), F.col("ts").alias("e_ts"), F.col("value").alias("e_value")
     )
-    joined = purchases.join(
-        errors,
-        (F.col("p_user") == F.col("e_user"))
-        & (F.col("e_ts") >= F.col("p_ts") - F.expr("interval 5 minutes"))
-        & (F.col("e_ts") <= F.col("p_ts") + F.expr("interval 5 minutes")),
-        "inner",
-    )
-    return joined.groupBy("p_id", "p_user").agg(
-        F.count("*").alias("nearby_errors"),
-        dec_sum("e_value").alias("error_value"),
-    )
-
-
-SQL_TIME_RANGE_JOIN = """
-SELECT p.event_id AS p_id, p.user_id AS p_user, COUNT(*) AS nearby_errors,
-       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS error_value
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-JOIN (SELECT * FROM events WHERE event_type = 'error') e
-  ON p.user_id = e.user_id
- AND e.ts >= p.ts - INTERVAL 5 MINUTE AND e.ts <= p.ts + INTERVAL 5 MINUTE
-GROUP BY 1, 2
-"""
-
-
-# ---------------------------------------------------------------------------
-# J1b — behavior-flag correlation: purchases joined to same-user logins
-# within ±2 h (the fixture is sparse; the reference's window is 5 min on a
-# dense stream); signup stands in for the login event type
-# (StreamJoiner.java:183-206: anomalous login/short session/navigation →
-# risk deltas). Flags derived deterministically from the login event.
-# ---------------------------------------------------------------------------
-def q_behavior_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    tr = (
+        purchases.join(
+            errors,
+            (F.col("p_user") == F.col("e_user"))
+            & (F.col("e_ts") >= F.col("p_ts") - F.expr("interval 5 minutes"))
+            & (F.col("e_ts") <= F.col("p_ts") + F.expr("interval 5 minutes")),
+            "inner",
+        )
+        .groupBy("p_id", "p_user")
+        .agg(
+            F.count("*").alias("n"),
+            dec_sum("e_value").alias("score"),
+        )
+        .select(F.lit("error_correlation").alias("method"), "p_id", "p_user", "n", "score")
     )
     logins = ev.filter(F.col("event_type") == "signup").select(
         F.col("user_id").alias("l_user"),
@@ -74,36 +62,51 @@ def q_behavior_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 3 == 0).alias("is_short_session"),
         (F.col("event_id") % 7 == 0).alias("is_anomalous_navigation"),
     )
-    joined = purchases.join(
-        logins,
-        (F.col("p_user") == F.col("l_user"))
-        & (F.col("l_ts") >= F.col("p_ts") - F.expr("interval 2 hours"))
-        & (F.col("l_ts") <= F.col("p_ts") + F.expr("interval 2 hours")),
-    )
     risk = F.least(
         F.when(F.col("is_anomalous_login"), 0.3).otherwise(F.lit(0.0))
         + F.when(F.col("is_short_session"), 0.2).otherwise(F.lit(0.0))
         + F.when(F.col("is_anomalous_navigation"), 0.2).otherwise(F.lit(0.0)),
         F.lit(1.0),
     )
-    return joined.groupBy("p_id", "p_user").agg(
-        F.count("*").alias("correlated_logins"),
-        F.round(F.max(risk), 6).alias("max_behavior_risk"),
+    br = (
+        purchases.join(
+            logins,
+            (F.col("p_user") == F.col("l_user"))
+            & (F.col("l_ts") >= F.col("p_ts") - F.expr("interval 2 hours"))
+            & (F.col("l_ts") <= F.col("p_ts") + F.expr("interval 2 hours")),
+        )
+        .groupBy("p_id", "p_user")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max(risk), 6).alias("score"),
+        )
+        .select(F.lit("login_behavior").alias("method"), "p_id", "p_user", "n", "score")
     )
+    return tr.unionByName(br)
 
 
-SQL_BEHAVIOR_RISK = """
-SELECT p.event_id AS p_id, p.user_id AS p_user, COUNT(*) AS correlated_logins,
+SQL_TIME_RANGE_JOIN = """
+SELECT 'error_correlation' AS method, p.event_id AS p_id, p.user_id AS p_user,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS score
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND e.ts >= p.ts - INTERVAL 5 MINUTE AND e.ts <= p.ts + INTERVAL 5 MINUTE
+GROUP BY 2, 3
+UNION ALL
+SELECT 'login_behavior' AS method, p.event_id AS p_id, p.user_id AS p_user,
+       COUNT(*) AS n,
        ROUND(MAX(LEAST(
          CASE WHEN l.value > 300 THEN 0.3 ELSE 0.0 END
          + CASE WHEN l.event_id % 3 = 0 THEN 0.2 ELSE 0.0 END
          + CASE WHEN l.event_id % 7 = 0 THEN 0.2 ELSE 0.0 END,
-       1.0)::DOUBLE), 6) AS max_behavior_risk
+       1.0)::DOUBLE), 6) AS score
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 JOIN (SELECT * FROM events WHERE event_type = 'signup') l
   ON p.user_id = l.user_id
  AND l.ts >= p.ts - INTERVAL 2 HOUR AND l.ts <= p.ts + INTERVAL 2 HOUR
-GROUP BY 1, 2
+GROUP BY 2, 3
 """
 
 
@@ -358,9 +361,10 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 # reference's risk deltas (StreamJoiner.java:55-75,208-236: riskLevel
 # increased +0.4, newly blacklisted +0.8, fraud rate increased +0.2,
 # capped at 1.0) through operators/joins.merchant_update_join — the one
-# §2.3 join that had no driver-visible query before round 10. Rows-only
-# (the window is full at 50); bit-exact DuckDB parity is pinned in
-# tests/test_merchant_updates.py instead (the duplicate_spans class).
+# §2.3 join that had no driver-visible query before round 10. ORACLED
+# since r11 (the time_range_join/behavior_risk merge freed the slot) with
+# the same SQL tests/test_merchant_updates.py had pinned bit-exact since
+# round 10 (the duplicate_spans promotion pattern).
 # Merchant analog: user_id % 50 buckets events into 50 merchants; profile
 # updates are the 'error' events with residue-derived flags.
 # ---------------------------------------------------------------------------
@@ -409,7 +413,6 @@ QUERIES = {
     "time_range_join": q_time_range_join,
     "asof_join": q_asof_join,
     "multistream_union": q_multistream_union,
-    "behavior_risk": q_behavior_risk,
     "pattern_similarity": q_pattern_similarity,
     "velocity_lookup": q_velocity_lookup,
     "network_features": q_network_features,
@@ -421,7 +424,7 @@ ORACLES = {
     "time_range_join": SQL_TIME_RANGE_JOIN,
     "asof_join": SQL_ASOF_JOIN,
     "multistream_union": SQL_MULTISTREAM_UNION,
-    "behavior_risk": SQL_BEHAVIOR_RISK,
+    "merchant_updates": SQL_MERCHANT_UPDATES,
     "pattern_similarity": SQL_PATTERN_SIMILARITY,
     "velocity_lookup": SQL_VELOCITY_LOOKUP,
     "network_features": SQL_NETWORK_FEATURES,

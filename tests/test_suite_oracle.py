@@ -118,9 +118,9 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # no DuckDB twin; NumPy replay of the reference arithmetic in
         # tests/test_experiments.py
         "ab_experiments",
-        # J2 merchant-update join — window full; bit-exact DuckDB parity
-        # in tests/test_merchant_updates.py
-        "merchant_updates",
+        # incremental exact-Jaccard ingest — cross-form equivalence,
+        # broadcast plan pin + unseen-vocab safety in tests/test_setsim.py
+        "jaccard_ingest",
         # trained sequential scorer — iterative decimal-sum logistic fit,
         # no SQL form; holdout-AUC + bit-determinism + pure-expression
         # scoring pinned in tests/test_sequential.py
