@@ -78,13 +78,13 @@ def main() -> None:
     all_stages = (
         "minhash,lsh,setsim,simhash,cc,star,spans,ngram,bpe,clf,quality,"
         "graphx,doulion,ivfpq,sketch,seqfeat,hotkey,layout,funnel,mixture,pca,embed,negs,"
-        "index,dsir,abeval"
+        "index,dsir,abeval,mmodal"
     )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if stages - {"ivfpq", "sketch", "seqfeat", "hotkey", "layout", "mixture", "pca", "negs", "abeval"}:  # doc-corpus stages
+    if stages - {"ivfpq", "sketch", "seqfeat", "hotkey", "layout", "mixture", "pca", "negs", "abeval", "mmodal"}:  # doc-corpus stages
         t0 = time.time()
         build_corpus(spark, replicas)
         print(f"corpus: {replicas}x built in {time.time() - t0:.1f}s")
@@ -757,6 +757,74 @@ def main() -> None:
                 shutil.rmtree(out, ignore_errors=True)
 
         _guarded("abeval", _abeval)
+
+    if "mmodal" in stages:
+        # round-11: multimodal decode/feature throughput at replicated
+        # payload scale. Laws under test: (1) the mapInPandas feature
+        # stages are payload-volume-linear (Arrow batching — payload
+        # bytes cross the boundary once, features come back columnar);
+        # (2) a metadata-only aggregate over the same table NEVER reads
+        # a payload byte (column pruning keeps `image` out of
+        # ReadSchema), so it stays flat however fat the payloads get.
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from realtime_fraud_detection_spark.operators.multimodal import (
+            audio_features,
+            image_features,
+        )
+        from realtime_fraud_detection_spark.suite.multimodal_q import (
+            multimodal_samples,
+        )
+
+        base = multimodal_samples(spark, SF_DIR)  # 192 samples, in-engine
+        parts = []
+        for r in range(replicas * 8):  # 8x denser base so 10x ≈ 15k rows
+            parts.append(
+                base.select(
+                    (F.col("sample_id") + r * 100_000_000).alias("sample_id"),
+                    "image", "image_meta", "audio", "audio_meta",
+                )
+            )
+        mm = parts[0]
+        for pp in parts[1:]:
+            mm = pp if mm is None else mm.unionAll(pp)
+        mm = mm.repartition(32)
+        out = tempfile.mkdtemp(prefix="mmodal_probe_")
+        try:
+            # persist to parquet so the pruning claim is tested against a
+            # real columnar scan, not an in-memory union
+            mm.write.mode("overwrite").parquet(out)
+            tbl = spark.read.parquet(out)
+            n = tbl.count()
+            payload_mb = (replicas * 8 * 192 * (128 + 64)) / 1e6
+
+            def _mmodal():
+                t0 = time.time()
+                img = image_features(tbl)
+                aud = audio_features(tbl)
+                nf = img.join(aud, "sample_id").count()
+                t1 = time.time()
+                # metadata-only path: must not touch payload bytes
+                meta = (
+                    tbl.groupBy("image_meta.width")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                )
+                plan = meta._jdf.queryExecution().executedPlan().toString()
+                pruned = "image#" not in plan.split("ReadSchema")[-1]
+                meta.collect()
+                t2 = time.time()
+                print(
+                    f"mmodal: samples={n} payload_mb={payload_mb:.0f} "
+                    f"features={t1 - t0:.1f}s rows={nf} "
+                    f"meta_only={t2 - t1:.1f}s payload_pruned={pruned}"
+                )
+
+            _guarded("mmodal", _mmodal)
+        finally:
+            shutil.rmtree(out, ignore_errors=True)
 
     if "sketch" in stages:
         from pyspark.sql import functions as F
