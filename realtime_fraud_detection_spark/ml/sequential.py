@@ -228,10 +228,17 @@ def train_sequential_scorer(
 
 def score_sequential(df: DataFrame, model: dict, out_col: str = "seq_score") -> DataFrame:
     """Pure-expression scoring: sigmoid(w·(x-mean)/scale + b) folded into
-    Column literals — zero Python crossings, codegen-friendly."""
+    Column literals — zero Python crossings, codegen-friendly. NULL
+    features coalesce to 0.0 standardized (≡ the feature mean), the SAME
+    convention training uses — without it a degenerate row (e.g.
+    seq_ratio_to_mean NULL at trailing mean 0) would train fine but
+    serve a NULL score."""
     margin = F.lit(model["bias"])
     for i, c in enumerate(model["feature_cols"]):
-        zc = (F.col(c).cast("double") - model["means"][i]) / model["scales"][i]
+        zc = F.coalesce(
+            (F.col(c).cast("double") - model["means"][i]) / model["scales"][i],
+            F.lit(0.0),
+        )
         margin = margin + F.lit(model["weights"][i]) * zc
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)))
 
@@ -251,7 +258,15 @@ def to_linear_artifact(model: dict) -> tuple[dict[str, float], float]:
     streaming/sinks.reloading_scorer_writer) unchanged:
     Σ wᵢ(xᵢ−mᵢ)/sᵢ + b  ≡  Σ (wᵢ/sᵢ)xᵢ + (b − Σ wᵢmᵢ/sᵢ).
     The served score is the MARGIN (monotone in the probability) — apply
-    sigmoid downstream if a calibrated probability is needed."""
+    sigmoid downstream if a calibrated probability is needed.
+
+    NULL-feature caveat: the folded linear form cannot express the
+    NULL→mean coalesce that train/score_sequential apply (a generic
+    linear scorer has no per-feature impute slot), so a raw NULL feature
+    NULLs the served margin. Impute upstream before the artifact path —
+    `coalesce(x_i, model["means"][i])` reproduces training semantics
+    exactly; the streaming feature kernel's ratio features are the one
+    family that can be NULL (trailing mean 0)."""
     weights = {
         c: model["weights"][i] / model["scales"][i]
         for i, c in enumerate(model["feature_cols"])

@@ -779,8 +779,14 @@ def q_jaccard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("new_doc").alias("doc_a"), F.col("corpus_doc").alias("doc_b")
     )
+    # one checkpointed shingle table for both verify sides (the same
+    # staging jaccard_similarity_join applies — without it the verify
+    # join runs the normalize→shingle chain once per side)
+    sh = D.shingle_table(
+        docs, "text", "doc_id", 3, distinct=True
+    ).localCheckpoint(eager=False)
     return (
-        D.ngram_jaccard(docs, cand, "text", "doc_id", 3)
+        D.ngram_jaccard(docs, cand, "text", "doc_id", 3, shingles=sh)
         .filter(F.col("jaccard") >= 0.5 - 1e-9)
         .orderBy("doc_a", "doc_b")
     )

@@ -100,7 +100,11 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .select(
-            (F.col("sample_id") / 1000).cast("long").alias("sample_id"),
+            # integer div: exact for every long (double division loses
+            # exactness above ~9e12 and the truncating cast would pool
+            # frames into a neighboring sample); the *1000 encode needs
+            # ids < 2^63/1000 and RAISES loudly under ANSI beyond that
+            F.expr("sample_id div 1000").alias("sample_id"),
             "brightness",
             "contrast",
         )

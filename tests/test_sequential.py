@@ -107,6 +107,13 @@ def test_null_feature_rows_stay_in_gradient(spark):
     gb = sum(0.5 - y for y in ys) / len(ys)  # ±0.5 terms: exact in float
     want_b = -0.5 * gb / math.sqrt(1e-12 + gb * gb)
     assert m["bias"] == pytest.approx(want_b, rel=1e-9)
+    # serve side applies the SAME convention: the NULL-feature rows get a
+    # real score (NULL z ≡ the mean), not a NULL margin — train/serve
+    # cannot diverge on exactly the rows the training fix keeps
+    scored = score_sequential(feats, train_sequential_scorer(feats, "label", iters=3))
+    assert scored.filter(F.col("seq_score").isNull()).count() == 0
+    got_null_row = scored.filter(F.col("seq_ratio_to_mean").isNull()).first()
+    assert 0.0 <= got_null_row["seq_score"] <= 1.0
 
 
 def test_training_bit_deterministic(spark, fraud_data):

@@ -52,8 +52,9 @@ def test_ann_arrow_boundary_kernel_count(spark, name, n_kernels):
     MapInPandas nodes — never row-at-a-time, never an uncounted extra
     boundary (cells_df/residual frames are checkpointed, so repeated
     consumers read materialized blocks, not a second kernel; the
-    multimodal decode stages are the two mapInPandas feature extractors,
-    binary payloads dying inside them)."""
+    multimodal panel's four stages are image, audio, video frame
+    sampling, and per-frame features — binary payloads dying inside
+    them)."""
     import re
 
     df = all_queries()[name](spark, SF_SMOKE)

@@ -790,7 +790,7 @@ def main() -> None:
             )
         mm = parts[0]
         for pp in parts[1:]:
-            mm = pp if mm is None else mm.unionAll(pp)
+            mm = mm.unionAll(pp)
         mm = mm.repartition(32)
         out = tempfile.mkdtemp(prefix="mmodal_probe_")
         try:
@@ -813,7 +813,11 @@ def main() -> None:
                     .agg(F.count(F.lit(1)).alias("cnt"))
                 )
                 plan = meta._jdf.queryExecution().executedPlan().toString()
-                pruned = "image#" not in plan.split("ReadSchema")[-1]
+                # ReadSchema prints name:type pairs (no #ids) on its own
+                # line — "image:" appearing there means payload bytes
+                # are being read; attribute lists with #ids precede it
+                rs = plan.split("ReadSchema:")[-1].splitlines()[0]
+                pruned = "image:" not in rs
                 meta.collect()
                 t2 = time.time()
                 print(
