@@ -811,6 +811,34 @@ WHERE CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) >= {_JACCARD_T - 1e-9!r}
 """
 
 
+# DuckDB twin of q_jaccard_ingest — NOT registered in ORACLES (rows-only;
+# the 50-slot window is full) but pinned bit-exact in tests/test_setsim.py
+# (the merchant_updates promotion pattern): the incremental probe's
+# completeness guarantee means its output IS "all (batch, corpus) pairs
+# with jaccard >= t", which the oracle states directly as the split
+# restriction of the all-pairs join. Same int/int double arithmetic as
+# SQL_JACCARD_PAIRS.
+SQL_JACCARD_INGEST = rf"""
+WITH shing AS (
+  SELECT doc_id, list_distinct({_SQL_SHINGLES}) AS s
+  FROM (SELECT doc_id, {_SQL_WORDS} AS ws FROM documents)
+), ex AS (
+  SELECT doc_id AS doc, unnest(s) AS sh, len(s) AS sz FROM shing
+), inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i,
+         MAX(a.sz) AS sa, MAX(b.sz) AS sb
+  FROM ex a JOIN ex b ON a.sh = b.sh
+  WHERE a.doc % 10 = 0 AND b.doc % 10 != 0
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) AS jaccard
+FROM inter
+WHERE CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) >= {0.5 - 1e-9!r}
+ORDER BY doc_a, doc_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs, blocked by label
 # ---------------------------------------------------------------------------

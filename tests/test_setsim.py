@@ -227,3 +227,30 @@ def test_posting_cap_bounds_skew(spark):
     ).count()
     uncapped = prefix_filtered_candidates(docs, threshold=0.5).count()
     assert capped <= uncapped
+
+
+def test_jaccard_ingest_suite_query_matches_duckdb_bit_exact(spark):
+    """The incremental-ingest suite query (rows-only in the driver window)
+    against its DuckDB twin — bit-exact, the merchant_updates promotion
+    pattern: the probe's completeness guarantee makes its output exactly
+    'all (batch, corpus) pairs with jaccard >= t', which the oracle
+    states as the split restriction of the all-pairs shingle join."""
+    import duckdb
+
+    from realtime_fraud_detection_spark.suite.dedup_q import (
+        SQL_JACCARD_INGEST,
+        q_jaccard_ingest,
+    )
+    from tests.conftest import SF_SMOKE
+    from tools.check_oracle import compare
+
+    sdf = q_jaccard_ingest(spark, SF_SMOKE).toPandas()
+    assert len(sdf) > 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMOKE}/documents.parquet')"
+    )
+    odf = con.execute(SQL_JACCARD_INGEST).fetchdf()
+    problems = compare("jaccard_ingest", sdf, odf)
+    assert not problems, problems
