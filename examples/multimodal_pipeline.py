@@ -111,20 +111,15 @@ def main() -> None:
     panel = img.join(aud, "sample_id")
     print(f"features: {panel.count()} sample rows, {n_frames} video frames")
 
-    # 5. embeddings → near-dup pairs → components → survivors. The raw
-    # pooled-grayscale embeddings of ANY two images share the big
-    # brightness component (cosine ≈ 0.99 between unrelated images) —
-    # center each vector first so cosine measures structure, not
-    # exposure: duplicates stay at 1.0, unrelated pairs drop to ~0.1.
-    mu = F.aggregate(
-        "embedding", F.lit(0.0), lambda a, x: a + x.cast("double")
-    ) / F.size("embedding")
-    emb = MM.image_embeddings(samples).select(
+    # 5. embeddings → near-dup pairs → components → survivors.
+    # center=True: raw pooled-grayscale vectors share a dominant
+    # brightness component (unrelated images at cosine ≈ 0.99); centered
+    # cosine measures structure — duplicates stay at 1.0, unrelated
+    # pairs drop to ~0.1 (the image_embeddings docstring).
+    emb = MM.image_embeddings(samples, center=True).select(
         F.col("sample_id").alias("vec_id"),
         F.lit(0).alias("label"),  # one block: the fixture is tiny
-        F.transform("embedding", lambda x: x.cast("double") - mu).alias(
-            "embedding"
-        ),
+        F.col("embedding"),
     )
     pairs = embedding_near_dup_pairs(emb, threshold=0.9)
     n_pairs = pairs.count()

@@ -258,11 +258,21 @@ IMAGE_EMBEDDING = T.StructType(
 )
 
 
-def image_embeddings(df: DataFrame, id_col: str = "sample_id", k: int = 8) -> DataFrame:
+def image_embeddings(
+    df: DataFrame, id_col: str = "sample_id", k: int = 8, center: bool = False
+) -> DataFrame:
     """Image → 64-dim embedding (k×k average-pooled grayscale, L2-normalized)
     — the bridge from multimodal decode to the similarity-search operators
     (operators/similarity.py): dedupe or nearest-neighbor images exactly
     like text embeddings. A real model swaps into the same mapInPandas slot.
+
+    `center=True` subtracts each vector's own mean before normalizing:
+    raw pooled-grayscale vectors share a dominant brightness component
+    (ANY two images land at cosine ≈ 0.99), so cosine over the raw form
+    measures exposure, not structure — duplicates stay at 1.0 under
+    centering while unrelated images drop to ~N(0, Θ(1/√(k²))). Use it
+    whenever the embeddings feed a cosine-threshold stage (near-dup,
+    SemDeDup, ANN).
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -271,6 +281,8 @@ def image_embeddings(df: DataFrame, id_col: str = "sample_id", k: int = 8) -> Da
             for sid, payload, meta in zip(pdf[id_col], pdf["image"], pdf["image_meta"]):
                 img = _decode_image(bytes(payload), int(meta["width"]), int(meta["height"]))
                 pooled = _avg_pool(img.astype(np.float64).mean(axis=2), k).ravel()
+                if center:
+                    pooled = pooled - pooled.mean()
                 norm = np.linalg.norm(pooled)
                 rows.append(
                     {

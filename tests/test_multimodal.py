@@ -72,6 +72,37 @@ def test_image_embeddings_feed_ann(spark):
     assert ((pdf["cosine_sim"] >= -1.000001) & (pdf["cosine_sim"] <= 1.000001)).all()
 
 
+def test_centered_embeddings_separate_duplicates_from_brightness(spark):
+    """center=True makes cosine measure structure, not exposure: raw
+    pooled-grayscale vectors put UNRELATED images at cosine ≈ 0.99 (the
+    shared brightness component), useless under any near-dup threshold;
+    centered, byte-duplicate images stay at exactly 1.0 while unrelated
+    ones fall well below 0.9."""
+    import numpy as np
+
+    df = MM.synthetic_multimodal(spark, n=20)
+    # plant one exact duplicate: sample 19's payload = sample 0's
+    dup = df.filter(F.col("sample_id") == 0).select(
+        F.lit(19).cast("long").alias("sample_id"),
+        "image", "image_meta", "audio", "audio_meta", "video", "video_meta",
+    )
+    planted = df.filter(F.col("sample_id") < 19).unionByName(dup)
+
+    def cos_matrix(emb_df):
+        pdf = emb_df.toPandas().sort_values("sample_id")
+        mat = np.array([np.array(v) for v in pdf["embedding"]])
+        return mat @ mat.T
+
+    raw = cos_matrix(MM.image_embeddings(planted))
+    cen = cos_matrix(MM.image_embeddings(planted, center=True))
+    off_raw = raw[np.triu_indices(20, 1)]
+    assert off_raw.min() > 0.9  # raw: everything looks like a near-dup
+    assert cen[0, 19] > 0.999999  # duplicate survives centering at 1.0
+    cen_unrelated = [cen[i, j] for i, j in zip(*np.triu_indices(20, 1))
+                     if not (i == 0 and j == 19)]
+    assert max(cen_unrelated) < 0.9  # unrelated pairs drop out
+
+
 def test_metadata_query_prunes_binary_payload(spark, tmp_path):
     """The 100 TB property: a metadata-only query reads zero payload bytes —
     the binary column must be absent from the parquet ReadSchema."""
