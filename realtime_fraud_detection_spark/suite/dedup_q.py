@@ -762,11 +762,11 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # incremental): a new batch (doc_id % 10 == 0) probed against the standing
 # corpus — batch prefix postings BROADCAST into the corpus index (the
 # corpus never reshuffles; the persisted-index production form), then
-# candidates-only exact verification. Rows-only: the cross-form
-# equivalence with the self-join, broadcast plan pin, and
-# unseen-vocabulary safety are pinned in tests/test_setsim.py; every
-# output value is the same bit-exact int/int arithmetic as
-# jaccard_pairs.
+# candidates-only exact verification. ORACLED since round 12 (the
+# rule_score merge freed the slot): the cross-form equivalence with the
+# self-join, broadcast plan pin, and unseen-vocabulary safety are pinned
+# in tests/test_setsim.py; every output value is the same bit-exact
+# int/int arithmetic as jaccard_pairs.
 # ---------------------------------------------------------------------------
 def q_jaccard_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.setsim import prefix_filtered_candidates_incremental
@@ -811,9 +811,10 @@ WHERE CAST(i AS DOUBLE) / CAST(sa + sb - i AS DOUBLE) >= {_JACCARD_T - 1e-9!r}
 """
 
 
-# DuckDB twin of q_jaccard_ingest — NOT registered in ORACLES (rows-only;
-# the 50-slot window is full) but pinned bit-exact in tests/test_setsim.py
-# (the merchant_updates promotion pattern): the incremental probe's
+# DuckDB twin of q_jaccard_ingest — PROMOTED into the hash-checked window
+# round 12 (the rule_score/ensemble_decision merge freed the slot); it had
+# been pinned bit-exact in tests/test_setsim.py since r11 (the
+# merchant_updates promotion pattern): the incremental probe's
 # completeness guarantee means its output IS "all (batch, corpus) pairs
 # with jaccard >= t", which the oracle states directly as the split
 # restriction of the all-pairs join. Same int/int double arithmetic as
@@ -1349,6 +1350,7 @@ ORACLES = {
     "embedding_near_dups": SQL_EMBEDDING_NEAR_DUPS,
     "ann_topk": SQL_ANN_TOPK,
     "jaccard_pairs": SQL_JACCARD_PAIRS,
+    "jaccard_ingest": SQL_JACCARD_INGEST,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "quality_filters": SQL_QUALITY_FILTERS,
     "sample_pack": SQL_SAMPLE_PACK,

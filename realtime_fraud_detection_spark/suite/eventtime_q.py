@@ -173,45 +173,63 @@ FROM numbered GROUP BY user_id, sid
 
 
 # ---------------------------------------------------------------------------
-# A4 — geographic grid clustering, 15-min tumbling (WindowProcessor.java:
-# 93-106,173-193). Lat/lon derived deterministically from user_id (the
-# fixture has no geo column); the grid-key derivation is the operator.
-# ---------------------------------------------------------------------------
-def q_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).withColumn(
-        "lat", (F.col("user_id") % 140 - 70).cast("double")
-    ).withColumn("lon", ((F.col("user_id") * 7) % 360 - 180).cast("double"))
-    return A.keyed_tumbling_counts(
-        ev, geo_grid_cell(F.col("lat"), F.col("lon")), "grid_cell", "ts", "value", "15 minutes"
-    )
-
-
-SQL_GEO_GRID = """
-SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS window_start,
-       'geo_' || CAST(FLOOR(CAST(user_id % 140 - 70 AS DOUBLE)) AS BIGINT)
-              || '_' || CAST(FLOOR(CAST((user_id * 7) % 360 - 180 AS DOUBLE)) AS BIGINT) AS grid_cell,
-       COUNT(*) AS tx_count,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
-FROM events GROUP BY 1, 2
-"""
-
-
-# ---------------------------------------------------------------------------
-# A5 — fraud-pattern key, sliding 10min/2min (WindowProcessor.java:112-126,
-# 198-222): key = pattern_{type}_{amount_bucket}.
+# A4 + A5 + A7 — the keyed-windowed-bucket panel (merged round 12 to free
+# two oracle-window slots for the model_eval / volume_anomalies
+# promotions; all three are the SAME shape — (window_start, bucket key,
+# tx_count, decimal-summed total_amount) off one events scan — so a
+# method-tagged union weakens nothing, each branch stays hash-checked):
+#   method='pattern_10m_2m' — fraud-pattern key, sliding 10min/2min
+#       (WindowProcessor.java:112-126,198-222):
+#       key = pattern_{type}_{amount_bucket};
+#   method='geo_15m'        — geographic grid clustering, 15-min tumbling
+#       (WindowProcessor.java:93-106,173-193), lat/lon derived
+#       deterministically from user_id (the fixture has no geo column —
+#       the grid-key derivation is the operator);
+#   method='amount_30m'     — amount-magnitude clustering, tumbling 30 min
+#       (WindowProcessor.java:153-166,227-241), magnitude bucket via
+#       explicit thresholds (a CASE form of floor(log10) exact at bucket
+#       boundaries in every engine).
 # ---------------------------------------------------------------------------
 def q_pattern_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     key = F.concat_ws("_", F.lit("pattern"), F.col("event_type"), amount_category(F.col("value")))
-    return (
+    pattern = (
         ev.withColumn("pattern_key", key)
         .groupBy(F.window("ts", "10 minutes", "2 minutes").alias("w"), "pattern_key")
         .agg(
             F.count("*").alias("tx_count"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_amount"),
         )
-        .select(F.col("w.start").alias("window_start"), "pattern_key", "tx_count", "total_amount")
+        .select(
+            F.lit("pattern_10m_2m").alias("method"),
+            F.col("w.start").alias("window_start"),
+            F.col("pattern_key").alias("bucket_key"),
+            "tx_count",
+            "total_amount",
+        )
     )
+
+    geo_ev = ev.withColumn(
+        "lat", (F.col("user_id") % 140 - 70).cast("double")
+    ).withColumn("lon", ((F.col("user_id") * 7) % 360 - 180).cast("double"))
+    geo = A.keyed_tumbling_counts(
+        geo_ev, geo_grid_cell(F.col("lat"), F.col("lon")), "bucket_key", "ts", "value", "15 minutes"
+    ).select(F.lit("geo_15m").alias("method"), "window_start", "bucket_key", "tx_count", "total_amount")
+
+    mag = (
+        F.when(F.col("value") < 0.1, -2)
+        .when(F.col("value") < 1, -1)
+        .when(F.col("value") < 10, 0)
+        .when(F.col("value") < 100, 1)
+        .when(F.col("value") < 1000, 2)
+        .otherwise(3)
+    )
+    amount_key = F.concat_ws("_", F.lit("amount"), mag.cast("string"))
+    amount = A.keyed_tumbling_counts(
+        ev, amount_key, "bucket_key", "ts", "value", "30 minutes"
+    ).select(F.lit("amount_30m").alias("method"), "window_start", "bucket_key", "tx_count", "total_amount")
+
+    return pattern.unionAll(geo).unionAll(amount)
 
 
 SQL_PATTERN_BUCKETS = """
@@ -224,9 +242,25 @@ WITH expanded AS (
          value
   FROM events CROSS JOIN range(0, 5) t(k)
 )
-SELECT window_start, pattern_key, COUNT(*) AS tx_count,
+SELECT 'pattern_10m_2m' AS method, window_start, pattern_key AS bucket_key,
+       COUNT(*) AS tx_count,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
-FROM expanded GROUP BY 1, 2
+FROM expanded GROUP BY 2, 3
+UNION ALL
+SELECT 'geo_15m', time_bucket(INTERVAL 15 MINUTE, ts),
+       'geo_' || CAST(FLOOR(CAST(user_id % 140 - 70 AS DOUBLE)) AS BIGINT)
+              || '_' || CAST(FLOOR(CAST((user_id * 7) % 360 - 180 AS DOUBLE)) AS BIGINT),
+       COUNT(*),
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'amount_30m', time_bucket(INTERVAL 30 MINUTE, ts),
+       'amount_' || CAST(CASE WHEN value < 0.1 THEN -2 WHEN value < 1 THEN -1
+                              WHEN value < 10 THEN 0 WHEN value < 100 THEN 1
+                              WHEN value < 1000 THEN 2 ELSE 3 END AS VARCHAR),
+       COUNT(*),
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+FROM events GROUP BY 2, 3
 """
 
 
@@ -243,36 +277,6 @@ def q_high_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_HIGH_FREQUENCY = """
 SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, user_id, COUNT(*) AS tx_count
 FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 2
-"""
-
-
-# ---------------------------------------------------------------------------
-# A7 — amount-magnitude clustering, tumbling 30 min (WindowProcessor.java:
-# 153-166,227-241). Magnitude bucket via explicit thresholds (a CASE form of
-# floor(log10) that is exact at bucket boundaries in every engine).
-# ---------------------------------------------------------------------------
-def q_amount_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    mag = (
-        F.when(F.col("value") < 0.1, -2)
-        .when(F.col("value") < 1, -1)
-        .when(F.col("value") < 10, 0)
-        .when(F.col("value") < 100, 1)
-        .when(F.col("value") < 1000, 2)
-        .otherwise(3)
-    )
-    key = F.concat_ws("_", F.lit("amount"), mag.cast("string"))
-    return A.keyed_tumbling_counts(ev, key, "amount_bucket", "ts", "value", "30 minutes")
-
-
-SQL_AMOUNT_CLUSTERS = """
-SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start,
-       'amount_' || CAST(CASE WHEN value < 0.1 THEN -2 WHEN value < 1 THEN -1
-                              WHEN value < 10 THEN 0 WHEN value < 100 THEN 1
-                              WHEN value < 1000 THEN 2 ELSE 3 END AS VARCHAR) AS amount_bucket,
-       COUNT(*) AS tx_count,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
-FROM events GROUP BY 1, 2
 """
 
 
@@ -417,10 +421,8 @@ QUERIES = {
     "gap_fill": q_gap_fill,
     "hourly_type_stats": q_hourly_type_stats_full,
     "user_sessions": q_user_sessions,
-    "geo_grid": q_geo_grid,
     "pattern_buckets": q_pattern_buckets,
     "high_frequency": q_high_frequency,
-    "amount_clusters": q_amount_clusters,
     "hourly_daily_rollup": q_hourly_daily_rollup,
     "feature_stats": q_feature_stats,
 }
@@ -430,10 +432,8 @@ ORACLES = {
     "gap_fill": SQL_GAP_FILL,
     "hourly_type_stats": SQL_HOURLY_TYPE_STATS,
     "user_sessions": SQL_USER_SESSIONS,
-    "geo_grid": SQL_GEO_GRID,
     "pattern_buckets": SQL_PATTERN_BUCKETS,
     "high_frequency": SQL_HIGH_FREQUENCY,
-    "amount_clusters": SQL_AMOUNT_CLUSTERS,
     "hourly_daily_rollup": SQL_HOURLY_DAILY,
     "feature_stats": SQL_FEATURE_STATS,
 }

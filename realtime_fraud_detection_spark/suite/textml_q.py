@@ -3,9 +3,11 @@ the corpus rather than evaluating hand-written ones (beyond the reference,
 which has no trainable text path: its BERT/LSTM models degrade to rule
 features, SURVEY §2.8 M6/M7).
 
-Rows-only by construction (iterative training has no single-statement SQL
-equivalent); the learning math is pinned by NumPy-replay parity and
-holdout-accuracy tests in tests/test_text_classifier.py.
+Mostly rows-only by construction (iterative training has no
+single-statement SQL equivalent); the learning math is pinned by
+NumPy-replay parity and holdout-accuracy tests in
+tests/test_text_classifier.py. The exception is model_eval (ranking
+metrics are a one-pass grouped window — oracled since round 12).
 """
 
 from __future__ import annotations
@@ -240,9 +242,19 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Distributed ranking-metric evaluation (ml/evaluation.py): ROC-AUC in the
 # Mann-Whitney grouped-rank form (integer-exact numerator), KS statistic,
 # and average precision over the deterministic miscalibrated pseudo-score
-# from q_score_calibration, per event_type. Rows-only (past the oracle
-# window); bit-exact DuckDB window-SQL parity for auc/ks is pinned in
-# tests/test_evaluation.py.
+# from q_score_calibration, per event_type. ORACLED since round 12 (the
+# pattern_buckets panel merge freed the slot; bit-exact DuckDB window-SQL
+# parity for auc/ks had been pinned in tests/test_evaluation.py since r9).
+# Cross-engine exactness notes:
+#   * auc/ks: integer numerators, one IEEE division — bit-exact;
+#   * ap: per-term rationals are bit-exact, but the cross-group sum is a
+#     double fold — the oracle replays Spark's ascending-score fold with
+#     list_reduce over an ORDER BY s list aggregate (same order, same
+#     adds, bit-identical);
+#   * 6-dp rounding via floor(x*1e6 + 0.5)/1e6 on BOTH sides — ratios of
+#     integers CAN land on exact .xxxxxx5 decimal ties where Spark
+#     (decimal HALF_UP) and DuckDB (binary round) disagree (the gap_fill
+#     rule; values are non-negative so the floor form is a true round).
 def q_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import md5_bigint
     from ..ml.evaluation import binary_eval
@@ -256,14 +268,71 @@ def q_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(coin < score * score, 1).otherwise(0).alias("label"),
     )
     m = binary_eval(scored, "score", "label", by=["event_type"])
+
+    def r6(c):  # tie-safe 6-dp round (metrics are in [0, 1], no negatives)
+        return F.floor(F.col(c) * 1e6 + 0.5) / 1e6
+
     return m.select(
         "event_type",
         "n",
         "pos",
-        F.round("auc", 6).alias("auc"),
-        F.round("ks", 6).alias("ks"),
-        F.round("ap", 6).alias("ap"),
+        r6("auc").alias("auc"),
+        r6("ks").alias("ks"),
+        r6("ap").alias("ap"),
     ).orderBy("event_type")
+
+
+SQL_MODEL_EVAL = """
+WITH scored AS (
+  SELECT event_type,
+         (event_id * 37) % 1000 / 1000.0 AS score,
+         CASE WHEN ('0x' || substr(md5('ev:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 / 1e6
+                   < ((event_id * 37) % 1000 / 1000.0) * ((event_id * 37) % 1000 / 1000.0)
+              THEN 1 ELSE 0 END AS label
+  FROM events
+), g AS (
+  SELECT event_type, score AS s,
+         SUM(label)::BIGINT AS p, SUM(1 - label)::BIGINT AS n
+  FROM scored GROUP BY event_type, score
+), w AS (
+  SELECT event_type, s, p, n,
+         SUM(p) OVER (PARTITION BY event_type) AS ptot,
+         SUM(n) OVER (PARTITION BY event_type) AS ntot,
+         SUM(p) OVER (PARTITION BY event_type ORDER BY s
+                      ROWS UNBOUNDED PRECEDING) AS cum_p,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY s
+                      ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM g
+), terms AS (
+  SELECT event_type, s, p, n, ptot, ntot,
+         p * (2 * (cum_n - n) + n) AS auc_num,
+         ABS(cum_p * ntot - cum_n * ptot) AS ks_num,
+         -- same tree as Spark's _p * tp_ge / all_ge: exact-integer
+         -- product, ONE IEEE division per term
+         p * (ptot - cum_p + p)::DOUBLE / (ptot + ntot - cum_p - cum_n + p + n) AS ap_term
+  FROM w
+), agg AS (
+  SELECT event_type,
+         SUM(p + n)::BIGINT AS n,
+         SUM(p)::BIGINT AS pos,
+         ANY_VALUE(ptot)::BIGINT AS ptot,
+         ANY_VALUE(ntot)::BIGINT AS ntot,
+         SUM(auc_num)::DOUBLE AS auc_num,
+         MAX(ks_num)::DOUBLE AS ks_max,
+         -- replay Spark's ascending-score left fold exactly
+         list_reduce(list_prepend(0.0::DOUBLE, list(ap_term ORDER BY s)),
+                     (acc, x) -> acc + x) AS ap_sum
+  FROM terms GROUP BY event_type
+)
+SELECT event_type, n, pos,
+       CASE WHEN ptot > 0 AND ntot > 0 THEN
+         FLOOR(auc_num / (2 * ptot * ntot)::DOUBLE * 1e6 + 0.5) / 1e6 END AS auc,
+       CASE WHEN ptot > 0 AND ntot > 0 THEN
+         FLOOR(ks_max / (ptot * ntot)::DOUBLE * 1e6 + 0.5) / 1e6 END AS ks,
+       CASE WHEN ptot > 0 AND ntot > 0 THEN
+         FLOOR(ap_sum / ptot * 1e6 + 0.5) / 1e6 END AS ap
+FROM agg ORDER BY event_type
+"""
 
 
 QUERIES = {
@@ -276,4 +345,4 @@ QUERIES = {
     "model_eval": q_model_eval,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {"model_eval": SQL_MODEL_EVAL}

@@ -253,8 +253,11 @@ def test_suite_model_eval_runs(spark):
 
 
 @pytest.mark.parametrize("name", ["model_eval"])
-def test_model_eval_after_oracle_window(name):
-    from realtime_fraud_detection_spark.suite import all_queries
+def test_model_eval_inside_oracle_window(name):
+    """Promoted round 12: the DuckDB twin replays the ascending-score AP
+    fold (ORDER BY list aggregate + list_reduce), so the query sits in the
+    driver's hash-checked first-50 window."""
+    from realtime_fraud_detection_spark.suite import all_oracles, all_queries
 
     names = list(all_queries())
-    assert names.index(name) >= 50  # rows-only: stays out of the gate window
+    assert names.index(name) < 50 and name in all_oracles()

@@ -118,21 +118,13 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # no DuckDB twin; NumPy replay of the reference arithmetic in
         # tests/test_experiments.py
         "ab_experiments",
-        # incremental exact-Jaccard ingest — cross-form equivalence,
-        # broadcast plan pin + unseen-vocab safety in tests/test_setsim.py
-        "jaccard_ingest",
         # trained sequential scorer — iterative decimal-sum logistic fit,
         # no SQL form; holdout-AUC + bit-determinism + pure-expression
         # scoring pinned in tests/test_sequential.py
         "sequence_scores",
-        # seasonal robust median/MAD alarms — exact interpolated
-        # percentiles have cross-engine interpolation hazards; spike/
-        # no-leakage laws pinned in tests/test_anomalies.py
-        "volume_anomalies",
-        # ranking metrics (AUC/KS integer-exact, AP float-folded) — window
-        # full; bit-exact DuckDB window-SQL parity for auc/ks in
-        # tests/test_evaluation.py (ap tolerance parity there too)
-        "model_eval",
+        # (jaccard_ingest / model_eval / volume_anomalies were promoted
+        # into the oracle window round 12 — the rule_score and
+        # pattern_buckets panel merges freed the slots)
     }
     missing = set(QUERIES) - set(ORACLES) - approximate
     assert not missing, f"queries without oracle: {missing}"

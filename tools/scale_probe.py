@@ -130,6 +130,54 @@ def main() -> None:
             f"setsim_join={time.time() - t1:.1f}s n_pairs={n_pairs}"
         )
 
+        # incremental ingest against a PERSISTED index (the production
+        # topology of jaccard_ingest / prefix_filtered_candidates_
+        # incremental): the batch is FIXED — replica 0's every-10th doc,
+        # so it shares vocabulary only with replica 0's corpus slice —
+        # while the standing corpus (and therefore the index) grows with
+        # the replicas. The per-ingest cost model at 100 TB is "one scan
+        # of the index + a broadcast of the batch postings": probe time
+        # may grow at most linearly with the index, candidate count must
+        # stay FLAT (the batch only ever matches its own replica).
+        from pyspark.sql import functions as F
+
+        from realtime_fraud_detection_spark.operators.setsim import (
+            prefix_filtered_candidates_incremental,
+            prefix_index,
+            token_df_table,
+        )
+
+        batch = docs.filter(
+            (F.col("doc_id") < 10_000_000) & (F.col("doc_id") % 10 == 0)
+        )
+        standing = docs.filter(
+            (F.col("doc_id") >= 10_000_000) | (F.col("doc_id") % 10 != 0)
+        )
+        t0 = time.time()
+        token_df_table(standing, "text", "doc_id", 3).write.mode(
+            "overwrite"
+        ).parquet("/tmp/sg_setsim_dfreq")
+        dfreq_p = spark.read.parquet("/tmp/sg_setsim_dfreq")
+        prefix_index(
+            standing, "text", "doc_id", 0.5, 3, dfreq=dfreq_p
+        ).write.mode("overwrite").parquet("/tmp/sg_setsim_idx")
+        idx_p = spark.read.parquet("/tmp/sg_setsim_idx")
+        t_build = time.time() - t0
+        idx_rows = idx_p.count()
+        t0 = time.time()
+        n_inc = prefix_filtered_candidates_incremental(
+            batch,
+            corpus_index=idx_p,
+            corpus_dfreq=dfreq_p,
+            threshold=0.5,
+        ).count()
+        t_probe = time.time() - t0
+        print(
+            f"setsim_ingest: index_build={t_build:.1f}s "
+            f"idx_rows={idx_rows} probe={t_probe:.1f}s n_cand={n_inc} "
+            f"batch_docs={batch.count()}"
+        )
+
     pairs = None
     if stages & {"simhash", "cc", "star", "graphx", "doulion"}:
         t0 = time.time()
