@@ -117,6 +117,13 @@ HEADLINE = [
     # exact-Jaccard ingest topology (batch postings broadcast into the
     # corpus index)
     "jaccard_ingest",
+    # round-12: PSI drift panel (numeric + categorical detail with
+    # decimal-summed totals), leakage-free OOF target encoding, and
+    # retrieval-quality metrics (recall@k/MRR/NDCG over brute-force
+    # cosine vs same-label truth)
+    "drift_report",
+    "target_encoding",
+    "retrieval_eval",
 ]
 
 # Iterative queries (CC / power-iteration loops) have documented ±2 s

@@ -98,6 +98,21 @@ def psi_categorical(
     """Categorical PSI: the baseline's top_n values are the buckets,
     everything else (including categories NEW in current) folds into
     '__other__' on both sides."""
+    return _psi_total(
+        psi_categorical_detail(baseline, current, col, top_n, eps)
+    )
+
+
+def psi_categorical_detail(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    top_n: int = 20,
+    eps: float = 1e-4,
+) -> DataFrame:
+    """(bucket, p_base, p_cur, contribution) — the per-category detail
+    behind :func:`psi_categorical` (same bucket rule: baseline top_n by
+    count with a value tie-break, everything else '__other__')."""
     top = [
         r[0]
         for r in baseline.groupBy(col)
@@ -114,7 +129,7 @@ def psi_categorical(
     )
     base = _proportions(baseline, bucket, top_n, "base")
     cur = _proportions(current, bucket, top_n, "cur")
-    return _psi_total(_contributions(base, cur, eps))
+    return _contributions(base, cur, eps)
 
 
 def _contributions(base: DataFrame, cur: DataFrame, eps: float) -> DataFrame:

@@ -38,6 +38,12 @@ from pyspark.sql import functions as F
 
 from .dedup import ngram_jaccard, shingle_table
 
+# Token-row gate for the self-join's big-corpus path (see
+# prefix_filtered_candidates): dfreq/index sides built from more rows
+# than this deserialize far past the heap's broadcast budget, and the
+# candidate volume needs an explicitly-sized dedup.
+_BIG_TOKEN_ROWS = 10_000_000
+
 _EPS = 1e-9
 
 
@@ -168,27 +174,62 @@ def prefix_filtered_candidates(
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if shingles is None:
-        pre = prefix_index(df, text_col, id_col, threshold, shingle_k)
+        tok = _tok_table(df, text_col, id_col, shingle_k)
     else:
         tok = shingles.select("doc", F.explode("sh").alias("tok"))
-        dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
-        pre = _prefix_postings(tok, dfreq, threshold)
-    if max_posting_size is not None:
-        pre = _cap_postings(pre, max_posting_size)
-    a, b = pre.alias("a"), pre.alias("b")
-    # length filter: J >= t forces t*|x| <= |y| (both directions); the
-    # epsilon again errs toward keeping the candidate
-    return (
-        a.join(
+    dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
+
+    def _cand(dfreq_side: DataFrame, hint: str | None) -> DataFrame:
+        pre = _prefix_postings(tok, dfreq_side, threshold)
+        if max_posting_size is not None:
+            pre = _cap_postings(pre, max_posting_size)
+        if hint:
+            pre = pre.hint(hint)
+        a, b = pre.alias("a"), pre.alias("b")
+        # length filter: J >= t forces t*|x| <= |y| (both directions);
+        # the epsilon again errs toward keeping the candidate
+        return a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc") < F.col("b.doc"))
             & _length_compatible(F.col("a.sz"), F.col("b.sz"), threshold),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b")
-        )
-        .distinct()
+        ).select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+
+    # Size the plan BEFORE running any join (the 100x probe lesson, r12):
+    # one cheap count of the token-row table picks the path. Past ~10M
+    # token rows two OOM classes fire together (both hit in the probe):
+    #  * AQE converts a sort-merge join to broadcast off COMPRESSED
+    #    shuffle stats; the deserialized hash relation of a multi-M-row
+    #    dfreq/index side is 10-50x the estimate → heap OOM ("not enough
+    #    memory to build and broadcast"). Merge hints survive AQE
+    #    replanning, so the big path pins every join to shuffle —
+    #    including the dfreq join inside the candidate-bound estimate,
+    #    which otherwise OOMs before the self-join is even planned.
+    #  * a bare distinct's partial hash agg is sized by the join's
+    #    AQE-coalesced fat partitions → dedup_edges with explicit width,
+    #    sized from the exact pre-verify bound Σ_tok C(posting,2) (one
+    #    map-side-combined agg over the index — linear, and the skew
+    #    diagnostic a production run wants printed anyway).
+    # Below the gate the r11 plan is kept UNCHANGED (AQE broadcasting
+    # the small dfreq table is right there, and no extra estimate job).
+    import math
+
+    from .scaling import dedup_edges
+
+    if tok.count() <= _BIG_TOKEN_ROWS:
+        return _cand(dfreq, None).distinct()
+    dfreq_m = dfreq.hint("merge")
+    est_row = (
+        _prefix_postings(tok, dfreq_m, threshold)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("est"))
+        .first()
+    )
+    est = int(est_row["est"] or 0)
+    parts = max(1, math.ceil(est / 1_000_000))
+    return dedup_edges(
+        _cand(dfreq_m, "merge"), ["doc_a", "doc_b"], parts, est
     )
 
 

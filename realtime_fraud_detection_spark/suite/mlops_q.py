@@ -230,11 +230,139 @@ def q_sequence_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 drift surface as a driver query (round 12): PSI between the
+    first and second half of event time, per-bucket detail for one
+    numeric feature (value — 10 equal-population baseline-quantile
+    buckets) and one categorical (event_type — baseline top-20 + __other__),
+    plus a __total__ row per feature.
+
+    Determinism: bucket proportions are int/int divisions (exact);
+    contribution = (p-q)·ln(p/q) is transcendental so it is rounded to
+    6 dp (suite rule), and the __total__ PSI sums the ROUNDED
+    contributions in DECIMAL — order-free exact, so the total is
+    bit-stable under any partitioning (the raw double sum of ~30 terms
+    would depend on fold order). Streaming twin: ml/drift's baseline
+    store + streaming/metrics drift monitor."""
+    from ..ml.drift import psi_categorical_detail, psi_numeric_detail
+
+    ev = load_table(spark, sf_dir, "events")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = lo + (hi - lo) // 2
+    base = ev.filter(F.col("ts") <= F.lit(cut))
+    cur = ev.filter(F.col("ts") > F.lit(cut))
+
+    def shape(detail: DataFrame, feature: str) -> DataFrame:
+        return detail.select(
+            F.lit(feature).alias("feature"),
+            F.col("bucket").cast("string").alias("bucket"),
+            F.round("p_base", 6).alias("p_base"),
+            F.round("p_cur", 6).alias("p_cur"),
+            F.round("contribution", 6).alias("contribution"),
+        )
+
+    detail = shape(
+        psi_numeric_detail(base, cur, "value", n_buckets=10), "value"
+    ).unionAll(
+        shape(
+            psi_categorical_detail(base, cur, "event_type", top_n=20),
+            "event_type",
+        )
+    )
+    totals = detail.groupBy("feature").agg(
+        F.sum(F.col("contribution").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("contribution")
+    ).select(
+        "feature",
+        F.lit("__total__").alias("bucket"),
+        F.lit(None).cast("double").alias("p_base"),
+        F.lit(None).cast("double").alias("p_cur"),
+        "contribution",
+    )
+    return detail.unionAll(totals).orderBy("feature", "bucket")
+
+
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free out-of-fold mean-target encoding (ml/encoding.py)
+    as a driver query (round 12): a 211-level pseudo merchant key
+    (user_id % 211) encoded against the high-value label (value > 100 —
+    ~13% base rate across SFs; the >300 cut is 0.1% and starves the
+    per-level statistics), 5 md5 folds aligned with kfold_splits. Per-row output: fold, the
+    encoded value, and the label — the training-set materialization
+    shape. Decimal label sums make every leave-fold-out statistic exact
+    until its one double division (partition-invariant), so rows-only
+    determinism is bit-exact."""
+    from ..ml.encoding import target_encode
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 211).alias("merchant_key"),
+        (F.col("value") > 100).cast("int").alias("label"),
+    )
+    out = target_encode(
+        ev, "merchant_key", "label", "event_id", n_folds=5, smoothing=20.0
+    )
+    return out.select(
+        "event_id",
+        "merchant_key",
+        F.col("_fold").alias("fold"),
+        "label",
+        F.round("merchant_key_te", 6).alias("te"),
+    ).orderBy("event_id")
+
+
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation (ml/evaluation.retrieval_metrics) as
+    a driver query (round 12): brute-force cosine top-10 for the first
+    32 vectors, judged against same-label relevance — recall@k /
+    precision@k / reciprocal rank / NDCG@k per query. The metric plan is
+    the 100-TB shape: candidates cut to k BEFORE the truth join
+    (|queries|·k rows), DCG folds over a sorted bounded array. Query
+    count is FIXED (vec_id < 32) so the probe scales only with the
+    corpus scan. NDCG's log2 is transcendental → 6 dp; the other three
+    are small-int ratios (exact)."""
+    from ..ml.evaluation import retrieval_metrics
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32)
+    results = brute_force_topk(emb, queries, k=10).select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("doc_id"),
+        F.col("rank").alias("rank"),
+    )
+    truth = (
+        queries.select(F.col("vec_id").alias("query_id"), "label")
+        .join(
+            emb.select(F.col("vec_id").alias("doc_id"), "label"), "label"
+        )
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id")
+    )
+    m = retrieval_metrics(
+        results, truth, k=10, query_col="query_id", doc_col="doc_id",
+        rank_col="rank",
+    )
+    return m.select(
+        "query_id",
+        "n_rel",
+        "n_hit",
+        F.round("recall_at_k", 6).alias("recall_at_k"),
+        F.round("precision_at_k", 6).alias("precision_at_k"),
+        F.round("reciprocal_rank", 6).alias("reciprocal_rank"),
+        F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
+    ).orderBy("query_id")
+
+
 QUERIES = {
     "ensemble_explain": q_ensemble_explain,
     "text_embed_ann": q_text_embed_ann,
     "ab_experiments": q_ab_experiments,
     "sequence_scores": q_sequence_scores,
+    "drift_report": q_drift_report,
+    "target_encoding": q_target_encoding,
+    "retrieval_eval": q_retrieval_eval,
 }
 
 ORACLES: dict[str, str] = {}

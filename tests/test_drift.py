@@ -110,3 +110,46 @@ def test_stream_equals_batch_psi(spark, tmp_path):
     w(b1, 0)
     again = drift_psi_view(spark, out, loaded).first()
     assert again["psi"] == streamed["psi"] and again["n_rows"] == 1000
+
+
+def test_categorical_detail_sums_to_total(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    from realtime_fraud_detection_spark.ml.drift import (
+        psi_categorical_detail,
+    )
+
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    total = psi_categorical(base, cur, "event_type").first()
+    detail = psi_categorical_detail(base, cur, "event_type").collect()
+    assert total["n_buckets"] == len(detail)
+    assert total["psi"] == pytest.approx(
+        sum(r["contribution"] for r in detail), rel=1e-12
+    )
+
+
+def test_suite_drift_report(spark):
+    """The round-12 driver query: per-bucket PSI detail for value +
+    event_type plus a __total__ row per feature; the total must equal the
+    DECIMAL sum of the ROUNDED per-bucket contributions exactly (the
+    query's documented determinism contract)."""
+    from decimal import Decimal
+
+    from realtime_fraud_detection_spark.suite.mlops_q import q_drift_report
+
+    rows = q_drift_report(spark, SF_SMOKE).collect()
+    feats = {r["feature"] for r in rows}
+    assert feats == {"value", "event_type"}
+    for feat in feats:
+        det = [
+            r for r in rows if r["feature"] == feat and r["bucket"] != "__total__"
+        ]
+        tot = [
+            r for r in rows if r["feature"] == feat and r["bucket"] == "__total__"
+        ]
+        assert len(tot) == 1 and len(det) >= 2
+        want = sum(
+            Decimal(f"{r['contribution']:.6f}") for r in det
+        )
+        assert Decimal(f"{tot[0]['contribution']:.6f}") == want
+        assert tot[0]["p_base"] is None and tot[0]["p_cur"] is None

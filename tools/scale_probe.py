@@ -76,7 +76,7 @@ def main() -> None:
 
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     all_stages = (
-        "minhash,lsh,setsim,simhash,cc,star,spans,ngram,bpe,clf,quality,"
+        "minhash,lsh,setsim,ingest,simhash,cc,star,spans,ngram,bpe,clf,quality,"
         "graphx,doulion,ivfpq,sketch,seqfeat,hotkey,layout,funnel,mixture,pca,embed,negs,"
         "index,dsir,abeval,mmodal"
     )
@@ -130,6 +130,7 @@ def main() -> None:
             f"setsim_join={time.time() - t1:.1f}s n_pairs={n_pairs}"
         )
 
+    if "ingest" in stages:
         # incremental ingest against a PERSISTED index (the production
         # topology of jaccard_ingest / prefix_filtered_candidates_
         # incremental): the batch is FIXED — replica 0's every-10th doc,
