@@ -23,7 +23,7 @@ standard Laplace-style guard.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -53,9 +53,17 @@ def _proportions(df: DataFrame, bucket, n_buckets: int, side: str) -> DataFrame:
     counts = df.select(bucket.alias("bucket")).groupBy("bucket").agg(
         F.count("*").alias("n")
     )
-    total = counts.agg(F.sum("n").alias("t"))
-    return counts.join(F.broadcast(total)).select(
-        "bucket", (F.col("n") / F.col("t")).alias(f"p_{side}")
+    # total via an unpartitioned window over the ALREADY-aggregated
+    # counts (<= n_buckets rows) — deriving it with counts.agg() + join
+    # re-executed the whole upstream scan a second time (plan audit r12:
+    # the drift_report query read events 16x; at 100 TB the raw scan is
+    # the entire cost). Single-partition window over a bucket-sized frame
+    # is free; n/t is the same exact long/long division either way.
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return counts.select(
+        "bucket", (F.col("n") / F.sum("n").over(w)).alias(f"p_{side}")
     )
 
 

@@ -261,6 +261,8 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("contribution", 6).alias("contribution"),
         )
 
+    # one checkpointed detail frame: the __total__ branch would otherwise
+    # re-execute the whole proportions chain (plan audit r12 — scans 8→4)
     detail = shape(
         psi_numeric_detail(base, cur, "value", n_buckets=10), "value"
     ).unionAll(
@@ -268,7 +270,7 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             psi_categorical_detail(base, cur, "event_type", top_n=20),
             "event_type",
         )
-    )
+    ).localCheckpoint(eager=False)
     totals = detail.groupBy("feature").agg(
         F.sum(F.col("contribution").cast("decimal(38,6)"))
         .cast("double")
