@@ -253,12 +253,19 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = ev.filter(F.col("ts") > F.lit(cut))
 
     def shape(detail: DataFrame, feature: str) -> DataFrame:
+        # tie-safe floor-form rounding (all three columns are >= 0):
+        # p_base/p_cur are int/int ratios which CAN land on exact .xxxxxx5
+        # decimal ties where engine round() conventions diverge — the
+        # promotion-readiness rule from model_eval
+        def r6(c):
+            return F.floor(F.col(c) * 1e6 + 0.5) / 1e6
+
         return detail.select(
             F.lit(feature).alias("feature"),
             F.col("bucket").cast("string").alias("bucket"),
-            F.round("p_base", 6).alias("p_base"),
-            F.round("p_cur", 6).alias("p_cur"),
-            F.round("contribution", 6).alias("contribution"),
+            r6("p_base").alias("p_base"),
+            r6("p_cur").alias("p_cur"),
+            r6("contribution").alias("contribution"),
         )
 
     # one checkpointed detail frame: the __total__ branch would otherwise

@@ -171,3 +171,73 @@ def test_suite_target_encoding(spark):
     assert len(rows) == n_events
     assert all(0 <= r["fold"] < 5 for r in rows)
     assert all(0.0 < r["te"] < 1.0 for r in rows)
+
+
+# DuckDB twin of the q_target_encoding suite query — NOT registered in
+# ORACLES (the 50-slot window is full) but pinned bit-exact here UNROUNDED
+# (the merchant_updates/jaccard_ingest promotion pattern): decimal label
+# sums make every leave-fold-out statistic exact, and te is built from
+# exact-integer-valued doubles with the SAME operation tree both sides
+# (one multiply, two adds, one division), so the raw doubles must match
+# bit for bit. Promotion would only need the suite query's F.round
+# swapped for the tie-safe floor form.
+_DUCK_TE = """
+WITH ev AS (
+  SELECT event_id,
+         user_id % 211 AS c,
+         CASE WHEN value > 100 THEN 1 ELSE 0 END AS label,
+         ('0x' || substr(md5('fold:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS f
+  FROM events
+), per_fold AS (
+  SELECT c, f, SUM(CAST(label AS DECIMAL(38,6))) AS sy, COUNT(*) AS n
+  FROM ev GROUP BY c, f
+), totals AS (
+  SELECT c, SUM(sy) AS tsy, SUM(n) AS tn FROM per_fold GROUP BY c
+), gl AS (
+  SELECT f, SUM(sy) AS gsy, SUM(n) AS gn FROM per_fold GROUP BY f
+), gtot AS (
+  SELECT SUM(sy) AS ggsy, SUM(n) AS ggn FROM per_fold
+), prior AS (
+  SELECT f, (ggsy - gsy)::DOUBLE / (ggn - gn)::DOUBLE AS p
+  FROM gl, gtot
+), enc AS (
+  SELECT p.c, p.f, (t.tsy - p.sy) AS osy, (t.tn - p.n) AS onn
+  FROM per_fold p JOIN totals t ON p.c = t.c
+)
+SELECT ev.event_id,
+       (COALESCE(enc.osy::DOUBLE, 0.0) + 20.0 * prior.p)
+         / (COALESCE(enc.onn, 0)::DOUBLE + 20.0) AS te
+FROM ev
+LEFT JOIN enc ON ev.c = enc.c AND ev.f = enc.f
+JOIN prior ON ev.f = prior.f
+ORDER BY ev.event_id
+"""
+
+
+def test_suite_target_encoding_duckdb_twin_bit_exact(spark):
+    import duckdb
+
+    from realtime_fraud_detection_spark.functions.hashing import md5_bigint
+    from realtime_fraud_detection_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id",
+        (F.col("user_id") % 211).alias("merchant_key"),
+        (F.col("value") > 100).cast("int").alias("label"),
+    )
+    got = {
+        r["event_id"]: r["merchant_key_te"]
+        for r in target_encode(
+            ev, "merchant_key", "label", "event_id", n_folds=5
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_SMOKE}/events.parquet')"
+    )
+    want = con.execute(_DUCK_TE).fetchall()
+    assert len(want) == len(got) > 0
+    for eid, te in want:
+        assert got[eid] == te, eid

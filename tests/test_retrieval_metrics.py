@@ -176,3 +176,106 @@ def test_suite_retrieval_eval(spark):
         assert 0.0 <= r["reciprocal_rank"] <= 1.0
         assert 0.0 <= r["ndcg_at_k"] <= 1.0
         assert r["n_hit"] <= min(r["n_rel"], 10)
+
+
+# DuckDB twin of the q_retrieval_eval suite query — NOT registered in
+# ORACLES (window full) but pinned here UNROUNDED where the math is exact
+# (the promotion-ready pattern): ranks replay SQL_ANN_TOPK's rounded-
+# cosine/row_number derivation, recall/precision/rr are small-int ratios
+# (bit-exact), DCG/IDCG replay Spark's ascending fold with an ORDER BY
+# list_reduce — the per-term 1/(ln(r+1)/ln(2)) is transcendental, so
+# ndcg is compared at 1e-12 (the only non-exact column; the suite query
+# rounds it to 6 dp).
+_DUCK_RETRIEVAL = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe FROM v WHERE vec_id < 32),
+scored AS (
+  SELECT qid, v.vec_id AS nid,
+    ROUND(
+      list_sum(list_transform(range(1, 65), i -> qe[i] * v.e[i]))
+      / (SQRT(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))
+         * SQRT(list_sum(list_transform(range(1, 65), i -> v.e[i] * v.e[i])))),
+    6) AS cosine_sim
+  FROM q CROSS JOIN v WHERE qid <> v.vec_id
+),
+topk AS (
+  SELECT qid, nid, r FROM (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, nid ASC) AS r
+    FROM scored) WHERE r <= 10
+),
+rel AS (
+  SELECT q.qid, v.vec_id AS nid
+  FROM q JOIN v ON q.qlabel = v.label AND q.qid <> v.vec_id
+),
+n_rel AS (SELECT qid, COUNT(*) AS n_rel FROM rel GROUP BY qid),
+hits AS (
+  SELECT t.qid, COUNT(*) AS n_hit, MIN(t.r) AS first_r,
+         list(t.r ORDER BY t.r) AS ranks
+  FROM topk t JOIN rel USING (qid, nid) GROUP BY t.qid
+)
+SELECT n_rel.qid AS query_id, n_rel.n_rel,
+  COALESCE(hits.n_hit, 0) AS n_hit,
+  COALESCE(hits.n_hit, 0) / LEAST(n_rel.n_rel, 10) AS recall_at_k,
+  COALESCE(hits.n_hit, 0) / 10.0 AS precision_at_k,
+  COALESCE(1.0 / hits.first_r, 0.0) AS reciprocal_rank,
+  COALESCE(
+    list_reduce(list_prepend(0.0::DOUBLE,
+      list_transform(hits.ranks, r -> 1.0 / (ln(r + 1) / ln(2)))),
+      (acc, x) -> acc + x)
+    / list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(range(1, LEAST(n_rel.n_rel, 10) + 1), i -> 1.0 / (ln(i + 1) / ln(2)))),
+        (acc, x) -> acc + x),
+    0.0) AS ndcg_at_k
+FROM n_rel LEFT JOIN hits ON n_rel.qid = hits.qid
+ORDER BY query_id
+"""
+
+
+def test_suite_retrieval_eval_duckdb_twin(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from realtime_fraud_detection_spark.ml.evaluation import (
+        retrieval_metrics,
+    )
+    from realtime_fraud_detection_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from realtime_fraud_detection_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 32)
+    results = brute_force_topk(emb, queries, k=10).select(
+        F.col("qid").alias("query_id"),
+        F.col("nid").alias("doc_id"),
+        "rank",
+    )
+    truth = (
+        queries.select(F.col("vec_id").alias("query_id"), "label")
+        .join(emb.select(F.col("vec_id").alias("doc_id"), "label"), "label")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select("query_id", "doc_id")
+    )
+    got = {
+        r["query_id"]: r
+        for r in retrieval_metrics(
+            results, truth, k=10, rank_col="rank"
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_SMOKE}/embeddings.parquet')"
+    )
+    want = con.execute(_DUCK_RETRIEVAL).fetchall()
+    assert len(want) == len(got) > 0
+    for qid, n_rel, n_hit, rec, prec, rr, ndcg in want:
+        g = got[qid]
+        assert g["n_rel"] == n_rel and g["n_hit"] == n_hit, qid
+        assert g["recall_at_k"] == rec, qid
+        assert g["precision_at_k"] == prec, qid
+        assert g["reciprocal_rank"] == rr, qid
+        assert abs(g["ndcg_at_k"] - ndcg) < 1e-12, qid
