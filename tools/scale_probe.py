@@ -78,13 +78,13 @@ def main() -> None:
     all_stages = (
         "minhash,lsh,setsim,ingest,simhash,cc,star,spans,ngram,bpe,clf,quality,"
         "graphx,doulion,ivfpq,sketch,seqfeat,hotkey,layout,funnel,mixture,pca,embed,negs,"
-        "index,dsir,abeval,mmodal"
+        "index,dsir,abeval,mmodal,mlprep"
     )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if stages - {"ivfpq", "sketch", "seqfeat", "hotkey", "layout", "mixture", "pca", "negs", "abeval", "mmodal"}:  # doc-corpus stages
+    if stages - {"ivfpq", "sketch", "seqfeat", "hotkey", "layout", "mixture", "pca", "negs", "abeval", "mmodal", "mlprep"}:  # doc-corpus stages
         t0 = time.time()
         build_corpus(spark, replicas)
         print(f"corpus: {replicas}x built in {time.time() - t0:.1f}s")
@@ -994,6 +994,68 @@ def main() -> None:
             )
 
         _guarded("count_min", _cm)
+
+    if "mlprep" in stages:
+        # The round-12 training-prep families over a replicated events
+        # corpus (user-id offsets so category cardinality grows with the
+        # data): PSI drift detail (bucket counts — ONE scan per side
+        # after the r12 _proportions window fix) and out-of-fold target
+        # encoding (ONE data-sized (cat, fold) agg, everything else
+        # derives from the checkpointed per-fold table). Both must scale
+        # like a plain aggregation — linear scan, bounded small frames.
+        from pyspark.sql import functions as F
+
+        from realtime_fraud_detection_spark.ml.drift import (
+            psi_numeric_detail,
+        )
+        from realtime_fraud_detection_spark.ml.encoding import target_encode
+        from realtime_fraud_detection_spark.sources.testdata import load_table
+
+        ev0 = load_table(spark, SF_DIR, "events", fan_out=True)
+        parts = []
+        for r in range(replicas):
+            parts.append(
+                ev0.select(
+                    (F.col("event_id") + r * 100_000_000).alias("event_id"),
+                    "ts",
+                    (F.col("user_id") + r * 10_000_000).alias("user_id"),
+                    "event_type",
+                    (F.col("value") * (1.0 + r / 1000.0)).alias("value"),
+                )
+            )
+        ev = parts[0]
+        for p in parts[1:]:
+            ev = ev.unionAll(p)
+        ev = ev.repartition(max(8, replicas)).localCheckpoint()
+        n_ev = ev.count()
+
+        def _psi():
+            t0 = time.time()
+            base = ev.filter(F.col("event_id") % 2 == 0)
+            cur = ev.filter(F.col("event_id") % 2 == 1)
+            det = psi_numeric_detail(base, cur, "value", n_buckets=10)
+            n_b = det.count()
+            print(f"psi_detail={time.time() - t0:.1f}s events={n_ev} buckets={n_b}")
+
+        _guarded("psi_detail", _psi)
+
+        def _te():
+            t0 = time.time()
+            enc = target_encode(
+                ev.select(
+                    "event_id",
+                    (F.col("user_id") % 100_003).alias("cat"),
+                    (F.col("value") > 100).cast("int").alias("label"),
+                ),
+                "cat",
+                "label",
+                "event_id",
+                n_folds=5,
+            )
+            n = enc.count()
+            print(f"target_encode={time.time() - t0:.1f}s rows={n}")
+
+        _guarded("target_encode", _te)
 
     if "hotkey" in stages:
         # The skewed-key shape the co-occurrence graph cap exists for: a
