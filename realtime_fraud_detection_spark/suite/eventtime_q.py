@@ -26,6 +26,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # functions/scoring.velocity_score.
 # ---------------------------------------------------------------------------
 def q_velocity_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + A6/F5 velocity panel (merged round 12 to free the slot that
+    promoted target_encoding; both branches are velocity-detection
+    aggregates over the same events scan, each still hash-checked):
+      method='sliding_5m_1m'  — the composite-scored sliding velocity;
+      method='tumbling_5m_hf' — high-frequency detection, tumbling 5-min
+          count with the post-agg HAVING (count >= 2); score/amount/ndv
+          columns NULL on this branch.
+    """
     ev = _events(spark, sf_dir)
     out = A.velocity_windows(
         ev, "user_id", "ts", "value", ndv_col="event_type", size="5 minutes", slide="1 minute"
@@ -38,9 +46,31 @@ def q_velocity_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rounded: DuckDB evaluates pure decimal-literal CASE sums in exact
     # decimal, Spark in double — identical to 6 dp, not to the last ulp
-    return out.withColumn(
-        "velocity_score", F.round(F.least(score, F.lit(1.0)), 6)
-    ).drop("window_end")
+    sliding = (
+        out.withColumn(
+            "velocity_score", F.round(F.least(score, F.lit(1.0)), 6)
+        )
+        .drop("window_end")
+        .select(
+            F.lit("sliding_5m_1m").alias("method"),
+            "window_start",
+            "user_id",
+            "tx_count",
+            "total_amount",
+            "distinct_counterparties",
+            "velocity_score",
+        )
+    )
+    hf = A.high_frequency(ev, "user_id", "ts", "5 minutes", min_count=2).select(
+        F.lit("tumbling_5m_hf").alias("method"),
+        "window_start",
+        "user_id",
+        "tx_count",
+        F.lit(None).cast("double").alias("total_amount"),
+        F.lit(None).cast("long").alias("distinct_counterparties"),
+        F.lit(None).cast("double").alias("velocity_score"),
+    )
+    return sliding.unionAll(hf)
 
 
 SQL_VELOCITY_SLIDING = """
@@ -55,12 +85,22 @@ WITH expanded AS (
          COUNT(DISTINCT event_type) AS distinct_counterparties
   FROM expanded GROUP BY window_start, user_id
 )
-SELECT *, ROUND(CAST(LEAST(
+SELECT 'sliding_5m_1m' AS method, window_start, user_id, tx_count,
+  total_amount, distinct_counterparties,
+  ROUND(CAST(LEAST(
     CASE WHEN tx_count >= 5 THEN 0.5 WHEN tx_count >= 3 THEN 0.3 WHEN tx_count >= 2 THEN 0.15 ELSE 0.0 END
   + CASE WHEN total_amount >= 500 THEN 0.3 WHEN total_amount >= 200 THEN 0.2 WHEN total_amount >= 50 THEN 0.1 ELSE 0.0 END
   + CASE WHEN distinct_counterparties >= 4 THEN 0.2 WHEN distinct_counterparties >= 2 THEN 0.1 ELSE 0.0 END,
   1.0) AS DOUBLE), 6) AS velocity_score
 FROM agg
+UNION ALL
+SELECT 'tumbling_5m_hf', window_start, user_id, tx_count,
+  CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+FROM (
+  SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, user_id,
+         COUNT(*) AS tx_count
+  FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 2
+)
 """
 
 
@@ -265,22 +305,6 @@ FROM events GROUP BY 2, 3
 
 
 # ---------------------------------------------------------------------------
-# A6 + F5 — high-frequency detection: tumbling 5-min count with HAVING
-# (WindowProcessor.java:132-147, filter at :144). The CountTrigger
-# early-firing variant is streaming/stateful.py.
-# ---------------------------------------------------------------------------
-def q_high_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    return A.high_frequency(ev, "user_id", "ts", "5 minutes", min_count=2)
-
-
-SQL_HIGH_FREQUENCY = """
-SELECT time_bucket(INTERVAL 5 MINUTE, ts) AS window_start, user_id, COUNT(*) AS tx_count
-FROM events GROUP BY 1, 2 HAVING COUNT(*) >= 2
-"""
-
-
-# ---------------------------------------------------------------------------
 # A9 — hourly + daily global rollups (RedisTransactionSink.java:164-222),
 # both grains in one result with a grain tag.
 # ---------------------------------------------------------------------------
@@ -422,7 +446,6 @@ QUERIES = {
     "hourly_type_stats": q_hourly_type_stats_full,
     "user_sessions": q_user_sessions,
     "pattern_buckets": q_pattern_buckets,
-    "high_frequency": q_high_frequency,
     "hourly_daily_rollup": q_hourly_daily_rollup,
     "feature_stats": q_feature_stats,
 }
@@ -433,7 +456,6 @@ ORACLES = {
     "hourly_type_stats": SQL_HOURLY_TYPE_STATS,
     "user_sessions": SQL_USER_SESSIONS,
     "pattern_buckets": SQL_PATTERN_BUCKETS,
-    "high_frequency": SQL_HIGH_FREQUENCY,
     "hourly_daily_rollup": SQL_HOURLY_DAILY,
     "feature_stats": SQL_FEATURE_STATS,
 }

@@ -297,11 +297,16 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a driver query (round 12): a 211-level pseudo merchant key
     (user_id % 211) encoded against the high-value label (value > 100 —
     ~13% base rate across SFs; the >300 cut is 0.1% and starves the
-    per-level statistics), 5 md5 folds aligned with kfold_splits. Per-row output: fold, the
-    encoded value, and the label — the training-set materialization
-    shape. Decimal label sums make every leave-fold-out statistic exact
-    until its one double division (partition-invariant), so rows-only
-    determinism is bit-exact."""
+    per-level statistics), 5 md5 folds aligned with kfold_splits.
+    Per-row output: fold, the encoded value, and the label — the
+    training-set materialization shape.
+
+    ORACLED late round 12 (the velocity_sliding/high_frequency panel
+    merge freed the slot; the bit-exact twin had been pinned in
+    tests/test_encoding.py the same day): decimal label sums make every
+    leave-fold-out statistic exact, te builds from exact-integer-valued
+    doubles with one multiply/two adds/one division — bit-identical
+    cross-engine — and the output rounds via the tie-safe floor form."""
     from ..ml.encoding import target_encode
 
     ev = load_table(spark, sf_dir, "events").select(
@@ -317,8 +322,44 @@ def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merchant_key",
         F.col("_fold").alias("fold"),
         "label",
-        F.round("merchant_key_te", 6).alias("te"),
+        (F.floor(F.col("merchant_key_te") * 1e6 + 0.5) / 1e6).alias("te"),
     ).orderBy("event_id")
+
+
+SQL_TARGET_ENCODING = """
+WITH ev AS (
+  SELECT event_id,
+         user_id % 211 AS c,
+         CASE WHEN value > 100 THEN 1 ELSE 0 END AS label,
+         ('0x' || substr(md5('fold:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 5 AS f
+  FROM events
+), per_fold AS (
+  SELECT c, f, SUM(CAST(label AS DECIMAL(38,6))) AS sy, COUNT(*) AS n
+  FROM ev GROUP BY c, f
+), totals AS (
+  SELECT c, SUM(sy) AS tsy, SUM(n) AS tn FROM per_fold GROUP BY c
+), gl AS (
+  SELECT f, SUM(sy) AS gsy, SUM(n) AS gn FROM per_fold GROUP BY f
+), gtot AS (
+  SELECT SUM(sy) AS ggsy, SUM(n) AS ggn FROM per_fold
+), prior AS (
+  SELECT f, (ggsy - gsy)::DOUBLE / (ggn - gn)::DOUBLE AS p
+  FROM gl, gtot
+), enc AS (
+  SELECT p.c, p.f, (t.tsy - p.sy) AS osy, (t.tn - p.n) AS onn
+  FROM per_fold p JOIN totals t ON p.c = t.c
+)
+SELECT ev.event_id,
+       ev.c AS merchant_key,
+       ev.f AS fold,
+       ev.label,
+       FLOOR(((COALESCE(enc.osy::DOUBLE, 0.0) + 20.0 * prior.p)
+              / (COALESCE(enc.onn, 0)::DOUBLE + 20.0)) * 1e6 + 0.5) / 1e6 AS te
+FROM ev
+LEFT JOIN enc ON ev.c = enc.c AND ev.f = enc.f
+JOIN prior ON ev.f = prior.f
+ORDER BY ev.event_id
+"""
 
 
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,4 +415,4 @@ QUERIES = {
     "retrieval_eval": q_retrieval_eval,
 }
 
-ORACLES: dict[str, str] = {}
+ORACLES: dict[str, str] = {"target_encoding": SQL_TARGET_ENCODING}

@@ -129,9 +129,8 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # driver-side quantile cuts; detail-sums-to-total + hand parity
         # in tests/test_drift.py
         "drift_report",
-        # OOF target encoding — decimal-exact until one division, but the
-        # window is full; replay + leakage laws in tests/test_encoding.py
-        "target_encoding",
+        # (target_encoding was promoted into the window late round 12 —
+        # the velocity_sliding/high_frequency panel merge freed the slot)
         # retrieval metrics over brute-force cosine — transcendental
         # NDCG log2 (6 dp); hand parity in tests/test_retrieval_metrics.py
         "retrieval_eval",
