@@ -28,7 +28,12 @@ Usage: python3 tools/scale_probe.py [replicas] [stages]   (default 10, all)
   stored-partials row counts, which must stay bounded by groups x
   buckets/capacity while events grow; `mixture` generates replicas x 1M
   synthetic rows with an 80%-hot domain and times token_budget_sample's
-  bucket-offset prefix sum against the naive one-window-per-group form)
+  bucket-offset prefix sum against the naive one-window-per-group form;
+  `ingest` probes a FIXED 500-doc batch against the persisted setsim
+  prefix index of the growing corpus — per-ingest cost is the index
+  scan, candidate count must stay flat; `mlprep` replicates the events
+  fixture and times the PSI drift detail + out-of-fold target encoding,
+  both of which must scale like plain aggregations)
 """
 
 from __future__ import annotations
