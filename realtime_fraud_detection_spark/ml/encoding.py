@@ -171,3 +171,97 @@ def woe_iv(
     )
     iv = per_bin.agg(F.sum("iv_term")).first()[0]
     return per_bin, float(iv)
+
+
+def fit_target_encoder(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    smoothing: float = 20.0,
+) -> tuple[DataFrame, dict]:
+    """FULL-data smoothed target encoder — the SERVE-side twin of
+    :func:`target_encode`: train-time features must use the out-of-fold
+    form (a row's own label must not feed its own feature), but at serve
+    time there is no own label to leak, so the full-data statistics are
+    correct and strictly lower-variance. Same empirical-Bayes formula,
+    fold terms dropped:
+
+        te(c) = (sum_y(c) + smoothing * prior) / (n(c) + smoothing)
+
+    Returns ``(levels, meta)``: `levels` is the data-sized
+    (_level, _sy DECIMAL, _n) statistics table (persist as parquet —
+    at production cardinality it does NOT fit a JSON artifact), `meta`
+    the model-sized dict {prior, smoothing} for the sidecar. One hash
+    aggregation; decimal label sums keep te exact until its one double
+    division (the target_encode determinism contract)."""
+    y = F.col(label_col).cast(_DEC)
+    levels = df.groupBy(F.col(cat_col).alias("_level")).agg(
+        F.sum(y).alias("_sy"), F.count(F.lit(1)).alias("_n")
+    )
+    tot = levels.agg(
+        F.sum("_sy").alias("_t"), F.sum("_n").alias("_c")
+    ).first()
+    # integer-valued decimal / long — exact as doubles, one IEEE division
+    prior = float(tot["_t"]) / float(tot["_c"])
+    return levels, {
+        "kind": "target-encoder",
+        "cat_col": cat_col,
+        "prior": prior,
+        "smoothing": float(smoothing),
+    }
+
+
+def apply_target_encoder(
+    df: DataFrame,
+    levels: DataFrame,
+    meta: dict,
+    cat_col: str | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Score-time encoding: broadcast-or-shuffle left join against the
+    persisted level table (AQE picks — the same contract as
+    target_encode's encode join); a level never seen in training falls
+    back to the prior exactly (n=0 in the formula)."""
+    cat_col = cat_col or meta["cat_col"]
+    out_col = out_col or f"{cat_col}_te"
+    sm = F.lit(float(meta["smoothing"]))
+    pr = F.lit(float(meta["prior"]))
+    joined = df.join(
+        levels, df[cat_col] == levels["_level"], "left"
+    ).drop("_level")
+    te = (
+        (F.coalesce(F.col("_sy").cast("double"), F.lit(0.0)) + sm * pr)
+        / (F.coalesce(F.col("_n"), F.lit(0)).cast("double") + sm)
+    )
+    return joined.withColumn(out_col, te).drop("_sy", "_n")
+
+
+def save_target_encoder(levels: DataFrame, meta: dict, path: str) -> None:
+    """levels → ``<path>/levels`` parquet (data-sized), meta →
+    ``<path>/meta.json`` (model-sized sidecar, atomic)."""
+    import os
+
+    from ..functions.artifacts import FORMAT, atomic_write
+
+    levels.write.mode("overwrite").parquet(os.path.join(path, "levels"))
+    atomic_write(
+        os.path.join(path, "meta.json"),
+        {"format": FORMAT, "version": 1, **meta},
+    )
+
+
+def load_target_encoder(spark, path: str) -> tuple[DataFrame, dict]:
+    import os
+
+    from ..functions.artifacts import FORMAT, read_artifact
+
+    meta = read_artifact(
+        os.path.join(path, "meta.json"), "target-encoder", (FORMAT,)
+    )
+    levels = spark.read.parquet(os.path.join(path, "levels"))
+    return levels, {
+        "kind": meta["kind"],
+        "cat_col": meta["cat_col"],
+        "prior": float(meta["prior"]),
+        "smoothing": float(meta["smoothing"]),
+    }

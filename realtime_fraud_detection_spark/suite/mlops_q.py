@@ -394,14 +394,19 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         results, truth, k=10, query_col="query_id", doc_col="doc_id",
         rank_col="rank",
     )
+    def r6(c):  # tie-safe (all metrics in [0, 1]): recall/precision/rr
+        # are int ratios that CAN land on exact decimal ties — the
+        # promotion-readiness rule from model_eval/target_encoding
+        return F.floor(F.col(c) * 1e6 + 0.5) / 1e6
+
     return m.select(
         "query_id",
         "n_rel",
         "n_hit",
-        F.round("recall_at_k", 6).alias("recall_at_k"),
-        F.round("precision_at_k", 6).alias("precision_at_k"),
-        F.round("reciprocal_rank", 6).alias("reciprocal_rank"),
-        F.round("ndcg_at_k", 6).alias("ndcg_at_k"),
+        r6("recall_at_k").alias("recall_at_k"),
+        r6("precision_at_k").alias("precision_at_k"),
+        r6("reciprocal_rank").alias("reciprocal_rank"),
+        r6("ndcg_at_k").alias("ndcg_at_k"),
     ).orderBy("query_id")
 
 

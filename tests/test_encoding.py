@@ -241,3 +241,64 @@ def test_suite_target_encoding_duckdb_twin_bit_exact(spark):
     assert len(want) == len(got) > 0
     for eid, te in want:
         assert got[eid] == te, eid
+
+
+def test_serve_encoder_formula_and_unseen_fallback(spark, tmp_path):
+    """fit_target_encoder / apply_target_encoder (serve-side twin, r12):
+    full-data smoothed means, unseen level -> exactly the prior, and the
+    parquet+sidecar roundtrip reproduces the encodings bit for bit."""
+    from realtime_fraud_detection_spark.ml.encoding import (
+        apply_target_encoder,
+        fit_target_encoder,
+        load_target_encoder,
+        save_target_encoder,
+    )
+
+    rows = [(i, "a" if i < 8 else "b", 1 if i % 4 == 0 else 0) for i in range(12)]
+    df = spark.createDataFrame(rows, "id long, cat string, label int")
+    levels, meta = fit_target_encoder(df, "cat", "label", smoothing=20.0)
+
+    prior = sum(y for _, _, y in rows) / len(rows)
+    assert meta["prior"] == prior
+
+    serve = spark.createDataFrame(
+        [(100, "a"), (101, "b"), (102, "zzz-unseen")], "id long, cat string"
+    )
+    got = {
+        r["cat"]: r["cat_te"]
+        for r in apply_target_encoder(serve, levels, meta).collect()
+    }
+    for cat in ("a", "b"):
+        sy = sum(y for _, c, y in rows if c == cat)
+        n = sum(1 for _, c, y in rows if c == cat)
+        assert got[cat] == (sy + 20.0 * prior) / (n + 20.0), cat
+    assert got["zzz-unseen"] == (0.0 + 20.0 * prior) / (0 + 20.0) == prior
+
+    path = str(tmp_path / "enc")
+    save_target_encoder(levels, meta, path)
+    levels2, meta2 = load_target_encoder(spark, path)
+    assert meta2 == meta
+    got2 = {
+        r["cat"]: r["cat_te"]
+        for r in apply_target_encoder(serve, levels2, meta2).collect()
+    }
+    assert got2 == got
+
+
+def test_serve_encoder_artifact_kind_guard(spark, tmp_path):
+    from realtime_fraud_detection_spark.functions.artifacts import (
+        FORMAT,
+        atomic_write,
+    )
+    from realtime_fraud_detection_spark.ml.encoding import (
+        load_target_encoder,
+    )
+
+    path = tmp_path / "bad"
+    path.mkdir()
+    atomic_write(
+        str(path / "meta.json"),
+        {"format": FORMAT, "version": 1, "kind": "drift-baseline"},
+    )
+    with pytest.raises(ValueError, match="target-encoder"):
+        load_target_encoder(spark, str(path))
