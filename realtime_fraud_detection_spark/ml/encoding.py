@@ -183,8 +183,9 @@ def fit_target_encoder(
     :func:`target_encode`: train-time features must use the out-of-fold
     form (a row's own label must not feed its own feature), but at serve
     time there is no own label to leak, so the full-data statistics are
-    correct and strictly lower-variance. Same empirical-Bayes formula,
-    fold terms dropped:
+    correct and strictly lower-variance. Raises ValueError on empty
+    input (a silent float(None) crash otherwise). Same empirical-Bayes
+    formula, fold terms dropped:
 
         te(c) = (sum_y(c) + smoothing * prior) / (n(c) + smoothing)
 
@@ -201,6 +202,11 @@ def fit_target_encoder(
     tot = levels.agg(
         F.sum("_sy").alias("_t"), F.sum("_n").alias("_c")
     ).first()
+    if tot["_t"] is None or not tot["_c"]:
+        raise ValueError(
+            "fit_target_encoder: empty input (or all-NULL label column) — "
+            "cannot derive a prior"
+        )
     # integer-valued decimal / long — exact as doubles, one IEEE division
     prior = float(tot["_t"]) / float(tot["_c"])
     return levels, {
@@ -221,32 +227,51 @@ def apply_target_encoder(
     """Score-time encoding: broadcast-or-shuffle left join against the
     persisted level table (AQE picks — the same contract as
     target_encode's encode join); a level never seen in training falls
-    back to the prior exactly (n=0 in the formula)."""
+    back to the prior exactly (n=0 in the formula). The level-table
+    columns are aliased to collision-safe names before the join, so a
+    scored frame that already carries _sy/_n/_level columns (e.g. a
+    train-time frame re-scored at serve) keeps them untouched."""
     cat_col = cat_col or meta["cat_col"]
     out_col = out_col or f"{cat_col}_te"
     sm = F.lit(float(meta["smoothing"]))
     pr = F.lit(float(meta["prior"]))
-    joined = df.join(
-        levels, df[cat_col] == levels["_level"], "left"
-    ).drop("_level")
-    te = (
-        (F.coalesce(F.col("_sy").cast("double"), F.lit(0.0)) + sm * pr)
-        / (F.coalesce(F.col("_n"), F.lit(0)).cast("double") + sm)
+    lv = levels.select(
+        F.col("_level").alias("__te_level"),
+        F.col("_sy").alias("__te_sy"),
+        F.col("_n").alias("__te_n"),
     )
-    return joined.withColumn(out_col, te).drop("_sy", "_n")
+    joined = df.join(
+        lv, df[cat_col] == lv["__te_level"], "left"
+    ).drop("__te_level")
+    te = (
+        (F.coalesce(F.col("__te_sy").cast("double"), F.lit(0.0)) + sm * pr)
+        / (F.coalesce(F.col("__te_n"), F.lit(0)).cast("double") + sm)
+    )
+    return joined.withColumn(out_col, te).drop("__te_sy", "__te_n")
 
 
-def save_target_encoder(levels: DataFrame, meta: dict, path: str) -> None:
+def save_target_encoder(
+    levels: DataFrame,
+    meta: dict,
+    path: str,
+    model_version: int | None = None,
+) -> None:
     """levels → ``<path>/levels`` parquet (data-sized), meta →
-    ``<path>/meta.json`` (model-sized sidecar, atomic)."""
+    ``<path>/meta.json`` (model-sized sidecar, atomic). Pass a
+    monotonically increasing ``model_version`` to make the artifact
+    hot-reloadable mid-stream (streaming/sinks.reloading_encoder_writer
+    swaps the serving level table when the stamp changes — the M9
+    contract; the parquet is written BEFORE the sidecar renames in, so
+    a reader that sees the new stamp sees the new levels)."""
     import os
 
     from ..functions.artifacts import FORMAT, atomic_write
 
     levels.write.mode("overwrite").parquet(os.path.join(path, "levels"))
+    stamp = {} if model_version is None else {"model_version": int(model_version)}
     atomic_write(
         os.path.join(path, "meta.json"),
-        {"format": FORMAT, "version": 1, **meta},
+        {"format": FORMAT, "version": 1, **meta, **stamp},
     )
 
 
@@ -259,9 +284,12 @@ def load_target_encoder(spark, path: str) -> tuple[DataFrame, dict]:
         os.path.join(path, "meta.json"), "target-encoder", (FORMAT,)
     )
     levels = spark.read.parquet(os.path.join(path, "levels"))
-    return levels, {
+    out = {
         "kind": meta["kind"],
         "cat_col": meta["cat_col"],
         "prior": float(meta["prior"]),
         "smoothing": float(meta["smoothing"]),
     }
+    if "model_version" in meta:
+        out["model_version"] = int(meta["model_version"])
+    return levels, out

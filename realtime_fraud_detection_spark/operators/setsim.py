@@ -179,10 +179,13 @@ def prefix_filtered_candidates(
         tok = shingles.select("doc", F.explode("sh").alias("tok"))
     dfreq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_df"))
 
-    def _cand(dfreq_side: DataFrame, hint: str | None) -> DataFrame:
+    def _postings(dfreq_side: DataFrame) -> DataFrame:
         pre = _prefix_postings(tok, dfreq_side, threshold)
         if max_posting_size is not None:
             pre = _cap_postings(pre, max_posting_size)
+        return pre
+
+    def _cand(pre: DataFrame, hint: str | None) -> DataFrame:
         if hint:
             pre = pre.hint(hint)
         a, b = pre.alias("a"), pre.alias("b")
@@ -196,15 +199,19 @@ def prefix_filtered_candidates(
         ).select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
 
     # Size the plan BEFORE running any join (the 100x probe lesson, r12):
-    # one cheap count of the token-row table picks the path. Past ~10M
-    # token rows two OOM classes fire together (both hit in the probe):
+    # one cheap count picks the path. When the caller supplied a
+    # (checkpointed) shingle table, the token-row count is Σ size(sh) over
+    # its materialized blocks — no re-run of the normalize→shingle chain
+    # (ADVICE r12: the bare tok.count() gate re-tokenized the corpus on
+    # every call, including the small path). Past ~10M token rows two OOM
+    # classes fire together (both hit in the probe):
     #  * AQE converts a sort-merge join to broadcast off COMPRESSED
     #    shuffle stats; the deserialized hash relation of a multi-M-row
     #    dfreq/index side is 10-50x the estimate → heap OOM ("not enough
     #    memory to build and broadcast"). Merge hints survive AQE
     #    replanning, so the big path pins every join to shuffle —
-    #    including the dfreq join inside the candidate-bound estimate,
-    #    which otherwise OOMs before the self-join is even planned.
+    #    including the dfreq join inside the postings build, which
+    #    otherwise OOMs before the self-join is even planned.
     #  * a bare distinct's partial hash agg is sized by the join's
     #    AQE-coalesced fat partitions → dedup_edges with explicit width,
     #    sized from the exact pre-verify bound Σ_tok C(posting,2) (one
@@ -212,16 +219,23 @@ def prefix_filtered_candidates(
     #    diagnostic a production run wants printed anyway).
     # Below the gate the r11 plan is kept UNCHANGED (AQE broadcasting
     # the small dfreq table is right there, and no extra estimate job).
+    # On the big path the postings table is localCheckpoint'd so the
+    # candidate-bound estimate and the self-join share ONE index build
+    # (ADVICE r12: it was computed twice at exactly the scale where it
+    # is most expensive).
     import math
 
     from .scaling import dedup_edges
 
-    if tok.count() <= _BIG_TOKEN_ROWS:
-        return _cand(dfreq, None).distinct()
-    dfreq_m = dfreq.hint("merge")
+    if shingles is not None:
+        n_tok = shingles.agg(F.sum(F.size("sh"))).first()[0] or 0
+    else:
+        n_tok = tok.count()
+    if n_tok <= _BIG_TOKEN_ROWS:
+        return _cand(_postings(dfreq), None).distinct()
+    pre = _postings(dfreq.hint("merge")).localCheckpoint(eager=False)
     est_row = (
-        _prefix_postings(tok, dfreq_m, threshold)
-        .groupBy("tok")
+        pre.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("est"))
         .first()
@@ -229,7 +243,7 @@ def prefix_filtered_candidates(
     est = int(est_row["est"] or 0)
     parts = max(1, math.ceil(est / 1_000_000))
     return dedup_edges(
-        _cand(dfreq_m, "merge"), ["doc_a", "doc_b"], parts, est
+        _cand(pre, "merge"), ["doc_a", "doc_b"], parts, est
     )
 
 

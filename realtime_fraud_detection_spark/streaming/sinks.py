@@ -1032,6 +1032,73 @@ def reloading_scorer_writer(
     return write
 
 
+def reloading_encoder_writer(
+    encoder_path: str,
+    out_dir: str,
+    cat_col: str | None = None,
+    out_col: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch with MID-STREAM ENCODER RELOAD — the M9 hot-swap
+    contract (model_manager.py:82-307,348-380) applied to the serve-side
+    target-encoder artifact (ml/encoding.fit/save/load_target_encoder):
+    before each micro-batch the model-sized meta.json sidecar is re-read
+    (driver-side, one small file); when its model_version stamp differs
+    from the serving one, the level table is re-loaded from the
+    artifact's parquet and re-persisted (the old cache unpersisted), so
+    batch k encodes with version v and batch k+1 with v+1 without
+    restarting the query. Unlike the linear scorer (a broadcast-sized
+    weight dict) the level table is data-sized — the swap re-points a
+    cached DataFrame, and apply_target_encoder's join serves it
+    (broadcast-or-shuffle, AQE picks).
+
+    Every output row carries `encoder_version`; the replay contract is
+    per-(batch, version) — a replayed batch rewrites its partition with
+    whatever version the artifact THEN holds, exactly like
+    reloading_scorer_writer."""
+    from ..ml.encoding import apply_target_encoder, load_target_encoder
+
+    state: dict = {"version": None, "levels": None, "meta": None}
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        levels, meta = load_target_encoder(spark, encoder_path)
+        ver = meta.get("model_version", 0)
+        if ver != state["version"] or state["levels"] is None:
+            if state["levels"] is not None:
+                state["levels"].unpersist()
+            state["levels"] = levels.persist()
+            state["meta"] = meta
+            state["version"] = ver
+        enc = apply_target_encoder(
+            batch, state["levels"], state["meta"], cat_col=cat_col,
+            out_col=out_col,
+        ).withColumn("encoder_version", F.lit(int(ver)))
+        _write_batch_partition(enc, batch_id, out_dir)
+
+    return write
+
+
+def run_reloading_encoder_stream(
+    stream: DataFrame,
+    encoder_path: str,
+    out_dir: str,
+    checkpoint: str,
+    trigger_seconds: float = 0.5,
+    **kwargs,
+):
+    """Assemble the hot-reload encoding sink — processingTime trigger
+    (NOT availableNow): the point is a long-running query that picks up
+    encoder swaps between micro-batches."""
+    return (
+        stream.writeStream.foreachBatch(
+            reloading_encoder_writer(encoder_path, out_dir, **kwargs)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+        .start()
+    )
+
+
 def run_reloading_scorer_stream(
     stream: DataFrame,
     model_path: str,

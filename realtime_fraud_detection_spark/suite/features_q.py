@@ -23,12 +23,16 @@ from ..sources.testdata import load_table
 # Amount family (FeatureExtractor.java:92-131,386-392) + temporal family
 # (FeatureExtractor.java:136-168,394-399) + geographic family incl.
 # Haversine as a pure expression (FeatureExtractor.java:173-211,401-417)
-# + device/network family (FeatureExtractor.java:301-325,434-451) — ONE
-# per-event projection, one driver correctness row (merged round 10 from
-# the former amount_temporal_features + geo_device_features rows to free
-# an oracle-window slot; a projection union is semantics-free, so nothing
-# is weakened). IP, user-agent, and coordinates the fixture lacks are
-# derived deterministically from the keys so the oracle reproduces them.
+# + device/network family (FeatureExtractor.java:301-325,434-451)
+# + the JSON family (serialization/*.java, RedisService.java:212-241:
+# get_json_object extraction + to_json round-trip — absorbed round 13 from
+# the former json_extract row to free an oracle-window slot for the
+# drift_report promotion) — ONE per-event projection, one driver
+# correctness row (merged round 10 from the former
+# amount_temporal_features + geo_device_features rows; a projection union
+# is semantics-free, so nothing is weakened). IP, user-agent, and
+# coordinates the fixture lacks are derived deterministically from the
+# keys so the oracle reproduces them.
 # ---------------------------------------------------------------------------
 def q_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -49,6 +53,7 @@ def q_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36")
     )
     dfeats = FF.device_features(ip, ua)
+    k = F.get_json_object("props", "$.k").cast("int")
     return ev.select(
         "event_id",
         "value",
@@ -74,6 +79,11 @@ def q_event_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         dfeats["is_private_ip"].alias("is_private_ip"),
         dfeats["ip_risk_score"].alias("ip_risk_score"),
         dfeats["suspicious_user_agent"].alias("suspicious_user_agent"),
+        k.alias("k"),
+        (k % 5).alias("k_mod5"),
+        F.to_json(F.struct(F.col("event_id").alias("id"), k.alias("k"))).alias(
+            "json_payload"
+        ),
     )
 
 
@@ -87,7 +97,8 @@ WITH derived AS (
     CASE WHEN user_id % 3 = 0 THEN '10.0.' || CAST(user_id % 256 AS VARCHAR) || '.1'
          ELSE '203.0.113.' || CAST(user_id % 256 AS VARCHAR) END AS ip_address,
     CASE WHEN user_id % 7 = 0 THEN 'bot-agent/1.0'
-         ELSE 'Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36' END AS ua
+         ELSE 'Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36' END AS ua,
+    json_extract_string(props, '$.k')::INTEGER AS k
   FROM events)
 SELECT event_id, value,
        ROUND(LN(1 + value), 6) AS amount_log,
@@ -121,32 +132,11 @@ SELECT event_id, value,
   (ip_address LIKE '192.168.%' OR ip_address LIKE '10.%' OR ip_address LIKE '172.16.%') AS is_private_ip,
   CASE WHEN ip_address LIKE '192.168.%' OR ip_address LIKE '10.%' OR ip_address LIKE '172.16.%'
        THEN 0.1 ELSE 0.3 END AS ip_risk_score,
-  (lower(ua) LIKE '%bot%' OR lower(ua) LIKE '%crawler%' OR length(ua) < 20) AS suspicious_user_agent
+  (lower(ua) LIKE '%bot%' OR lower(ua) LIKE '%crawler%' OR length(ua) < 20) AS suspicious_user_agent,
+  k,
+  k % 5 AS k_mod5,
+  '{"id":' || event_id || ',"k":' || k || '}' AS json_payload
 FROM derived
-"""
-
-
-# ---------------------------------------------------------------------------
-# JSON functions (serialization/*.java, RedisService.java:212-241):
-# get_json_object extraction + to_json round-trip.
-# ---------------------------------------------------------------------------
-def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return ev.select(
-        "event_id",
-        k.alias("k"),
-        (k % 5).alias("k_mod5"),
-        F.to_json(F.struct(F.col("event_id").alias("id"), k.alias("k"))).alias("payload"),
-    )
-
-
-SQL_JSON_EXTRACT = """
-SELECT event_id,
-       json_extract_string(props, '$.k')::INTEGER AS k,
-       json_extract_string(props, '$.k')::INTEGER % 5 AS k_mod5,
-       '{"id":' || event_id || ',"k":' || json_extract_string(props, '$.k') || '}' AS payload
-FROM events
 """
 
 
@@ -321,12 +311,10 @@ def _ensemble_branch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "event_features": q_event_features,
-    "json_extract": q_json_extract,
     "rule_score": q_rule_score,
 }
 
 ORACLES = {
     "event_features": SQL_EVENT_FEATURES,
-    "json_extract": SQL_JSON_EXTRACT,
     "rule_score": SQL_RULE_SCORE,
 }

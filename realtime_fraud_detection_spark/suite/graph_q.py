@@ -148,9 +148,15 @@ def q_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 # piles. The user-affinity graph q_triangles uses is tree-like at the
 # smallest fixture (even its 2-core is empty), so the peel runs on the
 # denser bipartite purchase graph instead. Two peels (k=4, k=8) in one
-# tagged frame. Rows-only (iterative peeling, no SQL twin); the peel has
-# exact replay parity in tests/test_kcore.py, and everything is integer
-# — determinism is free.
+# tagged frame. PROMOTED into the oracle window round 13 (the
+# case_decision ∪ filter_project merge freed the slot): the k-core is a
+# UNIQUE fixed point (peel order never changes it — Seidman 1983), so a
+# DuckDB recursive CTE that re-peels to the fixed point must produce the
+# identical all-integer vertex set; SQL_K_CORE below carries both k
+# branches in one recursion and an explicit empty-core guard (a branch
+# that peels to empty emits nothing, leaving a stale last set — one
+# keep-pass outside the recursion detects it). The peel also has exact
+# replay parity in tests/test_kcore.py.
 def q_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     from concurrent.futures import ThreadPoolExecutor
 
@@ -213,4 +219,58 @@ FROM verts LEFT JOIN corners ON corners.v = verts.v
 GROUP BY 1 ORDER BY 1
 """
 
-ORACLES: dict[str, str] = {"triangles": SQL_TRIANGLES}
+# The purchase-graph k-core re-peeled to its (unique) fixed point. The
+# recursion carries (k, iter, a, b): both k branches run in one working
+# table; a branch stops emitting when a round removes nothing (kk = nk —
+# converged) or removes everything (keep empty — nothing to emit). The
+# stale-last-set case (peeled to empty) is caught by the one keep-pass
+# outside the recursion: the last emitted set is the true core iff one
+# more peel round keeps every edge. All arithmetic is integer — exact.
+SQL_K_CORE = """
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT o_custkey AS a, l_suppkey + 10000000 AS b
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+peel(k, iter, a, b) AS (
+  SELECT t.k, 0, a, b FROM e0, (VALUES (4), (8)) t(k)
+  UNION ALL
+  SELECT t.k, t.iter + 1, t.a, t.b FROM (
+    WITH cur AS (SELECT * FROM peel),
+    deg AS (SELECT k, v, COUNT(*) AS d FROM
+              (SELECT k, a AS v FROM cur UNION ALL SELECT k, b FROM cur)
+            GROUP BY k, v),
+    keep AS (SELECT cur.k, cur.iter, cur.a, cur.b FROM cur
+             JOIN deg da ON da.k = cur.k AND da.v = cur.a AND da.d >= cur.k
+             JOIN deg db ON db.k = cur.k AND db.v = cur.b AND db.d >= cur.k),
+    cnts AS (SELECT k, COUNT(*) AS nk FROM cur GROUP BY k),
+    kcnts AS (SELECT k, COUNT(*) AS kk FROM keep GROUP BY k)
+    SELECT keep.* FROM keep JOIN cnts USING (k) JOIN kcnts USING (k)
+    WHERE kk < nk
+  ) t
+),
+last AS (
+  SELECT p.* FROM peel p
+  WHERE p.iter = (SELECT MAX(iter) FROM peel q WHERE q.k = p.k)
+),
+fdeg AS (SELECT k, v, COUNT(*) AS d FROM
+          (SELECT k, a AS v FROM last UNION ALL SELECT k, b FROM last)
+         GROUP BY k, v),
+fkeep AS (SELECT l.k, l.a, l.b FROM last l
+          JOIN fdeg da ON da.k = l.k AND da.v = l.a AND da.d >= l.k
+          JOIN fdeg db ON db.k = l.k AND db.v = l.b AND db.d >= l.k),
+valid AS (
+  SELECT l.k FROM (SELECT k, COUNT(*) AS c FROM last GROUP BY k) l
+  JOIN (SELECT k, COUNT(*) AS c FROM fkeep GROUP BY k) f
+    ON l.k = f.k AND l.c = f.c
+)
+SELECT k, v FROM (
+  SELECT DISTINCT k, a AS v FROM fkeep WHERE k IN (SELECT k FROM valid)
+  UNION
+  SELECT DISTINCT k, b FROM fkeep WHERE k IN (SELECT k FROM valid)
+) ORDER BY k, v
+"""
+
+ORACLES: dict[str, str] = {
+    "triangles": SQL_TRIANGLES,
+    "k_core": SQL_K_CORE,
+}

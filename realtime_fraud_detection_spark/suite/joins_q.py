@@ -161,40 +161,11 @@ FROM tx JOIN patterns ON tx.pattern_key = patterns.pattern_key
 
 
 # ---------------------------------------------------------------------------
-# J6 — velocity lookup: each event joined to its own hour-window aggregate
-# (FeatureExtractor.java:330-363 reads the A8 counters per record; in Spark
-# the "lookup" is an equi join on the window key).
-# ---------------------------------------------------------------------------
-def q_velocity_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    hourly = (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
-        .agg(F.count("*").alias("hour_count"), dec_sum("value").alias("hour_amount"))
-        .select(F.col("w.start").alias("hour_start"), "user_id", "hour_count", "hour_amount")
-    )
-    tx = ev.withColumn("hour_start", F.date_trunc("hour", "ts"))
-    return tx.join(hourly, ["user_id", "hour_start"]).select(
-        "event_id",
-        "user_id",
-        "hour_count",
-        "hour_amount",
-        (F.col("hour_count") > 3).alias("high_velocity_hour"),
-    )
-
-
-SQL_VELOCITY_LOOKUP = """
-WITH hourly AS (
-  SELECT date_trunc('hour', ts) AS hour_start, user_id,
-         COUNT(*) AS hour_count,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_amount
-  FROM events GROUP BY 1, 2)
-SELECT event_id, e.user_id, hour_count, hour_amount,
-       hour_count > 3 AS high_velocity_hour
-FROM events e JOIN hourly h
-  ON e.user_id = h.user_id AND date_trunc('hour', e.ts) = h.hour_start
-"""
-
-
+# (J6 — velocity lookup — was absorbed into windows_q.q_rolling_profile
+# round 13: each event equi-joined to its own hour-window aggregate, the
+# batch form of FeatureExtractor.java:330-363 reading the A8 counters per
+# record. The join shape is unchanged inside the merged panel, still
+# hash-checked; the slot freed promoted retrieval_eval.)
 # ---------------------------------------------------------------------------
 # M8 — the reference's interpretable network features as aggregations/joins
 # (graph_neural_network.py:170-392; user_id→event_type is the user→merchant
@@ -414,7 +385,6 @@ QUERIES = {
     "asof_join": q_asof_join,
     "multistream_union": q_multistream_union,
     "pattern_similarity": q_pattern_similarity,
-    "velocity_lookup": q_velocity_lookup,
     "network_features": q_network_features,
     "topk_per_group": q_topk_per_group,
     "merchant_updates": q_merchant_updates,
@@ -426,7 +396,6 @@ ORACLES = {
     "multistream_union": SQL_MULTISTREAM_UNION,
     "merchant_updates": SQL_MERCHANT_UPDATES,
     "pattern_similarity": SQL_PATTERN_SIMILARITY,
-    "velocity_lookup": SQL_VELOCITY_LOOKUP,
     "network_features": SQL_NETWORK_FEATURES,
     "topk_per_group": SQL_TOPK_PER_GROUP,
 }

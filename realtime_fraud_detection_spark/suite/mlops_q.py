@@ -243,7 +243,11 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions in DECIMAL — order-free exact, so the total is
     bit-stable under any partitioning (the raw double sum of ~30 terms
     would depend on fold order). Streaming twin: ml/drift's baseline
-    store + streaming/metrics drift monitor."""
+    store + streaming/metrics drift monitor.
+
+    ORACLED round 13 (the event_features ∪ json_extract merge freed the
+    slot; SQL_DRIFT_REPORT below had been pinned bit-exact in
+    tests/test_drift.py since round 12)."""
     from ..ml.drift import psi_categorical_detail, psi_numeric_detail
 
     ev = load_table(spark, sf_dir, "events")
@@ -290,6 +294,107 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contribution",
     )
     return detail.unionAll(totals).orderBy("feature", "bucket")
+
+
+# Promoted into the oracle window round 13 (the event_features ∪
+# json_extract merge freed the slot; this SQL had been pinned bit-exact in
+# tests/test_drift.py since round 12). The hard part is the numeric bucket
+# cuts: DuckDB percentile_cont interpolates with a different expression
+# tree in the last ulp, so the twin replays Spark Percentile's EXACT
+# formula — pos = p·(n−1), lowerValue·(higher−pos) + higherValue·(pos−lower)
+# — over the sorted baseline. p_base/p_cur are int ratios (exact);
+# contribution is (p−q)·ln(p/q), rounded via the tie-safe floor form on
+# both sides; __total__ sums the ROUNDED contributions in DECIMAL — exact
+# in both engines.
+SQL_DRIFT_REPORT = """
+WITH cutt AS (
+  SELECT make_timestamp(epoch_us(MIN(ts))
+           + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2) AS cut
+  FROM events
+),
+base_v AS (
+  SELECT value AS v FROM events, cutt WHERE ts <= cut AND value IS NOT NULL
+),
+ordered AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS idx, COUNT(*) OVER () AS n
+  FROM base_v
+),
+cuts AS (
+  SELECT p.i,
+    CASE WHEN lo.idx = hi.idx THEN lo.v
+         ELSE lo.v * (hi.idx - p.pos) + hi.v * (p.pos - lo.idx) END AS cut
+  FROM (
+    SELECT i, (i / 10.0) * (ANY_VALUE(n) - 1) AS pos
+    FROM range(1, 10) t(i), ordered GROUP BY i
+  ) p
+  JOIN ordered lo ON lo.idx = CAST(FLOOR(p.pos) AS BIGINT)
+  JOIN ordered hi ON hi.idx = CAST(CEIL(p.pos) AS BIGINT)
+),
+cut_arr AS (SELECT list(cut ORDER BY i) AS ca FROM cuts),
+num_side AS (
+  SELECT CASE WHEN ts <= cut THEN 'base' ELSE 'cur' END AS side,
+         len(list_filter(ca, c -> value > c)) AS bucket
+  FROM events, cutt, cut_arr WHERE value IS NOT NULL
+),
+num_counts AS (
+  SELECT side, bucket, COUNT(*) AS nn,
+         SUM(COUNT(*)) OVER (PARTITION BY side) AS tt
+  FROM num_side GROUP BY side, bucket
+),
+num_p AS (
+  SELECT bucket,
+         MAX(CASE WHEN side = 'base' THEN nn / tt END) AS p_base,
+         MAX(CASE WHEN side = 'cur' THEN nn / tt END) AS p_cur
+  FROM num_counts GROUP BY bucket
+),
+top_types AS (
+  SELECT event_type FROM (
+    SELECT event_type,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type ASC) AS rnk
+    FROM events, cutt WHERE ts <= cut GROUP BY event_type
+  ) WHERE rnk <= 20
+),
+cat_side AS (
+  SELECT CASE WHEN ts <= cut THEN 'base' ELSE 'cur' END AS side,
+         CASE WHEN event_type IN (SELECT event_type FROM top_types)
+              THEN event_type ELSE '__other__' END AS bucket
+  FROM events, cutt
+),
+cat_counts AS (
+  SELECT side, bucket, COUNT(*) AS nn,
+         SUM(COUNT(*)) OVER (PARTITION BY side) AS tt
+  FROM cat_side GROUP BY side, bucket
+),
+cat_p AS (
+  SELECT bucket,
+         MAX(CASE WHEN side = 'base' THEN nn / tt END) AS p_base,
+         MAX(CASE WHEN side = 'cur' THEN nn / tt END) AS p_cur
+  FROM cat_counts GROUP BY bucket
+),
+detail AS (
+  SELECT 'value' AS feature, CAST(bucket AS VARCHAR) AS bucket,
+         FLOOR(COALESCE(p_base, 0.0) * 1e6 + 0.5) / 1e6 AS p_base,
+         FLOOR(COALESCE(p_cur, 0.0) * 1e6 + 0.5) / 1e6 AS p_cur,
+         FLOOR((GREATEST(COALESCE(p_cur, 0.0), 1e-4) - GREATEST(COALESCE(p_base, 0.0), 1e-4))
+               * LN(GREATEST(COALESCE(p_cur, 0.0), 1e-4) / GREATEST(COALESCE(p_base, 0.0), 1e-4))
+               * 1e6 + 0.5) / 1e6 AS contribution
+  FROM num_p
+  UNION ALL
+  SELECT 'event_type', bucket,
+         FLOOR(COALESCE(p_base, 0.0) * 1e6 + 0.5) / 1e6,
+         FLOOR(COALESCE(p_cur, 0.0) * 1e6 + 0.5) / 1e6,
+         FLOOR((GREATEST(COALESCE(p_cur, 0.0), 1e-4) - GREATEST(COALESCE(p_base, 0.0), 1e-4))
+               * LN(GREATEST(COALESCE(p_cur, 0.0), 1e-4) / GREATEST(COALESCE(p_base, 0.0), 1e-4))
+               * 1e6 + 0.5) / 1e6
+  FROM cat_p
+)
+SELECT feature, bucket, p_base, p_cur, contribution FROM detail
+UNION ALL
+SELECT feature, '__total__', NULL, NULL,
+       CAST(SUM(CAST(contribution AS DECIMAL(38,6))) AS DOUBLE)
+FROM detail GROUP BY feature
+ORDER BY feature, bucket
+"""
 
 
 def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -371,7 +476,11 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (|queries|·k rows), DCG folds over a sorted bounded array. Query
     count is FIXED (vec_id < 32) so the probe scales only with the
     corpus scan. NDCG's log2 is transcendental → 6 dp; the other three
-    are small-int ratios (exact)."""
+    are small-int ratios (exact).
+
+    ORACLED round 13 (the rolling_profile ∪ velocity_lookup merge freed
+    the slot; the unrounded twin had been pinned in
+    tests/test_retrieval_metrics.py since round 12)."""
     from ..ml.evaluation import retrieval_metrics
     from ..operators.similarity import brute_force_topk
 
@@ -410,6 +519,61 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+# Promoted into the oracle window round 13 (the rolling_profile ∪
+# velocity_lookup merge freed the slot; the unrounded form had been pinned
+# in tests/test_retrieval_metrics.py since round 12). Ranks replay
+# SQL_ANN_TOPK's rounded-cosine/row_number derivation (already hash-proven
+# cross-engine by the ann_topk oracle); recall/precision/rr are small-int
+# ratios (bit-exact); DCG/IDCG replay Spark's ascending fold with an
+# ORDER BY list_reduce — every per-term 1/(ln(r+1)/ln(2)) is transcendental,
+# so all four metrics go through the tie-safe floor form on both sides
+# (int ratios CAN land on exact decimal ties; model_eval precedent).
+SQL_RETRIEVAL_EVAL = """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS qid, label AS qlabel, e AS qe FROM v WHERE vec_id < 32),
+scored AS (
+  SELECT qid, v.vec_id AS nid,
+    ROUND(
+      list_sum(list_transform(range(1, 65), i -> qe[i] * v.e[i]))
+      / (SQRT(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])))
+         * SQRT(list_sum(list_transform(range(1, 65), i -> v.e[i] * v.e[i])))),
+    6) AS cosine_sim
+  FROM q CROSS JOIN v WHERE qid <> v.vec_id
+),
+topk AS (
+  SELECT qid, nid, r FROM (
+    SELECT qid, nid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, nid ASC) AS r
+    FROM scored) WHERE r <= 10
+),
+rel AS (
+  SELECT q.qid, v.vec_id AS nid
+  FROM q JOIN v ON q.qlabel = v.label AND q.qid <> v.vec_id
+),
+n_rel AS (SELECT qid, COUNT(*) AS n_rel FROM rel GROUP BY qid),
+hits AS (
+  SELECT t.qid, COUNT(*) AS n_hit, MIN(t.r) AS first_r,
+         list(t.r ORDER BY t.r) AS ranks
+  FROM topk t JOIN rel USING (qid, nid) GROUP BY t.qid
+)
+SELECT n_rel.qid AS query_id, n_rel.n_rel,
+  COALESCE(hits.n_hit, 0) AS n_hit,
+  FLOOR(COALESCE(hits.n_hit, 0) / LEAST(n_rel.n_rel, 10) * 1e6 + 0.5) / 1e6 AS recall_at_k,
+  FLOOR(COALESCE(hits.n_hit, 0) / 10.0 * 1e6 + 0.5) / 1e6 AS precision_at_k,
+  FLOOR(COALESCE(1.0 / hits.first_r, 0.0) * 1e6 + 0.5) / 1e6 AS reciprocal_rank,
+  FLOOR(COALESCE(
+    list_reduce(list_prepend(0.0::DOUBLE,
+      list_transform(hits.ranks, r -> 1.0 / (ln(r + 1) / ln(2)))),
+      (acc, x) -> acc + x)
+    / list_reduce(list_prepend(0.0::DOUBLE,
+        list_transform(range(1, LEAST(n_rel.n_rel, 10) + 1), i -> 1.0 / (ln(i + 1) / ln(2)))),
+        (acc, x) -> acc + x),
+    0.0) * 1e6 + 0.5) / 1e6 AS ndcg_at_k
+FROM n_rel LEFT JOIN hits ON n_rel.qid = hits.qid
+ORDER BY query_id
+"""
+
+
 QUERIES = {
     "ensemble_explain": q_ensemble_explain,
     "text_embed_ann": q_text_embed_ann,
@@ -420,4 +584,8 @@ QUERIES = {
     "retrieval_eval": q_retrieval_eval,
 }
 
-ORACLES: dict[str, str] = {"target_encoding": SQL_TARGET_ENCODING}
+ORACLES: dict[str, str] = {
+    "drift_report": SQL_DRIFT_REPORT,
+    "target_encoding": SQL_TARGET_ENCODING,
+    "retrieval_eval": SQL_RETRIEVAL_EVAL,
+}

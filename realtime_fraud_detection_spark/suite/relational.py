@@ -205,8 +205,15 @@ SELECT c_custkey, NULL AS c_name, op FROM ({SQL_SET_OPS})
 
 
 # ---------------------------------------------------------------------------
-# q_case_decision — F6 decision thresholds as a CASE expression
-# (TransactionProcessor.java:444-473) aggregated per band.
+# q_case_decision — the method-tagged F-family panel (merged round 13 to
+# free an oracle-window slot for the k_core promotion; both branches are
+# trivial scans over the same events table, so a union weakens nothing —
+# each branch stays hash-checked):
+#   method='decision' — F6 decision thresholds as a CASE expression
+#     (TransactionProcessor.java:444-473) aggregated per band;
+#   method='filter'   — F1/F2 predicate + projection; the filter and the
+#     column read both reach the parquet scan (PushedFilters/ReadSchema).
+# Columns the other branch lacks are NULL.
 # ---------------------------------------------------------------------------
 def q_case_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -225,12 +232,40 @@ def q_case_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(score >= 0.7, "REVIEW")
         .otherwise("APPROVE")
     )
-    return (
+    bands = (
         ev.withColumn("risk_level", risk)
         .withColumn("decision", decision)
         .groupBy("risk_level", "decision")
         .agg(F.count("*").alias("cnt"), dec_sum("value").alias("total_value"))
+        .select(
+            F.lit("decision").alias("method"),
+            "risk_level",
+            "decision",
+            "cnt",
+            "total_value",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("double").alias("value"),
+        )
     )
+    filtered = (
+        ev.filter(
+            (F.col("value") > 250) & F.col("event_type").isin("purchase", "error")
+        )
+        .select(
+            F.lit("filter").alias("method"),
+            F.lit(None).cast("string").alias("risk_level"),
+            F.lit(None).cast("string").alias("decision"),
+            F.lit(None).cast("long").alias("cnt"),
+            F.lit(None).cast("double").alias("total_value"),
+            "event_id",
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    return bands.unionByName(filtered)
 
 
 SQL_CASE_DECISION = """
@@ -246,25 +281,17 @@ WITH scored AS (
          WHEN value/500.0 >= 0.7 THEN 'REVIEW'
          ELSE 'APPROVE' END AS decision
   FROM events)
-SELECT risk_level, decision, COUNT(*) AS cnt,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+SELECT 'decision' AS method, risk_level, decision, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS user_id,
+       CAST(NULL AS VARCHAR) AS event_type, CAST(NULL AS DOUBLE) AS value
 FROM scored GROUP BY risk_level, decision
-"""
-
-
-# ---------------------------------------------------------------------------
-# q_filter_project — F1/F2 predicate + projection; the filter and the
-# two-column read both reach the parquet scan (PushedFilters/ReadSchema).
-# ---------------------------------------------------------------------------
-def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    return ev.filter(
-        (F.col("value") > 250) & F.col("event_type").isin("purchase", "error")
-    ).select("event_id", "user_id", "event_type", "value")
-
-
-SQL_FILTER_PROJECT = """
-SELECT event_id, user_id, event_type, value FROM events
+UNION ALL
+SELECT 'filter' AS method, CAST(NULL AS VARCHAR) AS risk_level,
+       CAST(NULL AS VARCHAR) AS decision, CAST(NULL AS BIGINT) AS cnt,
+       CAST(NULL AS DOUBLE) AS total_value,
+       event_id, user_id, event_type, value
+FROM events
 WHERE value > 250 AND event_type IN ('purchase', 'error')
 """
 
@@ -406,7 +433,6 @@ QUERIES = {
     "profile_enrich": q_profile_enrich,
     "set_membership": q_set_membership,
     "case_decision": q_case_decision,
-    "filter_project": q_filter_project,
     "revenue_by_nation": q_revenue_by_nation,
     "rollup": q_rollup,
     "promo_share": q_promo_share,
@@ -419,7 +445,6 @@ ORACLES = {
     "profile_enrich": SQL_PROFILE_ENRICH,
     "set_membership": SQL_SET_MEMBERSHIP,
     "case_decision": SQL_CASE_DECISION,
-    "filter_project": SQL_FILTER_PROJECT,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "rollup": SQL_ROLLUP,
     "promo_share": SQL_PROMO_SHARE,

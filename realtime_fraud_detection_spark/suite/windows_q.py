@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import windows as W
+from ..operators.windows import dec_sum
 from ..sources.testdata import load_table
 
 
@@ -37,14 +38,29 @@ WHERE recency_rank <= 5
 
 # W2 + W5 — rolling 24h/1h trailing counters (RedisTransactionSink.java:
 # 87-135) AND amount percentile/z-score vs own history (feature_processor.py:
-# 74-75), one driver correctness row (50-query window). Two operators chained
-# on the same entity partitioning: one shuffle, per-frame sorts.
+# 74-75) AND J6 velocity lookup (FeatureExtractor.java:330-363 — absorbed
+# round 13 from the former velocity_lookup row to free an oracle-window
+# slot for the retrieval_eval promotion: each event equi-joined to its own
+# hour-window aggregate, the batch form of reading the A8 counters per
+# record; the "lookup" stays a genuine equi join on the window key so the
+# J6 join shape remains hash-checked), one driver correctness row
+# (50-query window). The two window operators chain on the same entity
+# partitioning (one shuffle, per-frame sorts); the hourly lookup adds its
+# own (user, hour) agg + join.
 def q_rolling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     out = W.rolling_ranges(
         ev, "user_id", "ts", "value", {"rolling_24h": 86400, "rolling_1h": 3600}
     )
     out = W.amount_profile(out, "user_id", "value", "ts")
+    hourly = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("hour_count"), dec_sum("value").alias("hour_amount"))
+        .select(F.col("w.start").alias("hour_start"), "user_id", "hour_count", "hour_amount")
+    )
+    out = out.withColumn("hour_start", F.date_trunc("hour", "ts")).join(
+        hourly, ["user_id", "hour_start"]
+    )
     return out.select(
         "event_id",
         "user_id",
@@ -56,11 +72,19 @@ def q_rolling_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "amount_pct_rank",
         F.round("entity_avg_amount", 6).alias("user_avg_value"),
         "amount_zscore",
+        "hour_count",
+        "hour_amount",
+        (F.col("hour_count") > 3).alias("high_velocity_hour"),
     )
 
 
 SQL_ROLLING_PROFILE = """
-WITH stats AS (
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_start, user_id,
+         COUNT(*) AS hour_count,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hour_amount
+  FROM events GROUP BY 1, 2),
+stats AS (
   SELECT event_id, user_id, value,
     COUNT(*) OVER w24 AS rolling_24h_count,
     CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w24 AS DOUBLE) AS rolling_24h_amount,
@@ -69,20 +93,23 @@ WITH stats AS (
     PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value) AS amount_pct_rank,
     COUNT(*) OVER w AS n,
     CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
-    CAST(SUM(CAST(value * value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS s2
+    CAST(SUM(CAST(value * value AS DECIMAL(28,4))) OVER w AS DOUBLE) AS s2,
+    date_trunc('hour', ts) AS hour_start
   FROM events
   WINDOW
     w24 AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW),
     w1  AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
     w   AS (PARTITION BY user_id)
 )
-SELECT event_id, user_id, value,
+SELECT event_id, stats.user_id, value,
   rolling_24h_count, rolling_24h_amount, rolling_1h_count, rolling_1h_amount,
   amount_pct_rank,
   ROUND(s1 / n, 6) AS user_avg_value,
   ROUND((value - s1 / n) /
-        NULLIF(SQRT(GREATEST((s2 - s1 * s1 / n) / NULLIF(n - 1, 0), 0.0)), 0.0), 6) + 0.0 AS amount_zscore
-FROM stats
+        NULLIF(SQRT(GREATEST((s2 - s1 * s1 / n) / NULLIF(n - 1, 0), 0.0)), 0.0), 6) + 0.0 AS amount_zscore,
+  hour_count, hour_amount,
+  hour_count > 3 AS high_velocity_hour
+FROM stats JOIN hourly USING (user_id, hour_start)
 """
 
 

@@ -155,106 +155,9 @@ def test_suite_drift_report(spark):
         assert tot[0]["p_base"] is None and tot[0]["p_cur"] is None
 
 
-# DuckDB twin of the q_drift_report suite query — NOT registered in
-# ORACLES (window full) but pinned here end-to-end (promotion-ready).
-# The hard part is the numeric bucket cuts: engine percentile_cont
-# interpolates with a different expression tree in the last ulp, so the
-# twin replays Spark Percentile's EXACT formula — pos = p·(n−1),
-# lowerValue·(higher−pos) + higherValue·(pos−lower) — over the sorted
-# baseline (verified bit-exact against F.expr('percentile(...)')).
-# p_base/p_cur are int ratios (exact); contribution is (p−q)·ln(p/q)
-# (both engines' ln agree to the last ulp or the 6 dp floor-form round
-# absorbs it — the event_features precedent); __total__ sums the
-# ROUNDED contributions in DECIMAL, exact in both engines.
-_DUCK_DRIFT = """
-WITH cutt AS (
-  SELECT make_timestamp(epoch_us(MIN(ts))
-           + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2) AS cut
-  FROM events
-),
-base_v AS (
-  SELECT value AS v FROM events, cutt WHERE ts <= cut AND value IS NOT NULL
-),
-ordered AS (
-  SELECT v, ROW_NUMBER() OVER (ORDER BY v) - 1 AS idx, COUNT(*) OVER () AS n
-  FROM base_v
-),
-cuts AS (
-  SELECT p.i,
-    CASE WHEN lo.idx = hi.idx THEN lo.v
-         ELSE lo.v * (hi.idx - p.pos) + hi.v * (p.pos - lo.idx) END AS cut
-  FROM (
-    SELECT i, (i / 10.0) * (ANY_VALUE(n) - 1) AS pos
-    FROM range(1, 10) t(i), ordered GROUP BY i
-  ) p
-  JOIN ordered lo ON lo.idx = CAST(FLOOR(p.pos) AS BIGINT)
-  JOIN ordered hi ON hi.idx = CAST(CEIL(p.pos) AS BIGINT)
-),
-cut_arr AS (SELECT list(cut ORDER BY i) AS ca FROM cuts),
-num_side AS (
-  SELECT CASE WHEN ts <= cut THEN 'base' ELSE 'cur' END AS side,
-         len(list_filter(ca, c -> value > c)) AS bucket
-  FROM events, cutt, cut_arr WHERE value IS NOT NULL
-),
-num_counts AS (
-  SELECT side, bucket, COUNT(*) AS nn,
-         SUM(COUNT(*)) OVER (PARTITION BY side) AS tt
-  FROM num_side GROUP BY side, bucket
-),
-num_p AS (
-  SELECT bucket,
-         MAX(CASE WHEN side = 'base' THEN nn / tt END) AS p_base,
-         MAX(CASE WHEN side = 'cur' THEN nn / tt END) AS p_cur
-  FROM num_counts GROUP BY bucket
-),
-top_types AS (
-  SELECT event_type FROM (
-    SELECT event_type,
-           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, event_type ASC) AS rnk
-    FROM events, cutt WHERE ts <= cut GROUP BY event_type
-  ) WHERE rnk <= 20
-),
-cat_side AS (
-  SELECT CASE WHEN ts <= cut THEN 'base' ELSE 'cur' END AS side,
-         CASE WHEN event_type IN (SELECT event_type FROM top_types)
-              THEN event_type ELSE '__other__' END AS bucket
-  FROM events, cutt
-),
-cat_counts AS (
-  SELECT side, bucket, COUNT(*) AS nn,
-         SUM(COUNT(*)) OVER (PARTITION BY side) AS tt
-  FROM cat_side GROUP BY side, bucket
-),
-cat_p AS (
-  SELECT bucket,
-         MAX(CASE WHEN side = 'base' THEN nn / tt END) AS p_base,
-         MAX(CASE WHEN side = 'cur' THEN nn / tt END) AS p_cur
-  FROM cat_counts GROUP BY bucket
-),
-detail AS (
-  SELECT 'value' AS feature, CAST(bucket AS VARCHAR) AS bucket,
-         FLOOR(COALESCE(p_base, 0.0) * 1e6 + 0.5) / 1e6 AS p_base,
-         FLOOR(COALESCE(p_cur, 0.0) * 1e6 + 0.5) / 1e6 AS p_cur,
-         FLOOR((GREATEST(COALESCE(p_cur, 0.0), 1e-4) - GREATEST(COALESCE(p_base, 0.0), 1e-4))
-               * LN(GREATEST(COALESCE(p_cur, 0.0), 1e-4) / GREATEST(COALESCE(p_base, 0.0), 1e-4))
-               * 1e6 + 0.5) / 1e6 AS contribution
-  FROM num_p
-  UNION ALL
-  SELECT 'event_type', bucket,
-         FLOOR(COALESCE(p_base, 0.0) * 1e6 + 0.5) / 1e6,
-         FLOOR(COALESCE(p_cur, 0.0) * 1e6 + 0.5) / 1e6,
-         FLOOR((GREATEST(COALESCE(p_cur, 0.0), 1e-4) - GREATEST(COALESCE(p_base, 0.0), 1e-4))
-               * LN(GREATEST(COALESCE(p_cur, 0.0), 1e-4) / GREATEST(COALESCE(p_base, 0.0), 1e-4))
-               * 1e6 + 0.5) / 1e6
-  FROM cat_p
-)
-SELECT feature, bucket, p_base, p_cur, contribution FROM detail
-UNION ALL
-SELECT feature, '__total__', NULL, NULL,
-       CAST(SUM(CAST(contribution AS DECIMAL(38,6))) AS DOUBLE)
-FROM detail GROUP BY feature
-ORDER BY feature, bucket
-"""
+# The DuckDB twin was promoted into the suite's ORACLES round 13
+# (suite/mlops_q.SQL_DRIFT_REPORT) — this test keeps the end-to-end
+# bit-exact pin running in pytest against the same registered SQL.
 
 
 def test_suite_drift_report_duckdb_twin_bit_exact(spark):
@@ -270,7 +173,9 @@ def test_suite_drift_report_duckdb_twin_bit_exact(spark):
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_SMOKE}/events.parquet')"
     )
-    want = con.execute(_DUCK_DRIFT).fetchall()
+    from realtime_fraud_detection_spark.suite.mlops_q import SQL_DRIFT_REPORT
+
+    want = con.execute(SQL_DRIFT_REPORT).fetchall()
     assert len(got) == len(want) > 0
     for g, w in zip(got, want):
         assert g == w, (g, w)

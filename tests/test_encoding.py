@@ -302,3 +302,49 @@ def test_serve_encoder_artifact_kind_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="target-encoder"):
         load_target_encoder(spark, str(path))
+
+
+def test_serve_encoder_empty_input_raises(spark):
+    """ADVICE r12: fitting on an empty frame must fail with a clear
+    message, not float(None)."""
+    from realtime_fraud_detection_spark.ml.encoding import (
+        fit_target_encoder,
+    )
+
+    empty = spark.createDataFrame([], "id long, cat string, label int")
+    with pytest.raises(ValueError, match="empty input"):
+        fit_target_encoder(empty, "cat", "label")
+
+
+def test_serve_encoder_join_is_collision_safe(spark):
+    """ADVICE r12: a scored frame that already carries _sy/_n/_level
+    columns (e.g. a train-time stats frame re-scored at serve) must keep
+    them untouched — the level table joins under aliased names."""
+    from realtime_fraud_detection_spark.ml.encoding import (
+        apply_target_encoder,
+        fit_target_encoder,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b", i % 3 == 0 and 1 or 0) for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, c, int(y)) for i, c, y in rows], "id long, cat string, label int"
+    )
+    levels, meta = fit_target_encoder(df, "cat", "label", smoothing=5.0)
+
+    serve = spark.createDataFrame(
+        [(1, "a", 99.0, 77, "keepme"), (2, "b", 98.0, 76, "keepme2")],
+        "id long, cat string, _sy double, _n long, _level string",
+    )
+    out = apply_target_encoder(serve, levels, meta).collect()
+    by_id = {r["id"]: r for r in out}
+    # pre-existing caller columns survive byte-for-byte
+    assert by_id[1]["_sy"] == 99.0 and by_id[1]["_n"] == 77
+    assert by_id[1]["_level"] == "keepme"
+    assert by_id[2]["_level"] == "keepme2"
+    # and the encoding itself still matches the clean-frame result
+    clean = spark.createDataFrame([(1, "a"), (2, "b")], "id long, cat string")
+    want = {
+        r["id"]: r["cat_te"]
+        for r in apply_target_encoder(clean, levels, meta).collect()
+    }
+    assert {i: by_id[i]["cat_te"] for i in (1, 2)} == want

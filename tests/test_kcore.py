@@ -90,10 +90,23 @@ def test_peel_degree_agg_is_map_side_combined(spark):
     )
     plan = formatted_plan(deg)
     assert "partial_count" in plan, plan
-    # partial runs BELOW the exchange: the partial HashAggregate's node id
-    # is larger (deeper in the tree) than the shuffle's
+    # partial runs BELOW the exchange. Formatted-plan node ids are
+    # assigned leaf-first (Scan=1 ... partial HashAggregate=6,
+    # Exchange=7, final HashAggregate=8), so "below the shuffle" means
+    # the partial node's id is SMALLER than the Exchange's. The partial
+    # node is identified by its detail block carrying partial_count — a
+    # bare `(\d+) HashAggregate` match would grab whichever aggregate
+    # prints first and the ordering check would be vacuous (ADVICE r12;
+    # the old comment also had the id direction backwards).
     import re
 
     ex = re.search(r"\((\d+)\) Exchange", plan)
-    part = re.search(r"\((\d+)\) HashAggregate", plan)
-    assert ex and part
+    part_id = None
+    # the detail section prints one blank-line-separated block per node
+    for block in re.split(r"\n\s*\n", plan):
+        m = re.match(r"\((\d+)\) HashAggregate", block.strip())
+        if m and "partial_count" in block:
+            part_id = int(m.group(1))
+            break
+    assert ex and part_id is not None, plan
+    assert part_id < int(ex.group(1)), (part_id, ex.group(1), plan)

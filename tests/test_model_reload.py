@@ -130,3 +130,86 @@ def test_artifact_roundtrip_and_atomicity(tmp_path):
 
         atomic_write(p, {"format": FORMAT, "kind": "something_else"})
         load_linear_scorer(p)
+
+
+def test_mid_stream_encoder_reload(spark, tmp_path):
+    """The serve-side target encoder hot-reloads mid-stream (M9 contract
+    applied to ml/encoding's artifact): batch k encodes under version 1's
+    level stats, batch k+1 under version 2's — same query, no restart,
+    every row stamped with encoder_version."""
+    from realtime_fraud_detection_spark.ml.encoding import (
+        apply_target_encoder,
+        fit_target_encoder,
+        load_target_encoder,
+        save_target_encoder,
+    )
+    from realtime_fraud_detection_spark.streaming.sinks import (
+        run_reloading_encoder_stream,
+    )
+
+    enc_path = str(tmp_path / "encoder")
+    src = str(tmp_path / "esrc")
+    out = str(tmp_path / "eout")
+    ck = str(tmp_path / "eck")
+    os.makedirs(src)
+
+    def _train(spark, flip):
+        rows = [
+            (i, "a" if i % 2 == 0 else "b", (i % 3 == 0) != flip)
+            for i in range(40)
+        ]
+        return spark.createDataFrame(
+            [(i, c, int(y)) for i, c, y in rows],
+            "id long, cat string, label int",
+        )
+
+    levels1, meta1 = fit_target_encoder(_train(spark, False), "cat", "label")
+    save_target_encoder(levels1, meta1, enc_path, model_version=1)
+
+    def _batch(start):
+        return spark.range(start, start + 30).select(
+            F.col("id").alias("tx_id"),
+            F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("cat"),
+        )
+
+    _batch(0).coalesce(1).write.parquet(src, mode="append")
+    stream = spark.readStream.schema("tx_id bigint, cat string").parquet(src)
+    q = run_reloading_encoder_stream(stream, enc_path, out, ck,
+                                     trigger_seconds=0.25)
+    try:
+        got1 = _poll(spark, out, lambda d: d.count() >= 30)
+        assert {r["encoder_version"] for r in got1.collect()} == {1}
+
+        # hot swap: re-fit on flipped labels, version bumped
+        levels2, meta2 = fit_target_encoder(_train(spark, True), "cat", "label")
+        save_target_encoder(levels2, meta2, enc_path, model_version=2)
+        _batch(1000).coalesce(1).write.parquet(src, mode="append")
+        got2 = _poll(
+            spark, out,
+            lambda d: d.filter(F.col("encoder_version") == 2).count() >= 30,
+        )
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    rows = {r["tx_id"]: r for r in got2.collect()}
+    # batch-version stamps: first batch v1, second v2, same query
+    assert rows[0]["encoder_version"] == 1
+    assert rows[1000]["encoder_version"] == 2
+    # the loadable artifact now holds v2 (the swap is on disk too)
+    assert load_target_encoder(spark, enc_path)[1]["model_version"] == 2
+    # the encoded values match the batch-form apply under EACH version
+    want2 = {
+        r["tx_id"]: r["cat_te"]
+        for r in apply_target_encoder(_batch(1000), levels2, meta2).collect()
+    }
+    for tx in range(1000, 1030):
+        assert rows[tx]["cat_te"] == want2[tx]
+    want1 = {
+        r["tx_id"]: r["cat_te"]
+        for r in apply_target_encoder(_batch(0), levels1, meta1).collect()
+    }
+    for tx in range(0, 30):
+        assert rows[tx]["cat_te"] == want1[tx]
+    # and the two versions genuinely disagree (the flip moved the stats)
+    assert rows[0]["cat_te"] != rows[1000]["cat_te"]

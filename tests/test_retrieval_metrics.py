@@ -178,9 +178,10 @@ def test_suite_retrieval_eval(spark):
         assert r["n_hit"] <= min(r["n_rel"], 10)
 
 
-# DuckDB twin of the q_retrieval_eval suite query — NOT registered in
-# ORACLES (window full) but pinned here UNROUNDED where the math is exact
-# (the promotion-ready pattern): ranks replay SQL_ANN_TOPK's rounded-
+# DuckDB twin of the q_retrieval_eval suite query — the floor-rounded
+# form was promoted into ORACLES round 13 (suite/mlops_q.SQL_RETRIEVAL_EVAL);
+# this copy stays UNROUNDED as the stronger pytest pin on the exact-math
+# columns: ranks replay SQL_ANN_TOPK's rounded-
 # cosine/row_number derivation, recall/precision/rr are small-int ratios
 # (bit-exact), DCG/IDCG replay Spark's ascending fold with an ORDER BY
 # list_reduce — the per-term 1/(ln(r+1)/ln(2)) is transcendental, so

@@ -97,9 +97,10 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         # LPA communities — iterative, no SQL form; hand-traced parity +
         # determinism in tests/test_label_propagation.py
         "communities",
-        # iterative k-core peeling — no SQL form; exact replay parity in
-        # tests/test_kcore.py
-        "k_core",
+        # (k_core was promoted into the oracle window round 13 — the
+        # k-core is a unique fixed point, so a DuckDB recursive-CTE
+        # re-peel is exact; the case_decision∪filter_project merge freed
+        # the slot)
         # multimodal decode/feature extraction — seeded deterministic
         # decode fakes (no codecs in container), no SQL twin; payload-
         # pruning + batch-shape laws in tests/test_multimodal.py
@@ -124,16 +125,11 @@ def test_every_query_has_oracle_or_is_declared_approximate():
         "sequence_scores",
         # (jaccard_ingest / model_eval / volume_anomalies were promoted
         # into the oracle window round 12 — the rule_score and
-        # pattern_buckets panel merges freed the slots)
-        # PSI drift panel — transcendental ln contributions (6 dp) and
-        # driver-side quantile cuts; detail-sums-to-total + hand parity
-        # in tests/test_drift.py
-        "drift_report",
-        # (target_encoding was promoted into the window late round 12 —
-        # the velocity_sliding/high_frequency panel merge freed the slot)
-        # retrieval metrics over brute-force cosine — transcendental
-        # NDCG log2 (6 dp); hand parity in tests/test_retrieval_metrics.py
-        "retrieval_eval",
+        # pattern_buckets panel merges freed the slots; target_encoding
+        # followed late round 12 via the velocity_sliding merge;
+        # drift_report and retrieval_eval were promoted round 13 via the
+        # event_features∪json_extract and rolling_profile∪velocity_lookup
+        # merges — their formerly test-pinned twins are now the oracles)
     }
     missing = set(QUERIES) - set(ORACLES) - approximate
     assert not missing, f"queries without oracle: {missing}"

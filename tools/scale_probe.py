@@ -83,13 +83,13 @@ def main() -> None:
     all_stages = (
         "minhash,lsh,setsim,ingest,simhash,cc,star,spans,ngram,bpe,clf,quality,"
         "graphx,doulion,ivfpq,sketch,seqfeat,hotkey,layout,funnel,mixture,pca,embed,negs,"
-        "index,dsir,abeval,mmodal,mlprep"
+        "index,dsir,abeval,mmodal,mlprep,retrieval"
     )
     stages = set((sys.argv[2] if len(sys.argv) > 2 else all_stages).split(","))
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if stages - {"ivfpq", "sketch", "seqfeat", "hotkey", "layout", "mixture", "pca", "negs", "abeval", "mmodal", "mlprep"}:  # doc-corpus stages
+    if stages - {"ivfpq", "sketch", "seqfeat", "hotkey", "layout", "mixture", "pca", "negs", "abeval", "mmodal", "mlprep", "retrieval"}:  # doc-corpus stages
         t0 = time.time()
         build_corpus(spark, replicas)
         print(f"corpus: {replicas}x built in {time.time() - t0:.1f}s")
@@ -1208,6 +1208,68 @@ def main() -> None:
 
         _guarded("mixture_bucketed", lambda: _mix("bucketed", 256))
         _guarded("mixture_naive1", lambda: _mix("naive1", 1))
+
+    if "retrieval" in stages:
+        # the retrieval-eval panel at growing corpus (VERDICT r12 item 5):
+        # FIXED 32-query brute-force cosine top-10 + same-label truth +
+        # retrieval_metrics over replicas x 100k synthetic 32-dim vectors
+        # (50 labels, so the truth table grows linearly with the corpus).
+        # The claim under test: candidates are cut to k BEFORE the truth
+        # join, so the probe scales with the corpus SCAN (one broadcast-
+        # query cosine pass + one linear truth count) — never with
+        # |corpus| x |queries| pairings.
+        from realtime_fraud_detection_spark.ml.evaluation import (
+            retrieval_metrics,
+        )
+        from realtime_fraud_detection_spark.operators.similarity import (
+            brute_force_topk,
+        )
+        from pyspark.sql import functions as F
+
+        n_vec = replicas * 100_000
+
+        def _remb():
+            return spark.range(n_vec).select(
+                F.col("id").alias("vec_id"),
+                (F.col("id") % 50).alias("label"),
+                F.array(
+                    *[
+                        F.sin(F.col("id") * float(0.1 + 0.017 * i))
+                        for i in range(32)
+                    ]
+                ).alias("embedding"),
+            )
+
+        def _retrieval():
+            emb = _remb()
+            queries = emb.filter(F.col("vec_id") < 32)
+            t0 = time.time()
+            results = brute_force_topk(emb, queries, k=10).select(
+                F.col("qid").alias("query_id"),
+                F.col("nid").alias("doc_id"),
+                "rank",
+            )
+            truth = (
+                queries.select(F.col("vec_id").alias("query_id"), "label")
+                .join(
+                    emb.select(F.col("vec_id").alias("doc_id"), "label"),
+                    "label",
+                )
+                .filter(F.col("query_id") != F.col("doc_id"))
+                .select("query_id", "doc_id")
+            )
+            rows = retrieval_metrics(
+                results, truth, k=10, rank_col="rank"
+            ).collect()
+            wall = time.time() - t0
+            mean_rec = sum(r["recall_at_k"] for r in rows) / len(rows)
+            mean_ndcg = sum(r["ndcg_at_k"] for r in rows) / len(rows)
+            print(
+                f"retrieval={wall:.1f}s corpus={n_vec} queries={len(rows)} "
+                f"mean_recall@10={mean_rec:.6f} mean_ndcg@10={mean_ndcg:.6f}"
+            )
+
+        _guarded("retrieval", _retrieval)
 
     if "pca" in stages:
         # distributed PCA fit (the Arrow int64-partials path; local gate
