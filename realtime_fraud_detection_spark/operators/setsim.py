@@ -157,6 +157,7 @@ def prefix_filtered_candidates(
     shingle_k: int = 3,
     max_posting_size: int | None = None,
     shingles: DataFrame | None = None,
+    n_token_rows: int | None = None,
 ) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs — a SUPERSET of all pairs with
     distinct-shingle Jaccard >= threshold.
@@ -170,6 +171,11 @@ def prefix_filtered_candidates(
     and postings passes then read the SAME frame instead of re-running
     the normalize→split→shingle chain once each — pass a checkpointed
     frame so both consumers read materialized blocks.
+
+    `n_token_rows` optionally supplies an already-computed token-row
+    count for the big-path gate (a caller that also verifies — see
+    jaccard_similarity_join — computes it once and shares it), skipping
+    the gate job entirely.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -227,7 +233,9 @@ def prefix_filtered_candidates(
 
     from .scaling import dedup_edges
 
-    if shingles is not None:
+    if n_token_rows is not None:
+        n_tok = n_token_rows
+    elif shingles is not None:
         n_tok = shingles.agg(F.sum(F.size("sh"))).first()[0] or 0
     else:
         n_tok = tok.count()
@@ -336,14 +344,28 @@ def jaccard_similarity_join(
     df-count, postings, and both verify sides read the materialized
     blocks (four shingle-chain evaluations otherwise — measured 8.2 s →
     5.3 s at sf0.1 after the r11 staging, on top of the 22 s → 8.2 s
-    _tok_table explode fix)."""
+    _tok_table explode fix). The token-row gate is computed once here
+    and shared with the candidate generator; above the gate the VERIFY
+    joins are pinned .hint("shuffle_hash") on the shingle side — AQE
+    otherwise converts the candidates ⋈ shingle-table SMJ to broadcast
+    off the checkpointed table's compressed stats, and the deserialized
+    array-heavy hash relation is the r12 10-50x class ("not enough
+    memory to build and broadcast", reproduced solo at 100x in r13 on
+    exactly this join). shuffle_hash, not merge: a merge hint makes the
+    SECOND verify join SORT the 31M-row array-carrying stream from the
+    first (executor heap OOM in the sort read-ahead, also reproduced);
+    the shuffle-hash build side is the per-partition slice of the
+    corpus-sized shingle table — thousands of rows — while the fat
+    candidate stream is only shuffled, never sorted."""
     sh = shingle_table(
         df, text_col, id_col, shingle_k, distinct=True
     ).localCheckpoint(eager=False)
+    n_tok = int(sh.agg(F.sum(F.size("sh"))).first()[0] or 0)
     cand = prefix_filtered_candidates(
         df, text_col, id_col, threshold, shingle_k, max_posting_size,
-        shingles=sh,
+        shingles=sh, n_token_rows=n_tok,
     )
+    verify_sh = sh.hint("shuffle_hash") if n_tok > _BIG_TOKEN_ROWS else sh
     return ngram_jaccard(
-        df, cand, text_col, id_col, shingle_k, shingles=sh
+        df, cand, text_col, id_col, shingle_k, shingles=verify_sh
     ).filter(F.col("jaccard") >= threshold - _EPS)

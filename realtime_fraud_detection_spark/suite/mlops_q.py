@@ -2,9 +2,10 @@
 strategy (ensemble_predictor.py:305-323) and the per-row prediction
 explanation (ensemble_predictor.py:371-435), driven over the events fixture.
 
-Rows-only (the driver's 50-slot oracle window is full): the combine
-arithmetic and the explanation ranking are replay-parity-pinned in
-tests/test_explain.py, and the query itself is value-pinned by
+Oracled since r12/r13: target_encoding (bit-exact decimal twin),
+drift_report (Spark-Percentile-replay twin), retrieval_eval (floor-form
+twin). The rest are rows-only — each docstring states why — with the
+arithmetic replay-parity-pinned in its pytest file and the value pinned by
 tools/check_determinism.py (two fresh sessions, bit-exact).
 """
 
@@ -22,7 +23,20 @@ def q_ensemble_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stacking combine + decision + two explanation blocks per event: the
     model-contribution array and the top-5 rule-factor array — all pure
     column expressions (zero Python crossings, zero shuffles: one projection
-    over the scan, the 100-TB shape of a per-prediction explainer)."""
+    over the scan, the 100-TB shape of a per-prediction explainer).
+
+    Rows-only — promotion feasibility (VERDICT r12 item 3, checked r13):
+    the ARITHMETIC is promotable (every term is key-derived double math
+    with a replicable expression tree — the rule_score precedent — and
+    the top-5 sort is deterministically tie-broken), but the output's
+    array<struct<factor,contribution>> columns would stake the driver's
+    hash on its nested-value rendering agreeing with DuckDB's dict/list
+    rendering, which NO currently-oracled query exercises (all 50 are
+    scalar-column frames). The exact arithmetic is instead pinned by the
+    Python-replay parity in tests/test_explain.py and the value check by
+    check_determinism. Flattening the arrays (one row per factor) would
+    change the driver-visible schema for a rendering gamble — not worth
+    it while scalar promotions remain."""
     ev = load_table(spark, sf_dir, "events")
     # pseudo model scores, same key-derived construction as ensemble_decision
     p = {

@@ -123,9 +123,21 @@ def main() -> None:
         )
 
         t0 = time.time()
-        n_cands = prefix_filtered_candidates(
+        _cand_df = prefix_filtered_candidates(
             docs, "text", "doc_id", threshold=0.5
-        ).count()
+        )
+        try:
+            n_cands = _cand_df.count()
+        except Exception:
+            import contextlib
+            import io
+
+            _b = io.StringIO()
+            with contextlib.redirect_stdout(_b):
+                _cand_df.explain(mode="formatted")
+            with open("/tmp/setsim_failed_plan.txt", "w") as _f:
+                _f.write(_b.getvalue())
+            raise
         t1 = time.time()
         n_pairs = jaccard_similarity_join(
             docs, "text", "doc_id", threshold=0.5
@@ -1229,12 +1241,19 @@ def main() -> None:
         n_vec = replicas * 100_000
 
         def _remb():
+            # (id+1): the id=0 vector would be all-zeros (sin 0) and its
+            # zero norm trips ANSI DIVIDE_BY_ZERO in the cosine.
+            # Labels are 50 CONTIGUOUS id blocks: the sin construction
+            # makes id-proximal vectors cosine-similar, so same-block
+            # neighbors are genuinely retrievable and the truth join has
+            # non-degenerate hits (id % 50 gave recall exactly 0 — the
+            # metric plumbing exercised nothing)
             return spark.range(n_vec).select(
                 F.col("id").alias("vec_id"),
-                (F.col("id") % 50).alias("label"),
+                (F.col("id") * 50 / n_vec).cast("long").alias("label"),
                 F.array(
                     *[
-                        F.sin(F.col("id") * float(0.1 + 0.017 * i))
+                        F.sin((F.col("id") + 1) * float(0.1 + 0.017 * i))
                         for i in range(32)
                     ]
                 ).alias("embedding"),
