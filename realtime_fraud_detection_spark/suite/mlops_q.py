@@ -39,16 +39,33 @@ def q_ensemble_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     it while scalar promotions remain."""
     ev = load_table(spark, sf_dir, "events")
     # pseudo model scores, same key-derived construction as ensemble_decision
-    p = {
+    p_raw = {
         "xgboost": ((F.col("event_id") * 37) % 1000) / 1000.0,
         "lstm": ((F.col("event_id") * 59) % 1000) / 1000.0,
         "bert": ((F.col("event_id") * 83) % 1000) / 1000.0,
         "gnn": ((F.col("event_id") * 101) % 1000) / 1000.0,
         "isolation_forest": ((F.col("event_id") * 131) % 1000) / 1000.0,
     }
+    # STAGED round 13 (guide §1.2 per-task work): the stacking prob/conf
+    # trees reference every model score several times and the decision CASE
+    # re-inlines the whole rounded prob/conf trees 4x — one flat Project
+    # evaluated the stacking arithmetic ~6x per row (and the HOF
+    # explanation arrays force the Project interpreted, so no codegen CSE
+    # rescued it). Bind the scores, then prob/conf, in their own selects:
+    # >= 2 references per alias stop CollapseProject from re-inlining
+    # (the repo-wide staging rule). Values are bit-identical — same
+    # expression DAG per output, evaluated once via bound columns.
+    ev = ev.select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        *[expr.alias(f"_p_{m}") for m, expr in p_raw.items()],
+    )
+    p = {m: F.col(f"_p_{m}") for m in p_raw}
     prob, conf = S.ensemble_stacking(p)
-    prob_r = F.round(prob, 6)
-    conf_r = F.round(conf, 6)
+    ev = ev.select(
+        "*", F.round(prob, 6).alias("_prob_r"), F.round(conf, 6).alias("_conf_r")
+    )
+    prob_r = F.col("_prob_r")
+    conf_r = F.col("_conf_r")
     terms = S.rule_score_terms(
         prior_score=F.col("value") / 500.0,
         user_risk_score=(F.col("user_id") % 100).cast("double") / 100.0,
