@@ -653,7 +653,15 @@ def retrieval_metrics(
         ranked = results.select(
             q.alias("_q"), d.alias("_d"), F.col(rank_col).alias("_r")
         )
-    topk = ranked.filter(F.col("_r") <= k)
+    # shuffle_hash on the candidate side (round 13, guide §3.1/§8): the cut
+    # candidate set is |queries|·k rows against the data-sized truth table —
+    # the planner saw an opaque window subtree and picked sort-merge, which
+    # SORTS the truth side every run. Hash-building the per-partition
+    # candidate slice drops that sort while keeping the truth side on the
+    # partitioning its distinct() already established (no broadcast-build
+    # barrier, no 8 GB broadcast cap for huge query panels — the setsim
+    # verify-join reasoning). Same rows either way.
+    topk = ranked.filter(F.col("_r") <= k).hint("shuffle_hash")
     rel = truth.select(q.alias("_q"), d.alias("_d")).distinct()
     n_rel = rel.groupBy("_q").agg(F.count(F.lit(1)).alias("n_rel"))
     hits = topk.join(rel, ["_q", "_d"]).groupBy("_q").agg(
@@ -671,7 +679,9 @@ def retrieval_metrics(
         lambda acc, i: acc + 1.0 / log2(i + 1),
     )
     return (
-        n_rel.join(hits, "_q", "left")
+        # per-query aggregates are |queries| rows — same hash-build-the-
+        # bounded-side choice for the final left join (build = hits)
+        n_rel.join(hits.hint("shuffle_hash"), "_q", "left")
         .select(
             F.col("_q").alias(query_col),
             "n_rel",
