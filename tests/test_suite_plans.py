@@ -1,8 +1,9 @@
 """Suite-wide plan hygiene: every driver-facing query is pure JVM-side
 expression code — no row-at-a-time Python UDFs and no Arrow boundary
 anywhere in the declared suite except the sanctioned Python crossings
-(stateful ops, model scoring, multimodal decode, BPE encoding, and the
-r7 ANN encode/assign kernels), each Arrow-batched, pinned to a single
+(stateful ops, model scoring, multimodal decode, BPE encoding, the
+r7 ANN encode/assign kernels, and the r13 winnow fingerprint kernel),
+each Arrow-batched, pinned to a single
 node below, and documented in SCALE.md's "Python boundary". This is
 the "stay inside whole-stage codegen" design position, asserted rather
 than assumed."""
@@ -31,6 +32,13 @@ PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsI
 # exact MapInPandas counts below.
 EXCLUDE = {"ann_ivf", "ann_pq", "bpe_tokens", "unigram_tokens", "text_classifier",
            "ann_pq_res", "ann_pq_serve", "semantic_dedup", "multimodal_features",
+           # r13: winnow fingerprints moved into an Arrow kernel (the HOF
+           # chain was interpreted md5-per-character-position — dedup.py
+           # _winnow_fps_arrow, bit-identical, parity-pinned in
+           # tests/test_winnow_kernel.py); doc_signatures carries it
+           # directly (near_dup_pairs materializes the table first, so its
+           # final plan stays kernel-free)
+           "doc_signatures",
            # k_core peels eagerly at build time (seconds at smoke SF ×2 k
            # values); its returned frame is a checkpointed integer union —
            # covered by the multimodal/kcore pins and determinism instead
@@ -45,6 +53,9 @@ EXCLUDE = {"ann_ivf", "ann_pq", "bpe_tokens", "unigram_tokens", "text_classifier
         ("semantic_dedup", 1),  # passthrough cell assignment
         # image + audio decode, video frame sampling, frame features
         ("multimodal_features", 4),
+        # r13: the winnow fingerprint kernel (minhash + simhash stay
+        # pure-JVM explode+agg; only the winnow branch crosses)
+        ("doc_signatures", 1),
     ],
 )
 def test_ann_arrow_boundary_kernel_count(spark, name, n_kernels):
