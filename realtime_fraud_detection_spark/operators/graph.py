@@ -289,7 +289,8 @@ def k_core(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 50,
-) -> DataFrame:
+    return_edges: bool = False,
+):
     """(vertex) — members of the k-core of the undirected simple graph:
     the maximal subgraph where every vertex keeps degree >= k after
     everything below is recursively peeled away (Seidman 1983 "Network
@@ -360,12 +361,23 @@ def k_core(
             cur, n_edges = nxt, n_next
         else:
             raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
-        return (
+        vertices = (
             cur.select(F.col("a").alias("v"))
             .unionAll(cur.select(F.col("b").alias("v")))
             .distinct()
             .localCheckpoint()
         )
+        if return_edges:
+            # the surviving (already checkpointed, canonical a<b) edge
+            # table — k-cores nest (Seidman: the k₂-core of G for k₂>k₁ is
+            # the k₂-core of G's k₁-core), so callers peeling several k
+            # values can seed the next peel from this instead of the full
+            # graph (round 13: the expensive early full-graph rounds run
+            # once instead of once per k)
+            return vertices, cur.select(
+                F.col("a").alias(src_col), F.col("b").alias(dst_col)
+            )
+        return vertices
 
 
 def label_propagation(

@@ -110,3 +110,30 @@ def test_peel_degree_agg_is_map_side_combined(spark):
             break
     assert ex and part_id is not None, plan
     assert part_id < int(ex.group(1)), (part_id, ex.group(1), plan)
+
+
+def test_k_core_return_edges_nesting(spark):
+    """k-cores nest (Seidman): peeling k=3 from the k=2-core's surviving
+    edges (`return_edges=True`) must give exactly the k=3-core of the full
+    graph — the round-13 multi-k seeding capability. Also pins that the
+    returned edge frame is canonical (src < dst, no duplicates)."""
+    from pyspark.sql import functions as F
+
+    from realtime_fraud_detection_spark.operators.graph import k_core
+
+    # two triangles sharing a vertex + a pendant chain: 2-core = both
+    # triangles, 3-core = empty; plus a K4 so the 3-core is non-empty
+    edges = [
+        (1, 2), (2, 3), (3, 1),
+        (3, 4), (4, 5), (5, 3),
+        (5, 6), (6, 7),
+        (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    v2, e2 = k_core(df, 2, return_edges=True)
+    chained = sorted(r["v"] for r in k_core(e2, 3).collect())
+    scratch = sorted(r["v"] for r in k_core(df, 3).collect())
+    assert chained == scratch == [10, 11, 12, 13]
+    rows = e2.collect()
+    assert all(r["src"] < r["dst"] for r in rows)
+    assert len(rows) == len({(r["src"], r["dst"]) for r in rows})
