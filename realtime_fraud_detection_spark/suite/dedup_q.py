@@ -844,7 +844,10 @@ ORDER BY doc_a, doc_b
 # Embedding-cosine near-dup pairs, blocked by label
 # ---------------------------------------------------------------------------
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: the one-file embeddings fixture scans as ONE partition; the
+    # pair-join probe side must be wide or the whole per-bucket dot-product
+    # sweep runs on a single core (r13: warm 1.3 s -> 0.8 s, bit-identical)
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     return D.embedding_near_dup_pairs(emb, threshold=0.45)
 
 
@@ -869,7 +872,7 @@ WHERE ROUND(
 # ANN: brute-force cosine top-k (exact baseline) for query vectors vec_id<5
 # ---------------------------------------------------------------------------
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.brute_force_topk(emb, queries, k=3)
 
@@ -900,7 +903,7 @@ SELECT qid, nid, cosine_sim, rank FROM ranked WHERE rank <= 3
 # cross join).
 # ---------------------------------------------------------------------------
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.lsh_topk(emb, queries, k=3, n_planes=4, dim=64)
 
@@ -973,7 +976,7 @@ def _pq_books(spark: SparkSession, sf_dir: str, m: int, ks: int):
 # dependent on MLlib's kmeans iteration order).
 # ---------------------------------------------------------------------------
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.ivf_topk(
         emb, queries, k=3, n_cells=8, n_probe=3,
