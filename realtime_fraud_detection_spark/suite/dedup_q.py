@@ -1137,7 +1137,7 @@ def q_ann_pq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_semantic_dedup.py).
 # ---------------------------------------------------------------------------
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     return D.semantic_dedup(emb, threshold=0.45, n_cells=8, dim=64)
 
 
@@ -1259,7 +1259,9 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import bm25_rank, rrf_fuse
 
     docs = _docs(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
+    # fan_out: the vector leg's brute-force cosine sweep otherwise runs on
+    # the one-file scan's single partition (r13: hybrid warm 4.5 -> 2.6 s)
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     lex = bm25_rank(
         docs, _bm25_queries(docs), top_k=20, dt=_bm25_dt(spark, sf_dir)
     ).select("q_id", "doc", "rank")

@@ -515,7 +515,7 @@ def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.evaluation import retrieval_metrics
     from ..operators.similarity import brute_force_topk
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
     queries = emb.filter(F.col("vec_id") < 32)
     results = brute_force_topk(emb, queries, k=10).select(
         F.col("qid").alias("query_id"),
