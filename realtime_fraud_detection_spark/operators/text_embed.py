@@ -42,16 +42,24 @@ def hashed_text_embeddings(
     dim=64 matches the fixture embedding width so the hashed vectors feed
     every downstream ANN index (IVF/SQ8/PQ) unchanged.
     """
-    txt = F.trim(normalized_text(F.col(text_col)))
-    n_grams = F.greatest(F.lit(1), F.length(txt) - (gram - 1))
-    # stage the gram array as its own bound column (expressions inside a
-    # generator re-evaluate per OUTPUT element — keep the generator cheap)
-    grams = df.select(
+    # stage the NORMALIZED text as a bound column before the generator
+    # (shingle_table's two-select idiom): expressions inside a generator
+    # re-evaluate per OUTPUT element, so the lower+regex normalize must
+    # not ride inside it — only the cheap substring transform does. The
+    # two references to `_t` (length + the lambda) keep CollapseProject
+    # from re-inlining the normalize (r13: gram→agg stage 1.4-1.8 s →
+    # 0.9-1.4 s at sf0.1, bit-identical).
+    staged = df.select(
+        F.col(id_col),
+        F.trim(normalized_text(F.col(text_col))).alias("_t"),
+    )
+    n_grams = F.greatest(F.lit(1), F.length(F.col("_t")) - (gram - 1))
+    grams = staged.select(
         F.col(id_col),
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), n_grams),
-                lambda i: F.substring(txt, i, gram),
+                lambda i: F.substring(F.col("_t"), i, gram),
             )
         ).alias("_g"),
     ).filter(F.col("_g") != "")
