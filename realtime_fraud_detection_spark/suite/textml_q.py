@@ -70,8 +70,12 @@ def q_text_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2=0.0,
     )
     scored = score_logreg(feats_all, model)
+    # shuffle_hash: the label side is a checkpointed RDD with no stats, so
+    # the planner falls back to sort-merge and sorts BOTH data-sized
+    # frames; hash-building the per-doc score side drops the two sorts
+    # with no broadcast cap (both sides are data-sized at scale)
     return (
-        labeled.join(scored, "doc", "left")
+        labeled.join(scored.hint("shuffle_hash"), "doc", "left")
         .select(
             F.col("doc").alias("doc_id"),
             "y",
