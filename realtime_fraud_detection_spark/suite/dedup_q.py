@@ -1137,7 +1137,11 @@ def q_ann_pq_res(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_semantic_dedup.py).
 # ---------------------------------------------------------------------------
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    # NO fan_out here (r13 A/B): the scan feeds a driver-local kmeans fit
+    # and a checkpointed cell assignment, so the 1-partition read is not
+    # in the iterated CC path — fanning out just adds an exchange under
+    # every loop consumer (final plan 0.38 s -> 1.40 s warm, bench +4 s)
+    emb = load_table(spark, sf_dir, "embeddings")
     return D.semantic_dedup(emb, threshold=0.45, n_cells=8, dim=64)
 
 
