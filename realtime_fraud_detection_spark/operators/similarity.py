@@ -46,9 +46,16 @@ def brute_force_topk(
     queries × corpus cross join (broadcast the query side — it is small by
     construction), then a per-query top-k window. Similarity is rounded
     before ranking so ranking ties are broken deterministically by id.
+
+    Norms are hoisted to one l2_norm per ROW before the cross join (r13):
+    the inlined cosine() recomputed BOTH interpreted-HOF norm folds per
+    PAIR — 3× the per-pair element work for |q|·|corpus| pairs. Same
+    expressions over the same values, so the quotient is bit-identical.
     """
     c = emb.select(F.col(id_col).alias("nid"), _as_double(F.col(vec_col)).alias("nv"))
     q = queries.select(F.col(id_col).alias("qid"), _as_double(F.col(vec_col)).alias("qv"))
+    c = c.withColumn("_nn", l2_norm(F.col("nv")))
+    q = q.withColumn("_qn", l2_norm(F.col("qv")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -56,7 +63,10 @@ def brute_force_topk(
         .select(
             "qid",
             "nid",
-            F.round(cosine(F.col("qv"), F.col("nv")), round_digits).alias("cosine_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("nv")) / (F.col("_qn") * F.col("_nn")),
+                round_digits,
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine_sim"), F.asc("nid"))
