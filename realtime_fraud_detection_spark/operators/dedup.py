@@ -544,15 +544,104 @@ def simhash(text: Column, bits: int = 16) -> Column:
     return sig
 
 
+def _simhash_sigs_arrow(
+    df: DataFrame, text_col: str, id_col: str, widths: tuple[int, ...]
+) -> DataFrame:
+    """Arrow kernel form of :func:`simhash_signatures` (round 13, guide
+    §4.2, the `_winnow_fps_arrow` precedent): a SimHash signature is a
+    purely per-document quantity, so one mapInPandas computes the whole
+    normalize → distinct-words → salted-md5 → integer bit votes → sign
+    chain locally — no explode, no groupBy, ZERO exchanges where the
+    expression form shuffles (doc, 80 partial sums). Bit votes are
+    integer sums (order-free) and md5 is md5 on every engine, so output
+    is BIT-IDENTICAL to the expression form — pinned by
+    tests/test_simhash_kernel.py incl. null/empty/non-ASCII edges.
+    NULL-text docs are DROPPED, replaying explode(NULL array) exactly."""
+    import re as _re
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [StructField("doc", id_field.dataType, id_field.nullable)]
+        + [StructField(f"simhash{b}", LongType(), True) for b in widths]
+    )
+    sel = df.select(id_col, text_col)
+    norm = _re.compile(r"[^a-z0-9]+")
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as pd
+
+        md5 = hashlib.md5
+
+        def sig_for(t):
+            tt = norm.sub(" ", t.lower()).strip()
+            # JVM split("", "\\s+") yields [""] — the empty word still
+            # votes, exactly like the expression form
+            words = set(_re.split(r"\s+", tt))
+            sigs = []
+            for b in widths:
+                if b > 60:
+                    hs = []
+                    for w in words:
+                        v = int(md5(b"simhash:" + w.encode()).hexdigest()[:16], 16)
+                        if v >= 1 << 63:
+                            v -= 1 << 64  # md5_bigint64 two's complement
+                        hs.append(v)
+                else:
+                    hs = [
+                        int(md5(b"simhash:" + w.encode()).hexdigest()[:15], 16)
+                        for w in words
+                    ]
+                sig = 0
+                nw = len(hs)
+                for j in range(b):
+                    mask = 1 << j
+                    ones = sum(1 for h in hs if h & mask)
+                    if 2 * ones - nw > 0:  # vote_j = ones - (nw - ones)
+                        sig |= mask
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                sigs.append(sig)
+            return sigs
+
+        for pdf in batches:
+            rows = {"doc": [], **{f"simhash{b}": [] for b in widths}}
+            for i, txt in enumerate(pdf[text_col]):
+                if txt is None or not isinstance(txt, str):
+                    continue
+                s = sig_for(txt)
+                rows["doc"].append(pdf[id_col].iloc[i])
+                for b, v in zip(widths, s):
+                    rows[f"simhash{b}"].append(v)
+            yield pd.DataFrame(rows)
+
+    return sel.mapInPandas(kernel, schema)
+
+
 def simhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, bits: int | tuple[int, ...] = 16
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int | tuple[int, ...] = 16,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """SimHash via explode(distinct words) → one hash per word → groupBy(id)
     with `bits` codegen'd vote sums — the scan-once aggregate form of
     :func:`simhash` (same output). `bits` may be a tuple of widths (e.g.
     ``(16, 64)``): all signatures come out of the SAME scan + shuffle, one
-    `simhash{b}` column per width."""
+    `simhash{b}` column per width.
+
+    `use_arrow=True` (the default since round 13) routes through
+    :func:`_simhash_sigs_arrow` — bit-identical output, ~2× cheaper warm
+    and shuffle-free (the signature is per-document, so the kernel needs
+    no explode and no groupBy exchange). The expression form remains for
+    plan comparison and as the no-Python-boundary fallback."""
     widths = (bits,) if isinstance(bits, int) else tuple(bits)
+    if use_arrow:
+        return _simhash_sigs_arrow(df, text_col, id_col, widths)
     words = df.select(
         F.col(id_col).alias("doc"),
         F.explode(
