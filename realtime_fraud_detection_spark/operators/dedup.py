@@ -91,20 +91,102 @@ def minhash(shingles: Column, num_perm: int = 4) -> list[Column]:
     ]
 
 
+def _minhash_sigs_arrow(
+    df: DataFrame, text_col: str, id_col: str, num_perm: int, shingle_k: int
+) -> DataFrame:
+    """Arrow kernel form of :func:`minhash_signatures` (round 13, guide
+    §4.2 — the `_simhash_sigs_arrow` / `_winnow_fps_arrow` precedent): a
+    MinHash signature is a purely per-document quantity, so one
+    mapInPandas replays the whole normalize → split → k-shingle (with the
+    short-doc whole-text fallback) → salted-md5 → min-per-permutation
+    chain locally — no explode, no groupBy exchange. Mins over integer
+    hashes are order-free and md5 is md5 on every engine, so output is
+    BIT-IDENTICAL to the expression form — pinned by
+    tests/test_minhash_kernel.py incl. null / empty / short-doc /
+    non-ASCII edges. NULL-text docs are KEPT and hash like the empty doc
+    (unlike simhash's explode-drop): in the expression chain
+    concat_ws(" ", NULL_word_array) is "", so the short-doc fallback
+    emits the empty shingle — the kernel replays that exactly."""
+    import re as _re
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    id_field = df.schema[id_col]
+    schema = StructType(
+        [StructField("doc", id_field.dataType, id_field.nullable)]
+        + [StructField(f"mh{p}", LongType(), True) for p in range(num_perm)]
+    )
+    sel = df.select(id_col, text_col)
+    norm = _re.compile(r"[^a-z0-9]+")
+    salts = [f"perm{p}:".encode() for p in range(num_perm)]
+
+    def kernel(batches):
+        import hashlib
+
+        import pandas as pd
+
+        md5 = hashlib.md5
+        k = shingle_k
+
+        def mins_for(t):
+            tt = norm.sub(" ", t.lower()).strip()
+            # JVM split("", "\\s+") yields [""] — short docs fall back to
+            # the whole normalized text as ONE shingle (concat_ws of the
+            # word array), exactly like _shingles_from_words
+            words = _re.split(r"\s+", tt)
+            n = len(words)
+            if n < k:
+                shingles = {" ".join(words)}
+            else:
+                shingles = {" ".join(words[i : i + k]) for i in range(n - k + 1)}
+            out = []
+            for salt in salts:
+                out.append(
+                    min(
+                        int(md5(salt + s.encode()).hexdigest()[:15], 16)
+                        for s in shingles
+                    )
+                )
+            return out
+
+        for pdf in batches:
+            rows = {"doc": [], **{f"mh{p}": [] for p in range(num_perm)}}
+            for i, txt in enumerate(pdf[text_col]):
+                if txt is None or not isinstance(txt, str):
+                    txt = ""  # NULL text hashes like the empty doc (see above)
+                ms = mins_for(txt)
+                rows["doc"].append(pdf[id_col].iloc[i])
+                for p, v in enumerate(ms):
+                    rows[f"mh{p}"].append(v)
+            yield pd.DataFrame(rows)
+
+    return sel.mapInPandas(kernel, schema)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
     id_col: str,
     num_perm: int = 4,
     shingle_k: int = 3,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """MinHash signatures via explode → groupBy(id).agg(min(hash_p)).
 
     Shingles materialize once per document; the per-shingle md5s and the min
     aggregation are codegen'd with map-side partial aggregation, so the
-    shuffle carries only (id, num_perm mins). This is the 100 TB shape —
-    the HOF variant re-evaluates the shingling per permutation, interpreted.
+    shuffle carries only (id, num_perm mins) — the scale shape of the
+    expression form.
+
+    `use_arrow=True` (the default since round 13) routes through
+    :func:`_minhash_sigs_arrow` — bit-identical output, shuffle-FREE (the
+    signature is per-document, so the kernel needs no explode and no
+    groupBy exchange) and without the md5-chain's multi-second per-session
+    codegen cost. The expression form remains for plan comparison and as
+    the no-Python-boundary fallback.
     """
+    if use_arrow:
+        return _minhash_sigs_arrow(df, text_col, id_col, num_perm, shingle_k)
     exploded = shingle_table(df, text_col, id_col, shingle_k, exploded=True)
     return exploded.groupBy("doc").agg(
         *[

@@ -2,8 +2,8 @@
 expression code — no row-at-a-time Python UDFs and no Arrow boundary
 anywhere in the declared suite except the sanctioned Python crossings
 (stateful ops, model scoring, multimodal decode, BPE encoding, the
-r7 ANN encode/assign kernels, and the r13 winnow fingerprint and
-simhash signature kernels),
+r7 ANN encode/assign kernels, and the r13 winnow fingerprint,
+simhash and minhash signature kernels),
 each Arrow-batched, pinned to a single
 node below, and documented in SCALE.md's "Python boundary". This is
 the "stay inside whole-stage codegen" design position, asserted rather
@@ -54,11 +54,11 @@ EXCLUDE = {"ann_ivf", "ann_pq", "bpe_tokens", "unigram_tokens", "text_classifier
         ("semantic_dedup", 1),  # passthrough cell assignment
         # image + audio decode, video frame sampling, frame features
         ("multimodal_features", 4),
-        # r13: the winnow fingerprint kernel (minhash stays pure-JVM
-        # explode+agg; the simhash leg is ALSO an Arrow kernel since r13
-        # but lives behind the shared _simhash_sigs localCheckpoint, so
-        # only the winnow kernel appears in this plan)
-        ("doc_signatures", 1),
+        # r13: the winnow fingerprint + minhash signature kernels (the
+        # simhash leg is ALSO an Arrow kernel since r13 but lives behind
+        # the shared _simhash_sigs localCheckpoint, so only two kernels
+        # appear in this plan)
+        ("doc_signatures", 2),
     ],
 )
 def test_ann_arrow_boundary_kernel_count(spark, name, n_kernels):
