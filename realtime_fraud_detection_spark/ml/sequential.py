@@ -176,15 +176,11 @@ def train_sequential_scorer(
         ).alias(f"_z{i}")
         for i, c in enumerate(cols)
     ]
-    # LAZY checkpoint: round 1's gradient aggregation is a FULL scan, so
-    # it materializes every partition's blocks in the same job (the
-    # dedup_clusters one-job-per-round precedent) — one fewer scheduled
-    # job and one fewer pass over the blocks than an eager checkpoint,
-    # with bit-identical values. n came with the standardization
-    # aggregate, so no separate count job either.
+    # eager checkpoint materializes in its own job; n came with the
+    # standardization aggregate, so no separate count job
     xdf = feats.select(
         F.col(label_col).cast("double").alias("_y"), *z
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     d = len(cols)
     w = [0.0] * d
     b = 0.0
