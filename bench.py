@@ -430,7 +430,19 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError as exc:
         errors["artifact_write"] = str(exc)[:300]
-    print(line)
+    # The PRINTED line keeps every driver-contract field (metric / value /
+    # unit / queries / sf) plus the small floor scalars, but drops the bulky
+    # auxiliary dicts (jobs, queries_floor_normalized, warm, remeasured) —
+    # those live only in BENCH_LOCAL.json. Round-13 verdict item 2: the
+    # driver's bounded stdout-tail capture truncated the ~15 KB full line
+    # mid-object in r12 and lost the round-over-round comparison; the
+    # slimmed line is ~2 KB. No field in the FILE artifact was removed.
+    slim = {
+        k: v
+        for k, v in out.items()
+        if k not in ("jobs", "queries_floor_normalized", "warm", "remeasured")
+    }
+    print(json.dumps(slim))
     spark.stop()
 
 

@@ -663,20 +663,21 @@ def _simhash_sigs_arrow(
             # JVM split("", "\\s+") yields [""] — the empty word still
             # votes, exactly like the expression form
             words = set(_re.split(r"\s+", tt))
+            # one digest per word: every width truncates the SAME md5
+            # (15 hex vs 16 hex two's-complement), so hash once and
+            # derive both values from it (ADVICE r13)
+            digests = [md5(b"simhash:" + w.encode()).hexdigest() for w in words]
             sigs = []
             for b in widths:
                 if b > 60:
                     hs = []
-                    for w in words:
-                        v = int(md5(b"simhash:" + w.encode()).hexdigest()[:16], 16)
+                    for d in digests:
+                        v = int(d[:16], 16)
                         if v >= 1 << 63:
                             v -= 1 << 64  # md5_bigint64 two's complement
                         hs.append(v)
                 else:
-                    hs = [
-                        int(md5(b"simhash:" + w.encode()).hexdigest()[:15], 16)
-                        for w in words
-                    ]
+                    hs = [int(d[:15], 16) for d in digests]
                 sig = 0
                 nw = len(hs)
                 for j in range(b):

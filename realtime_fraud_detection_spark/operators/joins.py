@@ -87,6 +87,9 @@ def windowed_stream_join(
     a_s = _interval_seconds(after)
     bucketed = (
         w_s is not None and a_s is not None
+        # w=0 would divide by zero in the bucket floor; the plain plan
+        # handles the degenerate r_ts == l_ts join correctly (ADVICE r13)
+        and max(w_s, a_s) > 0
         and not left.isStreaming and not right.isStreaming
     )
     if not bucketed:
@@ -98,10 +101,27 @@ def windowed_stream_join(
         )
         return l.join(r, cond)
     w_us = max(w_s, a_s) * 1_000_000
-    lb = left.withColumn(
-        "_wsj_lb", F.floor(F.unix_micros(F.col(left_ts).cast("timestamp")) / w_us)
-    )
-    rb0 = F.floor(F.unix_micros(F.col(right_ts).cast("timestamp")) / w_us)
+
+    def _epoch_us(df: DataFrame, ts_col: str) -> Column:
+        # The bucket must live in the SAME value space the range predicate
+        # compares (ADVICE r13): for NTZ columns the predicate is wall-clock
+        # arithmetic, so derive a wall-clock-linear epoch via timestampdiff
+        # over NTZ values — `unix_micros(cast(ntz as timestamp))` would
+        # route through the session timezone, whose DST jumps are nonlinear
+        # and can put a within-W pair >1 bucket apart (silently dropping
+        # it). Instant-typed timestamps keep unix_micros (instant-linear,
+        # matching instant-space interval arithmetic).
+        from pyspark.sql.types import TimestampNTZType
+
+        if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+            return F.expr(
+                "timestampdiff(MICROSECOND, "
+                f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {ts_col})"
+            )
+        return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+    lb = left.withColumn("_wsj_lb", F.floor(_epoch_us(left, left_ts) / w_us))
+    rb0 = F.floor(_epoch_us(right, right_ts) / w_us)
     rb = right.withColumn(
         "_wsj_rb", F.explode(F.array(rb0 - 1, rb0, rb0 + 1))
     )

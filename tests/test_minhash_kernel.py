@@ -39,7 +39,7 @@ def test_kernel_matches_expression_form(spark):
         (4, "one"),
         (5, "!!!"),  # normalizes to empty -> the empty shingle still hashes
         (6, ""),
-        (7, None),  # NULL text -> row dropped by BOTH forms
+        (7, None),  # NULL text -> row KEPT by both forms (hashes like the empty doc)
         (8, "a1b2 c3d4 e5f6 g7h8 i9j0 " * 8),
     ]
     sigs = _parity(spark, rows)

@@ -61,3 +61,58 @@ def test_stream_stream_time_range_join(spark, tmp_path):
     assert len(got) == len(want) == 2
     assert list(got["v"]) == list(want["v"]) == [1, 3]
     assert list(got["w"]) == list(want["w"]) == [10, 30]
+
+
+def test_bucketed_join_dst_safe_ntz(spark):
+    """ADVICE r13: the bucket must be wall-clock-linear for NTZ inputs.
+    Under a DST-observing session TZ, converting NTZ wall times through the
+    session zone jumps ±3600 s at a transition: 2024-11-03 01:58 resolves to
+    EDT (-04:00) while 02:02 resolves to EST (-05:00) in America/New_York —
+    a 64-minute instant gap for a 4-minute wall-clock pair. The old
+    unix_micros(cast) bucket put them ~6 buckets apart and silently dropped
+    the pair; the timestampdiff-over-NTZ bucket keeps them adjacent."""
+    import datetime as dt
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        left = spark.createDataFrame(
+            [("u1", dt.datetime(2024, 11, 3, 1, 58), 1)],
+            "user_id string, ts timestamp_ntz, v long",
+        )
+        right = spark.createDataFrame(
+            [("u1", dt.datetime(2024, 11, 3, 2, 2), 10)],
+            "user_id string, ts timestamp_ntz, w long",
+        )
+        got = (
+            windowed_stream_join(left, right, "user_id",
+                                 before="10 minutes", after="10 minutes")
+            .select("v", "w")
+            .collect()
+        )
+        assert [(r["v"], r["w"]) for r in got] == [(1, 10)]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_zero_window_falls_back_to_unbucketed(spark):
+    """ADVICE r13: before='0 seconds' would make the bucket floor divide by
+    zero — the gate must fall back to the plain plan, which correctly joins
+    r_ts == l_ts only."""
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 10, 0, 0)
+    left = spark.createDataFrame(
+        [("u1", t, 1), ("u1", t + dt.timedelta(seconds=1), 2)],
+        "user_id string, ts timestamp_ntz, v long",
+    )
+    right = spark.createDataFrame(
+        [("u1", t, 10)], "user_id string, ts timestamp_ntz, w long"
+    )
+    got = (
+        windowed_stream_join(left, right, "user_id",
+                             before="0 seconds", after="0 seconds")
+        .select("v", "w")
+        .collect()
+    )
+    assert [(r["v"], r["w"]) for r in got] == [(1, 10)]
