@@ -106,7 +106,14 @@ def bm25_rank(
     # (doc_term_table) so it is not rebuilt per call either.
     if dt is None:
         dt = doc_term_table(df, text_col, id_col).localCheckpoint(eager=False)
-    lens = dt.groupBy("doc").agg(F.sum("_tf_dt").alias("_dl"))
+    # lens feeds TWO consumers (the per-doc candidate join and the corpus
+    # stats aggregate) — materialize it so the groupBy(doc) pass over the
+    # doc-term blocks runs once, not per reference (r14, guide §2.4)
+    lens = (
+        dt.groupBy("doc")
+        .agg(F.sum("_tf_dt").alias("_dl"))
+        .localCheckpoint(eager=False)
+    )
     dft = dt.groupBy("term").agg(F.count("*").alias("_df"))
     stats = lens.agg(
         F.count("*").alias("_n_docs"), F.avg("_dl").alias("_avgdl")

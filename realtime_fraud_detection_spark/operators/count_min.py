@@ -66,6 +66,7 @@ def cm_partials(
     width: int = DEFAULT_WIDTH,
     depth: int = DEFAULT_DEPTH,
     grain: str = "hour",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """(key…, hour, depth, col, cnt) — the stored rollup base. One shuffle,
     map-side combined; null items are dropped (a null observation is not a
@@ -76,8 +77,41 @@ def cm_partials(
     Each event expands to `depth` (depth, col) coordinates BEFORE the
     shuffle — the explode output is depth-bounded and collapses map-side,
     so the exchange carries counter partials, never event-granular rows.
+
+    `counts=` (r14, the shared-table pattern) accepts a precomputed exact
+    (key…, hour, item, cnt) frame at a grain no coarser than `grain` —
+    null items already dropped. Cell counts are then WEIGHTED sums of the
+    count rows over each hash bucket (Σ over users hashing to `col` of
+    their exact counts — integer sums, bit-identical to counting the raw
+    events), so several sketch builds can share one events scan + count
+    shuffle. `hour` is re-truncated to `grain`, letting an hour-grain
+    count table feed a day-grain grid directly (the mergeability law:
+    merge(build(hour)) == build(day), pinned in tests/test_count_min.py).
     """
     keys = list(key_cols or [])
+    if counts is not None:
+        item = F.col("item")
+        coords = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("depth"),
+                    _cm_col(item, i, width).alias("col"),
+                )
+                for i in range(depth)
+            ]
+        )
+        win = [F.date_trunc(grain, F.col("hour")).alias("hour")] if ts_col is not None else []
+        exploded = counts.select(
+            *keys, *win, F.explode(coords).alias("_c"), "cnt"
+        ).select(
+            *keys,
+            *(["hour"] if ts_col is not None else []),
+            F.col("_c.depth").alias("depth"),
+            F.col("_c.col").alias("col"),
+            "cnt",
+        )
+        group = [*keys, *(["hour"] if ts_col is not None else []), "depth", "col"]
+        return exploded.groupBy(*group).agg(F.sum("cnt").alias("cnt"))
     item = F.col(item_col)
     coords = F.array(
         *[

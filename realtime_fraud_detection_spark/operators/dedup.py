@@ -348,6 +348,14 @@ def winnow_candidate_pairs(df: DataFrame, text_col: str, id_col: str,
             F.col("_df") > max_doc_freq
         )
         fp = fp.join(F.broadcast(hot), "fp", "left_anti")
+    # Materialize the PRUNED exploded table before the self-join (r14,
+    # guide §2.4): each alias below is a separate subtree, so without this
+    # both sides re-run the explode AND the whole hot-frequency anti-join
+    # (4 Generates + 2 count shuffles in the before-plan; 1 + 1 after).
+    # Only for the re-materializable strategies — `table` would need a
+    # second path and `none` opted out of materialization entirely.
+    if materialize in ("local_checkpoint", "checkpoint"):
+        fp = _materialize(fp, materialize, None)
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc") < F.col("b.doc")))

@@ -102,23 +102,31 @@ def frequent_items_partials(
     key_cols: list[str] | None = None,
     capacity: int = DEFAULT_CAPACITY,
     grain: str = "hour",
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """(key…, hour, item, cnt, n) — the stored rollup base: ≤ capacity
     counter rows plus one NULL-item sentinel per (key…, hour), cnt a
     lower bound within n/(capacity+1) of the true in-window frequency,
     n the window's total item count (carried by every row incl. the
-    sentinel, so it survives all-tie compression wipes)."""
+    sentinel, so it survives all-tie compression wipes).
+
+    `counts=` (the shared-table pattern of quality's `words=`) accepts a
+    precomputed exact (key…, hour, item, cnt) frame — null items already
+    dropped, `hour` at `grain` — so a caller building several sketches
+    from the same counts (count_brackets: MG + CM + the probe list) pays
+    the events scan and the count shuffle ONCE."""
     keys = key_cols or []
-    counts = (
-        df.filter(F.col(item_col).isNotNull())
-        .select(
-            *keys,
-            F.date_trunc(grain, F.col(ts_col)).alias("hour"),
-            F.col(item_col).alias("item"),
+    if counts is None:
+        counts = (
+            df.filter(F.col(item_col).isNotNull())
+            .select(
+                *keys,
+                F.date_trunc(grain, F.col(ts_col)).alias("hour"),
+                F.col(item_col).alias("item"),
+            )
+            .groupBy(*keys, "hour", "item")
+            .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        .groupBy(*keys, "hour", "item")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
     return _compress(counts, keys + ["hour"], capacity)
 
 

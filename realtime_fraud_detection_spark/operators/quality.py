@@ -711,11 +711,21 @@ def ngram_lm_logprob(
                 lm_df, text_col, id_col
             ).localCheckpoint(eager=False)
 
-        uni = lm_toks.groupBy("w").agg(F.count("*").alias("c1w"))
+        # uni feeds THREE consumers (the w join, the re-keyed w1-context
+        # join, and the corpus total) and bi TWO (the (w1,w) join and the
+        # re-keyed (w2,w1)-context join) — without materialization each
+        # reference re-runs its whole count aggregate over the position
+        # table (r14, guide §2.4: a DAG has no sharing across join
+        # inputs). Both tables are vocabulary-sized (Heaps' law), so the
+        # checkpoints are model-sized; 6 count passes become 3.
+        uni = lm_toks.groupBy("w").agg(F.count("*").alias("c1w")).localCheckpoint(
+            eager=False
+        )
         bi = (
             lm_toks.filter(F.col("w1").isNotNull())
             .groupBy("w1", "w")
             .agg(F.count("*").alias("c2"))
+            .localCheckpoint(eager=False)
         )
         tri = (
             lm_toks.filter(F.col("w2").isNotNull())

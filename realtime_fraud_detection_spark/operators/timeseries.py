@@ -82,12 +82,22 @@ def gap_fill(
     span = bucketed.groupBy(key).agg(
         F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
     )
-    spine = span.select(
-        key,
-        F.explode(
-            F.sequence(F.col("_mn"), F.col("_mx"), F.expr(f"interval {step}"))
-        ).alias(bucket_col),
-    )
+    # Stage the spine array BEFORE the explode (r14): Generate re-evaluates
+    # its generator expression per OUTPUT element, so exploding a computed
+    # sequence() is O(span_length²) per key — harmless on short spans, a
+    # scale killer for a key spanning years (35k buckets → 1.2e9 sequence()
+    # builds). The span table is keys-sized, so materializing it with the
+    # arrays attached is model-sized; the explode then iterates a stored
+    # array (O(span_length)). Streaming frames can't checkpoint — they keep
+    # the inline form (bounded spans under a watermark).
+    seq = F.sequence(F.col("_mn"), F.col("_mx"), F.expr(f"interval {step}"))
+    if bucketed.isStreaming:
+        spine = span.select(key, F.explode(seq).alias(bucket_col))
+    else:
+        staged = span.select(key, seq.alias("_spine")).localCheckpoint(
+            eager=False
+        )
+        spine = staged.select(key, F.explode("_spine").alias(bucket_col))
     dense = spine.join(bucketed, [key, bucket_col], "left").withColumn(
         "is_gap", F.col(value_col).isNull()
     )

@@ -242,10 +242,24 @@ JOIN ({_SQL_WINNOW_DIGEST}) wd USING (doc_id)
 #     match EXACTLY, pairs and distances both.
 # ---------------------------------------------------------------------------
 def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.setsim import _BIG_TOKEN_ROWS
+
     docs = _docs(spark, sf_dir)
     cands = D.minhash_lsh_candidates(docs, "text", "doc_id", num_perm=4, band_size=2)
+    # ONE checkpointed distinct-shingle table for both Jaccard verify
+    # sides (r14 — the jaccard_pairs discipline): the before-plan ran the
+    # normalize→split→shingle chain TWICE and broadcast the corpus-sized
+    # result twice. Above the setsim token gate the verify joins pin
+    # shuffle_hash — a corpus-sized broadcast is the r12/r13
+    # deserialized-relation OOM class; below it the planner's broadcast
+    # of the materialized blocks is fine (and fastest locally).
+    sh = D.shingle_table(docs, "text", "doc_id", 3, distinct=True).localCheckpoint(
+        eager=False
+    )
+    n_tok = int(sh.agg(F.sum(F.size("sh"))).first()[0] or 0)
+    verify_sh = sh.hint("shuffle_hash") if n_tok > _BIG_TOKEN_ROWS else sh
     lsh = (
-        D.ngram_jaccard(docs, cands, "text", "doc_id", 3)
+        D.ngram_jaccard(docs, cands, "text", "doc_id", 3, shingles=verify_sh)
         .select(
             F.lit("lsh_jaccard").alias("method"),
             "doc_a",

@@ -164,3 +164,47 @@ def test_cm_rollup_probe_side_broadcasts(spark):
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) == 1, plan
     assert "ExistingRDD" in plan  # the checkpointed partials store
+
+
+def test_count_brackets_shared_count_table(spark):
+    """r14: both sketch halves (MG compress, CM grid) and the CM probe list
+    derive from ONE checkpointed exact-count table — the final plan reads
+    materialized blocks only (zero parquet scans; the single events scan
+    lives inside the count table's checkpoint lineage). A parquet scan
+    reappearing here means a branch stopped sharing the pre-aggregation
+    (the before-plan re-scanned events 6x / 19 Exchanges)."""
+    import re
+
+    df = all_queries()["count_brackets"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    scans = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+    assert len(scans) == 0, plan
+    assert "ExistingRDD" in plan  # the shared checkpointed count table
+    exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(exchanges) <= 10, plan
+
+
+def test_near_dup_pairs_shares_shingles_and_pruned_fps(spark):
+    """r14: the Jaccard verify sides read ONE checkpointed shingle table
+    (the before-plan ran the normalize->split->shingle chain twice and
+    broadcast the corpus-sized result twice) and the winnow self-join reads
+    the PRUNED exploded fingerprint table's blocks (before: 4 Generates —
+    the explode and the hot-fp anti-join re-ran per join side). Zero
+    parquet scans / zero Generates in the final plan pin both."""
+    import re
+
+    df = all_queries()["near_dup_pairs"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", plan))) == 0, plan
+    assert len(set(re.findall(r"\((\d+)\) Generate", plan))) == 0, plan
+
+
+def test_gap_fill_spine_generate_is_over_stored_array(spark):
+    """r14: Generate re-evaluates its generator expression per OUTPUT
+    element, so exploding a computed sequence() is O(span^2) per key — the
+    spine array must be staged (checkpointed) before the explode and the
+    generator must reference the stored column, never sequence()."""
+    df = all_queries()["gap_fill"](spark, SF_SMOKE)
+    plan = formatted_plan(df)
+    assert "explode(_spine" in plan, plan
+    assert "explode(sequence(" not in plan, plan
