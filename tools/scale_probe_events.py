@@ -248,6 +248,120 @@ def run_evalm(spark, src) -> list[str]:
     return out
 
 
+def run_evscan(spark, src) -> list[str]:
+    """§6 I/O story for the event-scan query families (r14, VERDICT item
+    7): every heavy panel reads a FEW columns of the events table, so
+    column pruning must reach the parquet scan — `props` (the fat JSON
+    payload) and any other unused column must be absent from EVERY scan's
+    ReadSchema, or each scan task decompresses payload bytes it never
+    uses (the mmodal payload-pruning law, generalized). Asserted per
+    family against the formatted plan, alongside the N× runtime. A
+    deliberately payload-touching control proves the assertion can fail.
+
+    Families mirror the suite's heaviest event panels: sliding velocity
+    (approx NDV — the exact Expand form is the documented scale-flip),
+    rolling user profile, hourly type stats, pattern buckets, decayed
+    velocity."""
+    import re as _re
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from realtime_fraud_detection_spark.operators import aggregations as A
+    from realtime_fraud_detection_spark.operators import windows as W
+    from realtime_fraud_detection_spark.operators.timeseries import (
+        time_decayed_sum,
+    )
+    from realtime_fraud_detection_spark.plans.explain import formatted_plan
+
+    # no repartition: keep the scan bare so ReadSchema reflects exactly
+    # what each family forces the scan to read; ts cast to the instant
+    # type the window operators expect (load_table does the same)
+    ev = spark.read.parquet(src).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+    def families():
+        yield "velocity", A.velocity_windows(
+            ev, "user_id", "ts", "value", ndv_col="event_type",
+            size="5 minutes", slide="1 minute", exact=False,
+        ), {"props", "event_id"}
+        rolled = W.amount_profile(
+            W.rolling_ranges(
+                ev, "user_id", "ts", "value",
+                {"rolling_24h": 86400, "rolling_1h": 3600},
+            ),
+            "user_id", "value", "ts",
+        )
+        yield "rolling", rolled.select(
+            "user_id", "ts", "value",
+            "rolling_24h_count", "rolling_24h_amount",
+            "rolling_1h_count", "rolling_1h_amount",
+            "amount_pct_rank", "amount_zscore",
+        ), {"props", "event_type"}
+        yield "hourly", ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        ).agg(
+            F.count("*").alias("tx_count"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("amount"),
+            F.countDistinct("user_id").alias("distinct_users"),
+        ), {"props", "event_id"}
+        key = F.concat_ws(
+            "_", F.lit("pattern"), F.col("event_type"),
+            (F.floor(F.col("value") / 100) * 100).cast("long").cast("string"),
+        )
+        pattern = (
+            ev.withColumn("pattern_key", key)
+            .groupBy(
+                F.window("ts", "10 minutes", "2 minutes").alias("w"),
+                "pattern_key",
+            )
+            .agg(
+                F.count("*").alias("tx_count"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("total_amount"),
+            )
+        )
+        yield "pattern", pattern, {"props", "event_id", "user_id"}
+        decayed = time_decayed_sum(
+            time_decayed_sum(
+                ev, "user_id", ts_col="ts", value_col=None,
+                half_life="1 hour", out_col="_dc", tiebreak_cols=["event_id"],
+            ),
+            "user_id", ts_col="ts", value_col="value",
+            half_life="1 hour", out_col="_dv", tiebreak_cols=["event_id"],
+        )
+        yield "decay", decayed.select(
+            "user_id", "ts", "event_id", "_dc", "_dv"
+        ), {"props", "event_type"}
+        # negative control: a payload-touching aggregate MUST show props
+        # in ReadSchema — proves the assertion mechanism detects the column
+        yield "control_props", ev.groupBy("event_type").agg(
+            F.max(F.length("props")).alias("max_props_len")
+        ), set()
+
+    out = []
+    for tag, df, banned in families():
+        plan = formatted_plan(df)
+        schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        read_cols = {
+            c.split(":")[0].strip() for s in schemas for c in s.split(",") if c
+        }
+        leaked = read_cols & banned
+        if tag == "control_props":
+            ok = "props" in read_cols
+            out.append(f"{tag}: props_in_readschema={ok} (control)")
+            assert ok, plan
+            continue
+        t0 = _t.time()
+        df.write.format("noop").mode("overwrite").save()
+        out.append(
+            f"{tag}: {_t.time() - t0:.1f}s read_cols={sorted(read_cols)} "
+            f"pruned_ok={not leaked}"
+        )
+        assert not leaked, f"{tag} scan reads {leaked}: {plan}"
+    return out
+
+
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     stages = set(
@@ -272,6 +386,7 @@ def main() -> None:
             ("dims", "dims", run_dims),
             ("bloom", "bloom", run_bloom),
             ("evalm", "evalm", run_evalm),
+            ("evscan", "evscan", run_evscan),
         ]
         if stage in stages
     ]
