@@ -17,12 +17,19 @@ from pyspark.sql import functions as F
 HEX_CHARS = 15
 
 
-def md5_bigint(col: Column, salt: str | None = None) -> Column:
+def md5_bigint(col: Column, salt: str | Column | None = None) -> Column:
     """Deterministic 60-bit hash of a string column, optionally salted.
+    The salt may be a COLUMN (r14 — lets a per-row salt like the CM depth
+    prefix hash in one md5 instead of one per member of a computed array).
 
     DuckDB equivalent: ``('0x' || substr(md5(salt || x), 1, 15))::BIGINT``.
     """
-    x = F.concat(F.lit(salt), col) if salt else col
+    if isinstance(salt, Column):
+        x = F.concat(salt, col)
+    elif salt:
+        x = F.concat(F.lit(salt), col)
+    else:
+        x = col
     return F.conv(F.substring(F.md5(x), 1, HEX_CHARS), 16, 10).cast("bigint")
 
 

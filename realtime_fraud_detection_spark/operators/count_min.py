@@ -52,6 +52,21 @@ def _cm_col(item: Column, depth: int, width: int) -> Column:
     )
 
 
+def _depth_coords(item: Column, depth: int, width: int):
+    """(exploded depth column expr, col-for-that-depth expr) — the r14
+    coordinate expansion. Exploding a COMPUTED array of (depth, md5)
+    structs paid the Generate tax: the generator re-evaluates per OUTPUT
+    element, so every input row computed depth × depth = 16 md5s for its
+    4 coordinates. Exploding the CONSTANT depth list instead (a literal
+    array — free to re-evaluate) and hashing ONCE per output row with the
+    depth as a COLUMN salt (`concat('cm', depth, ':')` — byte-identical
+    strings to the f"cm{d}:" literals, so identical hashes and identical
+    grids) restores the minimum: depth md5s per input row."""
+    salt = F.concat(F.lit("cm"), F.col("_cm_depth").cast("string"), F.lit(":"))
+    col = F.pmod(md5_bigint(item.cast("string"), salt=salt), F.lit(width))
+    return F.explode(F.array(*[F.lit(i) for i in range(depth)])), col
+
+
 def cm_col_sql(expr: str, depth: int, width: int = DEFAULT_WIDTH) -> str:
     """DuckDB rendering of :func:`_cm_col` for parity tests."""
     cast = f"CAST({expr} AS VARCHAR)"
@@ -91,47 +106,31 @@ def cm_partials(
     keys = list(key_cols or [])
     if counts is not None:
         item = F.col("item")
-        coords = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("depth"),
-                    _cm_col(item, i, width).alias("col"),
-                )
-                for i in range(depth)
-            ]
-        )
+        depths, col = _depth_coords(item, depth, width)
         win = [F.date_trunc(grain, F.col("hour")).alias("hour")] if ts_col is not None else []
         exploded = counts.select(
-            *keys, *win, F.explode(coords).alias("_c"), "cnt"
+            *keys, *win, depths.alias("_cm_depth"), "item", "cnt"
         ).select(
             *keys,
             *(["hour"] if ts_col is not None else []),
-            F.col("_c.depth").alias("depth"),
-            F.col("_c.col").alias("col"),
+            F.col("_cm_depth").alias("depth"),
+            col.alias("col"),
             "cnt",
         )
         group = [*keys, *(["hour"] if ts_col is not None else []), "depth", "col"]
         return exploded.groupBy(*group).agg(F.sum("cnt").alias("cnt"))
     item = F.col(item_col)
-    coords = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("depth"),
-                _cm_col(item, i, width).alias("col"),
-            )
-            for i in range(depth)
-        ]
-    )
+    depths, col = _depth_coords(item, depth, width)
     cols = [*keys]
     if ts_col is not None:
         cols.append(F.date_trunc(grain, F.col(ts_col)).alias("hour"))
     exploded = (
         df.filter(item.isNotNull())
-        .select(*cols, F.explode(coords).alias("_c"))
+        .select(*cols, depths.alias("_cm_depth"), F.col(item_col))
         .select(*keys,
                 *(["hour"] if ts_col is not None else []),
-                F.col("_c.depth").alias("depth"),
-                F.col("_c.col").alias("col"))
+                F.col("_cm_depth").alias("depth"),
+                col.alias("col"))
     )
     group = [*keys, *(["hour"] if ts_col is not None else []), "depth", "col"]
     return exploded.groupBy(*group).agg(F.count(F.lit(1)).alias("cnt"))
@@ -172,20 +171,13 @@ def cm_estimate(
     """
     wins = list(window_cols or [])
     item = F.col(item_col)
+    depths, col = _depth_coords(F.col("_item"), depth, width)
     probes = items.select(
         item.alias("_item"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("depth"),
-                        _cm_col(item, i, width).alias("col"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("_c"),
-    ).select("_item", F.col("_c.depth").alias("depth"), F.col("_c.col").alias("col"))
+        depths.alias("_cm_depth"),
+    ).select(
+        "_item", F.col("_cm_depth").alias("depth"), col.alias("col")
+    )
     # every stored window must report every probed item (missing cell = 0),
     # so probe rows fan out over the window list first
     windows = partials.select(*wins).distinct() if wins else None
