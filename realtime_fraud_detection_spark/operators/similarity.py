@@ -329,6 +329,30 @@ def fit_coarse_quantizer(
     return centroids, cells_df
 
 
+def _explode_probe_cells(q: DataFrame, cells: Column, n_probe: int) -> DataFrame:
+    """Attach one row per probed coarse cell: `cell` = the i-th nearest
+    centroid id, i = 1..n_probe (r14). The direct form —
+    ``explode(slice(array_sort(cells), 1, n_probe)["cell"])`` — paid the
+    Generate tax: the generator expression re-evaluates per OUTPUT
+    element, so every query row computed the full n_cells × dim distance
+    array (and its sort) n_probe times. Staging the probed-id array in
+    the CHILD project (evaluated once per input row — a Project below a
+    Generate is per-input) and exploding a LITERAL index array (free to
+    re-evaluate) restores one distance pass per query. `element_at` then
+    picks the id; the size filter covers n_probe > n_cells, where slice
+    would have emitted fewer rows. Output rows and values are identical
+    to the direct form (same array, same order)."""
+    staged = q.withColumn("_probed", F.slice(F.array_sort(cells), 1, n_probe)["cell"])
+    return (
+        staged.withColumn(
+            "_pi", F.explode(F.array(*[F.lit(i + 1) for i in range(n_probe)]))
+        )
+        .filter(F.col("_pi") <= F.size("_probed"))
+        .withColumn("cell", F.element_at("_probed", F.col("_pi")))
+        .drop("_probed", "_pi")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -370,9 +394,7 @@ def ivf_topk(
     cells = F.array(
         *[F.struct(dist_to(ctr).alias("d"), F.lit(i).alias("cell")) for i, ctr in enumerate(centroids)]
     )
-    q_probed = q.withColumn(
-        "cell", F.explode(F.slice(F.array_sort(cells), 1, n_probe)["cell"])
-    )
+    q_probed = _explode_probe_cells(q, cells, n_probe)
     scored = (
         F.broadcast(q_probed)
         .join(corpus, "cell")
@@ -601,9 +623,7 @@ def ivf_int8_topk(
             for i, ctr in enumerate(centroids)
         ]
     )
-    q_probed = q.withColumn(
-        "cell", F.explode(F.slice(F.array_sort(cells), 1, n_probe)["cell"])
-    ).drop("qv")
+    q_probed = _explode_probe_cells(q, cells, n_probe).drop("qv")
     sim = (
         (dot(F.col("qs"), F.transform(F.col("codes"), lambda c_: c_.cast("double")))
          + F.col("qbias"))
